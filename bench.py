@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xena_gdc_etl_spark.session import get_spark  # noqa: E402
+from xena_gdc_etl_spark.workload import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # Warm the JVM/session on a trivial action so q1 isn't charged for init.
+    spark.range(1).count()
+    for name, fn in QUERIES.items():
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": infer_sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Named-table catalog over a directory of parquet files.
+
+Plays the role the GDC API endpoints play in the reference
+(/root/reference/xena_gdc_etl/gdc.py:221 ``search(endpoint, ...)``): a place
+to resolve a logical table name to a scannable source. Reads are plain
+``spark.read.parquet`` so Catalyst gets full pushdown/pruning; nothing is
+cached or collected here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Resolve table names under a base directory (``<base>/<name>.parquet``)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    # Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
+    # (see session.py nanosAsLong). Converted to µs-precision timestamps here
+    # with integer division (never float math — ns-since-epoch overflows the
+    # double mantissa).
+    _NANOS_TS_COLS = {"events": ("ts",)}
+
+    def table(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(self.path(name))
+        for col in self._NANOS_TS_COLS.get(name, ()):
+            if col in df.columns and dict(df.dtypes)[col] == "bigint":
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TPCH_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every known table as a temp view for spark.sql use."""
+        for name in TPCH_TABLES:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)
