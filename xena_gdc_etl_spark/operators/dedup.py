@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale document corpora.
+
+Exact (hash-group), MinHash signatures + LSH band bucketing, SimHash, and
+inverted-index n-gram Jaccard. All hashes are md5-derived (portable,
+partition-invariant); no O(n²) global cross joins — candidate generation is
+always bucket- or index-join based so the plans survive 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.functions import md5_hash60
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: md5-group texts, keep the smallest id per group.
+    Map-side partial agg on the hash; one shuffle keyed by digest.
+    """
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Explode each doc into its distinct k-char shingles: (id, shingle).
+    posexplode-free form: substring over a generated offset sequence keeps
+    everything in whole-stage codegen.
+    """
+    offsets = F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(offsets).alias("__i"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"substring({text_col}, __i, {k})").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    doc_shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """k independent min-hash slots per doc: slot_j = min over shingles of
+    h(seed_j || shingle). One aggregation computes all slots (k expressions,
+    single shuffle) — no per-hash pass over the data.
+    """
+    aggs = [
+        F.min(md5_hash60(F.col("shingle"), seed=f"s{j}:")).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return doc_shingles.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket, self-join
+    per (band, bucket) to emit candidate pairs (a < b), distinct.
+
+    Scale: the join key is (band_id, bucket) — only docs agreeing on a full
+    band ever meet; a hot bucket (many identical docs) is the one genuinely
+    quadratic spot and is AQE-skew-split.
+    """
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{j}").cast("string") for j in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bucket"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
+    b_ = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    return (
+        a.join(b_, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash: per token a portable 60-bit hash; bit_j of the fingerprint is
+    set when the sum over tokens of (2*bit_j(h)-1) is positive. One explode +
+    one aggregation with ``bits`` sum expressions.
+    """
+    tokens = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = md5_hash60(F.col("tok"), seed="sim:")
+    sums = [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = tokens.groupBy(F.col(id_col)).agg(*sums)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs sharing a bucket.
+
+    Inverted-index form (relational, array-free): distinct (bucket, gram,
+    id) postings; intersection = postings self-join on (bucket, gram);
+    |A∪B| = |A|+|B|-|A∩B|. Scales as the posting-list join, never a doc×doc
+    cross join.
+    """
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.col(bucket_col).alias("bucket"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1))
+            ).alias("__i"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            "bucket",
+            F.expr(f"substring({text_col}, __i, {n})").alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy(F.col(id_col)).agg(F.count(F.lit(1)).alias("sz"))
+    ga = grams.select(F.col("bucket"), F.col("gram"), F.col(id_col).alias("a"))
+    gb = grams.select(F.col("bucket"), F.col("gram"), F.col(id_col).alias("b"))
+    inter = (
+        ga.join(gb, on=["bucket", "gram"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and polynomial document fingerprinting. All
+pure Column expressions — whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed stopword lists for the heuristic language scorer.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+# BPE-ish token pattern: letter runs, single digits, single punctuation.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(_tokens(text)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(text, F.lit(TOKEN_PATTERN)).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean word length, and a blended 0-1 score.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+    # score is computed from UNROUNDED ratios: rounding an intermediate and
+    # then continuing float math is not engine-portable (the rounded decimal
+    # has no exact double, so downstream bits can differ); int/int division
+    # and fixed-order arithmetic are.
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_toks
+    mean_word_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_toks
+    score = (
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars_computed"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-hit language ID: per language, count tokens in its stopword
+    list; predict the argmax (ties → lexicographically first language).
+    """
+    toks = _tokens(F.col(text_col))
+
+    def stop_hits(words: list[str]) -> Column:
+        # single-arg lambda: a default-arg closure would make Spark treat it
+        # as the (element, index) form and bind the word list to the index
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+    cols = {lang: stop_hits(words) for lang, words in STOPWORDS.items()}
+    out = docs.select(
+        F.col(id_col),
+        *[c.cast("bigint").alias(f"score_{lang}") for lang, c in cols.items()],
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in reversed(langs):
+        cond = F.col(f"score_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else F.when(cond, F.lit(lg)).otherwise(pred)
+    # reversed + overwrite-on-match gives the lexicographically FIRST
+    # max-scoring language precedence.
+    return out.withColumn("predicted_lang", pred)
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the document's characters:
+    fp = fold(acc * 31 + ascii(ch) mod 1e9+7). Engine-portable arithmetic
+    (fits bigint), computed via a codegen'd higher-order aggregate.
+    """
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

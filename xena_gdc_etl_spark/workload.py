@@ -525,3 +525,387 @@ def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(Catalog(spark, sf_dir).events)
+
+
+# ==========================================================================
+# LLM-data-pipeline operators (SURVEY.md §2 #20-31)
+# ==========================================================================
+
+_MH_SEEDS = list(range(8))
+
+
+def _mh_sql_shingles() -> str:
+    # unnest(list_transform(range(...))) — DuckDB 1.0's lateral range() can't
+    # take column arguments, the list form can.
+    return (
+        "SELECT DISTINCT doc_id, shingle FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, length(text) - 3), "
+        "i -> substr(text, i::INT, 5))) AS shingle FROM documents)"
+    )
+
+
+def _mh_sql_minexprs() -> str:
+    return ", ".join(
+        f"min(('0x'||substr(md5('s{j}:'||shingle),1,15))::BIGINT) AS mh{j}"
+        for j in _MH_SEEDS
+    )
+
+
+# --------------------------------------------------------------------------
+# 20. Exact dedup: content-hash groups.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    return dd.dedup_exact(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 21. MinHash signatures (8 slots over 5-char shingles).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash",
+    f"""
+    WITH sh AS ({_mh_sql_shingles()})
+    SELECT doc_id, {_mh_sql_minexprs()}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    return dd.minhash_signatures(dd.shingles(docs, k=5), num_hashes=8)
+
+
+# --------------------------------------------------------------------------
+# 22. LSH candidate pairs from banded minhash signatures.
+# --------------------------------------------------------------------------
+@query(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+    WHERE x.doc_id < y.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    sig = dd.minhash_signatures(dd.shingles(docs, k=5), num_hashes=8)
+    return dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+
+
+# --------------------------------------------------------------------------
+# 23. SimHash fingerprints (16-bit).
+# --------------------------------------------------------------------------
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''),
+    h AS (SELECT doc_id, ('0x'||substr(md5('sim:'||tok),1,15))::BIGINT AS h FROM toks),
+    bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", _simhash_sql(16))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    return dd.simhash(Catalog(spark, sf_dir).documents, bits=16)
+
+
+# --------------------------------------------------------------------------
+# 24. n-gram Jaccard similarity via inverted-index join (8-gram, within
+#     source buckets, on a doc_id%5 sample to bound the oracle's join).
+# --------------------------------------------------------------------------
+@query(
+    "ngram_jaccard",
+    """
+    WITH d AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    g AS (SELECT DISTINCT doc_id, bucket, gram FROM (
+          SELECT doc_id, source AS bucket,
+                 unnest(list_transform(range(1, length(text) - 6),
+                        i -> substr(text, i::INT, 8))) AS gram
+          FROM d)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT ga.doc_id AS a, gb.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+        FROM g ga JOIN g gb ON ga.bucket = gb.bucket AND ga.gram = gb.gram
+        WHERE ga.doc_id < gb.doc_id
+        GROUP BY 1, 2)
+    SELECT a, b,
+           CAST(round(inter / (sa.sz + sb.sz - inter), 6) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a
+    JOIN sz sb ON sb.doc_id = b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 5 == 0)
+    return dd.ngram_jaccard_pairs(docs, n=8, threshold=0.05)
+
+
+# --------------------------------------------------------------------------
+# 25. Brute-force cosine top-k (exact ANN baseline).
+# --------------------------------------------------------------------------
+@query(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 10 = 0),
+    s AS (SELECT q.query_id, v.vec_id AS match_id,
+                 round(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6) AS sim
+          FROM q, embeddings v WHERE v.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rn
+          FROM s)
+    SELECT query_id, match_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    return sim.cosine_topk(emb, queries_df, k=5)
+
+
+# --------------------------------------------------------------------------
+# 26. IVF approximate top-k: deterministic centroids (vec_id < 8), search
+#     within the assigned cell only.
+# --------------------------------------------------------------------------
+@query(
+    "ann_ivf",
+    """
+    WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
+                      round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
+               FROM embeddings v, c),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, centroid_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM assigned WHERE vec_id % 10 = 0),
+    s AS (SELECT q.query_id, v.vec_id AS match_id,
+                 round(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6) AS sim
+          FROM q JOIN assigned v ON v.centroid_id = q.centroid_id
+          WHERE v.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rn
+          FROM s)
+    SELECT query_id, match_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    queries_assigned = assigned.filter(F.col("vec_id") % 10 == 0)
+    return sim.ivf_topk(assigned, queries_assigned, k=5)
+
+
+# --------------------------------------------------------------------------
+# 27. Embedding near-duplicate pairs within IVF cells.
+# --------------------------------------------------------------------------
+@query(
+    "embed_cosine_dup",
+    """
+    WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
+                      round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
+               FROM embeddings v, c),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1)
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS sim
+    FROM assigned x JOIN assigned y ON x.centroid_id = y.centroid_id
+    WHERE x.vec_id < y.vec_id
+      AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+)
+def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    return sim.cosine_dup_pairs(assigned, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# 28. Token counting (whitespace + BPE-ish regex).
+# --------------------------------------------------------------------------
+@query(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.token_counts(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 29. Text quality scoring.
+# --------------------------------------------------------------------------
+_EN_STOP_SQL = "['the','a','of','and','to','in','is','that','it','for']"
+
+@query(
+    "text_quality",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars_computed,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+    m AS (
+        SELECT doc_id, n_chars_computed,
+               length(toks) AS n_tokens,
+               (n_chars_computed - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / n_chars_computed AS punct_ratio,
+               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio,
+               list_sum(list_transform(toks, x -> length(x))) / length(toks) AS mean_word_len
+        FROM t)
+    SELECT doc_id,
+           CAST(n_chars_computed AS BIGINT) AS n_chars_computed,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + (1 - punct_ratio) * 0.3
+                 + least(stopword_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.quality_scores(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 30. Language ID by stopword hits.
+# --------------------------------------------------------------------------
+def _lang_sql() -> str:
+    from xena_gdc_etl_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_exprs = ", ".join(
+        "CAST(length(list_filter(toks, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in STOPWORDS[lg])
+        + f"], lower(x)))) AS BIGINT) AS score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return rf"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, {score_exprs} FROM t)
+    SELECT doc_id, score_de, score_en, score_es, score_fr, {case} AS predicted_lang
+    FROM s
+    """
+
+
+@query("lang_id", _lang_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.lang_scores(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 31. Polynomial document fingerprint.
+# --------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.fingerprints(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 32. Multimodal plumbing: binary payload + Arrow-batched feature extraction
+#     (decode stubbed deterministically; see operators/multimodal.py).
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_digest,
+           list_transform(range(0, 8),
+               i -> ('0x' || substr(md5(text), 2 * i + 1, 2))::INT / 255.0) AS features
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import multimodal as mm
+
+    media = mm.attach_binary_payload(Catalog(spark, sf_dir).documents)
+    return mm.extract_features(media)
