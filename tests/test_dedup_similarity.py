@@ -1,0 +1,134 @@
+"""Unit tests for dedup/similarity/text/multimodal operators on small
+controlled inputs (exact expectations, determinism properties).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.operators import dedup as dd
+from xena_gdc_etl_spark.operators import multimodal as mm
+from xena_gdc_etl_spark.operators import similarity as sim
+from xena_gdc_etl_spark.operators import text as tx
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"],
+    )
+
+
+def test_dedup_exact_groups_identical_texts(spark):
+    df = docs_df(spark, ["aaa bbb", "ccc ddd", "aaa bbb", "aaa bbb"])
+    out = {r.keep_id: r.n_dups for r in dd.dedup_exact(df).collect()}
+    assert out == {0: 3, 1: 1}
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = docs_df(spark, ["the quick brown fox jumps", "the quick brown fox jumps"])
+    sig = dd.minhash_signatures(dd.shingles(df, k=5, distinct=False)).collect()
+    s0 = [r for r in sig if r.doc_id == 0][0]
+    s1 = [r for r in sig if r.doc_id == 1][0]
+    assert [s0[f"mh{j}"] for j in range(8)] == [s1[f"mh{j}"] for j in range(8)]
+
+
+def test_lsh_pairs_catch_identical_docs(spark):
+    df = docs_df(
+        spark,
+        ["the quick brown fox jumps over it", "the quick brown fox jumps over it",
+         "completely different words entirely here now"],
+    )
+    sig = dd.minhash_signatures(dd.shingles(df, k=5, distinct=False))
+    pairs = {(r.a, r.b) for r in dd.lsh_candidate_pairs(sig).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_partition_invariant(spark):
+    df = docs_df(spark, ["alpha beta gamma delta epsilon zeta"] * 1)
+    one = dd.simhash(df).collect()[0].simhash
+    many = dd.simhash(df.repartition(7)).collect()[0].simhash
+    assert one == many
+
+
+def test_ngram_jaccard_identical_docs_is_one(spark):
+    df = docs_df(spark, ["abcdefghij klmnop", "abcdefghij klmnop"])
+    # same source bucket needed: force one bucket
+    df = df.withColumn("source", F.lit("s"))
+    out = dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def _emb_df(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, [1.0, 0.01, 0.0]),
+    ]
+    return spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact_neighbors(spark):
+    emb = _emb_df(spark)
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.match_id for r in sorted(out, key=lambda r: r.rank)] == [4, 1]
+
+
+def test_ivf_assign_puts_vector_with_nearest_centroid(spark):
+    emb = _emb_df(spark)
+    centroids = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = {r.vec_id: r.centroid_id for r in sim.ivf_assign(emb, centroids).collect()}
+    assert out[1] == 0 and out[4] == 0
+    assert out[3] == 2
+
+
+def test_cosine_dup_pairs_threshold(spark):
+    emb = _emb_df(spark)
+    centroids = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    pairs = {(r.a, r.b) for r in sim.cosine_dup_pairs(assigned, threshold=0.99).collect()}
+    # cell {0,1,4}: cos(0,1)=.9939, cos(0,4)≈1, cos(1,4)=.9950 — all ≥ .99
+    # cell {2,3}: cos(2,3)=.9939 ≥ .99. Cross-cell pairs never evaluated.
+    assert pairs == {(0, 1), (0, 4), (1, 4), (2, 3)}
+
+
+def test_token_counts_exact(spark):
+    df = docs_df(spark, ["ab cd  ef", "hi!"])
+    out = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in tx.token_counts(df).collect()}
+    assert out[0] == (3, 3)
+    assert out[1] == (1, 2)  # "hi" + "!"
+
+
+def test_lang_id_picks_stopword_language(spark):
+    df = docs_df(spark, ["der hund und die katze ist nicht da",
+                         "the cat and the dog is in it"])
+    out = {r.doc_id: r.predicted_lang for r in tx.lang_scores(df).collect()}
+    assert out[0] == "de" and out[1] == "en"
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = docs_df(spark, ["abc", "acb"])
+    fps = [r.fingerprint for r in tx.fingerprints(df).orderBy("doc_id").collect()]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_features_deterministic_and_batched(spark):
+    docs = docs_df(spark, ["hello", "world", "spark"]).repartition(2)
+    media = mm.attach_binary_payload(docs)
+    out = mm.extract_features(media).collect()
+    assert len(out) == 3
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].n_bytes == 5
+    assert len(by_id[0].features) == 8
+    assert all(0.0 <= f <= 1.0 for f in by_id[0].features)
+    # deterministic across runs/partitionings
+    again = {r.media_id: r.features for r in mm.extract_features(media.repartition(3)).collect()}
+    assert again[1] == by_id[1].features

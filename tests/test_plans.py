@@ -1,0 +1,66 @@
+"""Plan-shape tests: the promises that matter at 100 TB — pushdown, column
+pruning, broadcast dims, and no row-at-a-time Python UDFs in hot paths.
+"""
+
+from __future__ import annotations
+
+from xena_gdc_etl_spark.catalog import Catalog
+from xena_gdc_etl_spark.plans import (
+    formatted_plan,
+    has_pushed_filter,
+    python_udf_count,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+from xena_gdc_etl_spark.workload import QUERIES
+
+
+def test_search_filter_pushes_predicates(spark, sf_dir):
+    df = QUERIES["search_filter"](spark, sf_dir)
+    assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_search_filter_prunes_columns(spark, sf_dir):
+    df = QUERIES["search_filter"](spark, sf_dir)
+    read = scan_read_schema(df)
+    assert "l_extendedprice" not in read
+    assert "l_returnflag" in read
+
+
+def test_q1_prunes_unused_columns(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    read = scan_read_schema(df)
+    assert "l_partkey" not in read and "l_suppkey" not in read
+
+
+def test_project_info_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["project_info"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_keep_samples_semi_join_not_inner(spark, sf_dir):
+    plan = formatted_plan(QUERIES["keep_samples"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udfs_in_relational_queries(spark, sf_dir):
+    for name in [
+        "q1_pricing_summary",
+        "sample_matrix",
+        "survival_transform",
+        "dedup_exact",
+        "dedup_minhash",
+        "token_count",
+        "text_quality",
+        "lang_id",
+        "doc_fingerprint",
+        "sessionize",
+    ]:
+        assert python_udf_count(QUERIES[name](spark, sf_dir)) == 0, name
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE only reports codegen spans in the finalized plan
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in formatted_plan(df)

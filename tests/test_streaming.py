@@ -1,0 +1,69 @@
+"""Streaming tests: the streaming plans produce the same answers as their
+batch twins on a bounded input (replayed as a file stream).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.catalog import Catalog
+from xena_gdc_etl_spark.operators.events import sessionize, windowed_agg
+from xena_gdc_etl_spark.streaming import (
+    streaming_sessionize,
+    streaming_windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark):
+    # materialize catalog events (ns→µs handled) so the stream and batch
+    # sides read identical data
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    Catalog(spark, "/root/testdata/sf0.001").events.write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df):
+    out = f"memsink_{abs(hash(str(id(stream_df)))) % 10**8}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(out)
+
+
+def test_windowed_agg_stream_equals_batch(spark, events_stream_dir):
+    batch = Catalog(spark, "/root/testdata/sf0.001").events
+    expected = sorted(
+        tuple(r) for r in windowed_agg(batch).collect()
+    )
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    got = _run_stream(spark, streaming_windowed_agg(stream))
+    assert sorted(tuple(r) for r in got.collect()) == expected
+
+
+def test_sessionize_stream_matches_batch_session_count(spark, events_stream_dir):
+    batch = Catalog(spark, "/root/testdata/sf0.001").events
+    batch_sessions = sessionize(batch, gap_minutes=30)
+    expected_per_user = {
+        r.user_id: r.n for r in batch_sessions.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    got = _run_stream(spark, streaming_sessionize(stream, gap_minutes=30))
+    got_per_user = {
+        r.user_id: r.n for r in got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_per_user == expected_per_user

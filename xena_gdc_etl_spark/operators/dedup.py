@@ -14,6 +14,18 @@ from pyspark.sql import functions as F
 from xena_gdc_etl_spark.functions import md5_hash60
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to cluster parallelism before a row-inflating explode.
+
+    Document tables are compact on disk (one scan partition can hold
+    millions of rows), but shingling/tokenizing inflates rows ~100-300×
+    and adds a digest per row — without a repartition the whole pipeline
+    runs at scan parallelism (possibly 1 task). The pre-explode shuffle
+    moves only the small un-exploded rows.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dedup_exact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -31,25 +43,28 @@ def dedup_exact(
 
 
 def shingles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Explode each doc into its distinct k-char shingles: (id, shingle).
+    """Explode each doc into its k-char shingles: (id, shingle).
     posexplode-free form: substring over a generated offset sequence keeps
-    everything in whole-stage codegen.
+    everything in whole-stage codegen. ``distinct=False`` skips the dedup
+    shuffle — min-hash is multiset-invariant, so signature pipelines don't
+    need it.
     """
     offsets = F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
-    return (
-        docs.select(
-            F.col(id_col),
-            F.explode(offsets).alias("__i"),
-            F.col(text_col),
-        )
-        .select(
-            F.col(id_col),
-            F.expr(f"substring({text_col}, __i, {k})").alias("shingle"),
-        )
-        .distinct()
+    out = _spread(docs).select(
+        F.col(id_col),
+        F.explode(offsets).alias("__i"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.expr(f"substring({text_col}, __i, {k})").alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -57,13 +72,25 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """k independent min-hash slots per doc: slot_j = min over shingles of
-    h(seed_j || shingle). One aggregation computes all slots (k expressions,
-    single shuffle) — no per-hash pass over the data.
+    """k independent min-hash slots per doc in ONE aggregation pass.
+
+    Hash budget: one sha256 per shingle yields four independent 60-bit slots
+    (64 hex chars → 4×15-hex chunks), so k slots cost ceil(k/4) digest calls
+    per shingle instead of k — the digest is the dominant per-row cost at
+    corpus scale. Portable (sha256 + base-16 decode exist in any oracle).
     """
+    n_digests = (num_hashes + 3) // 4
+    slot_exprs = []
+    for d in range(n_digests):
+        digest = F.sha2(F.concat(F.lit(f"s{d}:"), F.col("shingle")), 256)
+        for c in range(4):
+            if len(slot_exprs) == num_hashes:
+                break
+            slot_exprs.append(
+                F.conv(F.substring(digest, 1 + 15 * c, 15), 16, 10).cast("bigint")
+            )
     aggs = [
-        F.min(md5_hash60(F.col("shingle"), seed=f"s{j}:")).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min(expr).alias(f"mh{j}") for j, expr in enumerate(slot_exprs)
     ]
     return doc_shingles.groupBy(F.col(id_col)).agg(*aggs)
 
@@ -91,6 +118,10 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # The bucket table is tiny next to the corpus (one row per doc per band)
+    # but its lineage is the whole shingle+signature pipeline — persist so
+    # the self-join doesn't recompute that pipeline for each side.
+    buckets = buckets.persist()
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
     b_ = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
     return (
@@ -111,7 +142,7 @@ def simhash(
     set when the sum over tokens of (2*bit_j(h)-1) is positive. One explode +
     one aggregation with ``bits`` sum expressions.
     """
-    tokens = docs.select(
+    tokens = _spread(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     h = md5_hash60(F.col("tok"), seed="sim:")
@@ -143,7 +174,7 @@ def ngram_jaccard_pairs(
     cross join.
     """
     grams = (
-        docs.select(
+        _spread(docs).select(
             F.col(id_col),
             F.col(bucket_col).alias("bucket"),
             F.explode(

@@ -1,0 +1,70 @@
+"""Xena-matrix TSV reader/writer.
+
+The reference's on-disk interchange format is a wide tab-separated matrix
+with the row index in the first column (written by ``to_csv(sep='\\t')``
+throughout /root/reference/xena_gdc_etl/xena_dataset.py, read back by
+``pd.read_csv(sep='\\t', index_col=0)`` in utils.py:122 and main.py:28).
+
+Reading converts wide → the engine's long format; writing pivots long →
+wide. The wide shape is an EDGE format only: fine for export of bounded
+matrices, wrong as an internal representation at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xena_gdc_etl_spark.operators.matrix import melt_long, pivot_wide
+
+
+def read_xena_tsv(
+    spark: SparkSession,
+    path: str,
+    id_col: str | None = None,
+    long: bool = True,
+) -> DataFrame:
+    """Read a Xena TSV. With ``long=True`` returns the engine-native long
+    form (sample, feature, value) where ``feature`` is the first column's
+    values and samples are the remaining column names.
+    """
+    wide = spark.read.options(
+        sep="\t", header=True, inferSchema=True, nullValue="NA"
+    ).csv(path)
+    if not long:
+        return wide
+    first = id_col or wide.columns[0]
+    value_cols = [c for c in wide.columns if c != first]
+    melted = melt_long(
+        wide, first, value_cols, feature_name="sample", value_name="value"
+    )
+    return melted.withColumnRenamed(first, "feature").select(
+        "sample", "feature", "value"
+    )
+
+
+def write_xena_tsv(
+    long_df: DataFrame,
+    path: str,
+    sample_col: str = "sample",
+    feature_col: str = "feature",
+    value_col: str = "value",
+) -> None:
+    """Export a long matrix as a Xena-style TSV directory (features as the
+    index column, one column per sample — the reference's matrix layout).
+    Pivot width = number of samples; exporting is only sane for bounded
+    sample sets, which is exactly the reference's use case.
+    """
+    samples = [
+        r[0]
+        for r in long_df.select(sample_col).distinct().orderBy(sample_col).collect()
+    ]
+    wide = pivot_wide(
+        long_df.withColumnRenamed(feature_col, "sample__idx"),
+        sample_col="sample__idx",
+        feature_col=sample_col,
+        value_col=value_col,
+        features=[str(s) for s in samples],
+    ).withColumnRenamed("sample__idx", "sample")
+    wide.coalesce(1).write.options(sep="\t", header=True, nullValue="NA").mode(
+        "overwrite"
+    ).csv(path)

@@ -1,0 +1,67 @@
+"""Structured Streaming variants of the event operators.
+
+The batch plans in operators/events.py are written against ``F.window`` so
+the same aggregation logic runs under ``readStream``; these helpers add the
+stream wiring (watermarks for late data, output mode). Sessionization uses
+``F.session_window`` — Spark's native gap-based session state operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window count/avg — the streaming twin of
+    operators/events.py:windowed_agg. State for a window is dropped once
+    the watermark passes its end, bounding memory on unbounded input.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col(value_col)), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col(key_col),
+            F.col("n"),
+            F.col("avg_value"),
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions on a stream via ``session_window`` (native session
+    state; sessions close when no event arrives within the gap, finalized by
+    the watermark).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )

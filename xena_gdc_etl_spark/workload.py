@@ -536,17 +536,19 @@ _MH_SEEDS = list(range(8))
 
 def _mh_sql_shingles() -> str:
     # unnest(list_transform(range(...))) — DuckDB 1.0's lateral range() can't
-    # take column arguments, the list form can.
+    # take column arguments, the list form can. No DISTINCT: min-hash is
+    # multiset-invariant.
     return (
-        "SELECT DISTINCT doc_id, shingle FROM ("
         "SELECT doc_id, unnest(list_transform(range(1, length(text) - 3), "
-        "i -> substr(text, i::INT, 5))) AS shingle FROM documents)"
+        "i -> substr(text, i::INT, 5))) AS shingle FROM documents"
     )
 
 
 def _mh_sql_minexprs() -> str:
+    # 4 slots per sha256 digest (15-hex chunks), mirroring
+    # operators/dedup.py minhash_signatures.
     return ", ".join(
-        f"min(('0x'||substr(md5('s{j}:'||shingle),1,15))::BIGINT) AS mh{j}"
+        f"min(('0x'||substr(sha256('s{j // 4}:'||shingle), {1 + 15 * (j % 4)}, 15))::BIGINT) AS mh{j}"
         for j in _MH_SEEDS
     )
 
@@ -584,7 +586,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
     docs = Catalog(spark, sf_dir).documents
-    return dd.minhash_signatures(dd.shingles(docs, k=5), num_hashes=8)
+    return dd.minhash_signatures(dd.shingles(docs, k=5, distinct=False), num_hashes=8)
 
 
 # --------------------------------------------------------------------------
@@ -612,7 +614,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
     docs = Catalog(spark, sf_dir).documents
-    sig = dd.minhash_signatures(dd.shingles(docs, k=5), num_hashes=8)
+    sig = dd.minhash_signatures(dd.shingles(docs, k=5, distinct=False), num_hashes=8)
     return dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
 
 
