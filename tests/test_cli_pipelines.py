@@ -1,0 +1,153 @@
+"""CLI + dtype-pipeline + metadata tests. The CLI is driven as a real
+subprocess (its actual surface), matching how the reference's tests drive
+``xge`` (tests/test_main.py)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.gdc_pipelines import (
+    DTYPE_SPECS,
+    supported_dtypes,
+    transform_maf_dtype,
+    transform_matrix_dtype,
+    transform_segment_dtype,
+)
+from xena_gdc_etl_spark.metadata import build_metadata, write_metadata
+from xena_gdc_etl_spark.sources.xena_tsv import read_xena_tsv, write_xena_tsv
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args: str, timeout: int = 240) -> subprocess.CompletedProcess:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "xena_gdc_etl_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=timeout,
+    )
+
+
+def test_supported_dtypes_cover_reference_inventory():
+    # every current dtype family from the reference README/etl table
+    for d in [
+        "star_counts", "star_tpm", "star_fpkm", "star_fpkm-uq", "mirna",
+        "mirna_isoform", "segment_cnv_ascat-ngs", "masked_cnv_DNAcopy",
+        "gene-level_ascat2", "somaticmutation_wxs", "methylation27",
+        "methylation450", "methylation_epic", "protein",
+    ]:
+        assert d in DTYPE_SPECS, d
+
+
+def test_star_counts_drops_summary_rows_and_log2s(spark):
+    raw = spark.createDataFrame(
+        [("s1", "ENSG1", 3.0), ("s1", "N_unmapped", 99.0)],
+        ["sample", "feature", "value"],
+    )
+    out = transform_matrix_dtype(raw, "star_counts").collect()
+    assert len(out) == 1
+    assert out[0].feature == "ENSG1"
+    assert out[0].value == pytest.approx(2.0)  # log2(3+1)
+
+
+def test_methylation_is_not_log2_transformed(spark):
+    raw = spark.createDataFrame(
+        [("s1", "cg0001", 0.5)], ["sample", "feature", "value"]
+    )
+    out = transform_matrix_dtype(raw, "methylation450").collect()
+    assert out[0].value == pytest.approx(0.5)
+
+
+def test_segment_dtype_renames(spark):
+    seg = spark.createDataFrame(
+        [("s1", "chr1", 100, 200, 2.0)],
+        ["sample", "Chromosome", "Start", "End", "Copy_Number"],
+    )
+    out = transform_segment_dtype(seg, "segment_cnv_ascat-ngs")
+    assert set(out.columns) == {"sample", "Chrom", "Start", "End", "value"}
+
+
+def test_maf_dtype_vaf_and_renames(spark):
+    maf = spark.createDataFrame(
+        [("GENE1", "TCGA-AB-1234-01A-11D-5678", 10.0, 40.0)],
+        ["Hugo_Symbol", "Tumor_Sample_Barcode", "t_alt_count", "t_depth"],
+    )
+    out = transform_maf_dtype(maf, "somaticmutation_wxs").collect()[0]
+    assert out.dna_vaf == pytest.approx(0.25)
+    assert out.sampleid == "TCGA-AB-1234-01A"  # trimmed to 16 chars
+    assert out.gene == "GENE1"
+
+
+def test_xena_tsv_roundtrip(spark, tmp_path):
+    long_df = spark.createDataFrame(
+        [("s1", "g1", 1.5), ("s2", "g1", 2.5), ("s1", "g2", 3.5)],
+        ["sample", "feature", "value"],
+    )
+    out = str(tmp_path / "matrix.tsv")
+    write_xena_tsv(long_df, out)
+    back = read_xena_tsv(spark, out)
+    got = {(r.sample, r.feature): r.value for r in back.collect() if r.value is not None}
+    assert got == {("s1", "g1"): 1.5, ("s2", "g1"): 2.5, ("s1", "g2"): 3.5}
+
+
+def test_metadata_build_and_write(tmp_path):
+    matrix = str(tmp_path / "m.tsv")
+    open(matrix, "w").write("x\n")
+    meta = build_metadata("TCGA-BRCA", "star_counts", matrix, "release-40")
+    path = write_metadata(meta, matrix)
+    loaded = json.load(open(path))
+    assert loaded["project_id"] == "TCGA-BRCA"
+    assert loaded["xena_cohort"] == "GDC TCGA-BRCA"
+    assert loaded["gdc_release"] == "release-40"
+    assert path == matrix + ".json"
+
+
+def test_cli_dtypes_lists_registry():
+    proc = run_cli("dtypes")
+    assert proc.returncode == 0
+    listed = proc.stdout.split()
+    assert listed == supported_dtypes()
+
+
+def test_cli_metadata_writes_json(tmp_path):
+    matrix = str(tmp_path / "m.tsv")
+    open(matrix, "w").write("x\n")
+    proc = run_cli("metadata", "-p", "TCGA-LUAD", "-t", "survival", "-m", matrix)
+    assert proc.returncode == 0, proc.stderr
+    meta = json.load(open(matrix + ".json"))
+    assert meta["project_id"] == "TCGA-LUAD"
+
+
+@pytest.mark.slow
+def test_cli_xena_eql_and_merge(spark, tmp_path):
+    long_df = spark.createDataFrame(
+        [("s1", "g1", 1.0), ("s2", "g1", 2.0)], ["sample", "feature", "value"]
+    )
+    m1 = str(tmp_path / "m1.tsv")
+    m2 = str(tmp_path / "m2.tsv")
+    write_xena_tsv(long_df, m1)
+    write_xena_tsv(long_df, m2)
+
+    eql = run_cli("xena-eql", m1, m2)
+    assert eql.returncode == 0, eql.stderr
+    assert "Equal." in eql.stdout
+
+    outdir = str(tmp_path / "merged")
+    os.makedirs(outdir, exist_ok=True)
+    merged = run_cli(
+        "merge-xena", "-f", m1, m2, "-t", "survival", "-o", outdir, "-n", "out.tsv"
+    )
+    assert merged.returncode == 0, merged.stderr
+    assert glob.glob(os.path.join(outdir, "out.tsv", "*.csv"))

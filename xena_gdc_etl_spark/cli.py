@@ -1,0 +1,157 @@
+"""Command-line interface — parity with the reference's ``xge`` tool
+(/root/reference/xena_gdc_etl/main.py: subcommands etl, metadata, xena-eql,
+merge-xena, gdc-check-new), re-targeted at the Spark engine's sources.
+
+    python -m xena_gdc_etl_spark.cli etl --source DIR --dtype star_counts ...
+    python -m xena_gdc_etl_spark.cli xena-eql M1 M2
+    python -m xena_gdc_etl_spark.cli merge-xena -f M1 M2 -t star_counts -o OUT
+    python -m xena_gdc_etl_spark.cli metadata --project P --datatype T --matrix M
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def create_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="xge-spark", description="Spark-native Xena/GDC ETL engine"
+    )
+    sub = parser.add_subparsers(dest="subcomm", required=True)
+
+    etl = sub.add_parser("etl", help="build a Xena matrix from long-format parquet")
+    etl.add_argument("--source", required=True, help="parquet path of long raw data")
+    etl.add_argument("--dtype", required=True, help="xena dtype (see gdc_pipelines)")
+    etl.add_argument("--sample-col", default="sample")
+    etl.add_argument("--feature-col", default="feature")
+    etl.add_argument("--value-col", default="value")
+    etl.add_argument("--out", required=True, help="output matrix TSV directory")
+
+    eql = sub.add_parser("xena-eql", help="check equality of two matrices")
+    eql.add_argument("df1")
+    eql.add_argument("df2")
+
+    merge = sub.add_parser("merge-xena", help="merge xena matrices")
+    merge.add_argument("-f", "--files", nargs="+", required=True)
+    merge.add_argument("-t", "--datatype", required=True)
+    merge.add_argument("-o", "--outdir", required=True)
+    merge.add_argument("-n", "--name", default=None)
+    merge.add_argument("-c", "--cohort", default=None)
+
+    meta = sub.add_parser("metadata", help="generate matrix metadata JSON")
+    meta.add_argument("-p", "--project", required=True)
+    meta.add_argument("-t", "--datatype", required=True)
+    meta.add_argument("-m", "--matrix", required=True)
+    meta.add_argument("-r", "--release", default="")
+
+    check = sub.add_parser("gdc-check-new", help="summarize impact of updated file ids")
+    check.add_argument("--files-table", required=True, help="parquet of file metadata")
+    check.add_argument("--id-col", required=True)
+    check.add_argument("--ids", nargs="+", required=True)
+    check.add_argument("--summary-cols", nargs="+", required=True)
+
+    sub.add_parser("dtypes", help="list supported dtypes")
+    return parser
+
+
+# Matrix merge axes per dtype — utils.py:92-109 in the reference: expression/
+# methylation matrices merge column-wise (axis=1), segment/SNV/phenotype/
+# survival matrices row-wise (axis=0).
+_AXIS1_DTYPES = {
+    "star_counts", "star_tpm", "star_fpkm", "star_fpkm-uq",
+    "mirna", "mirna_isoform", "methylation27", "methylation450",
+    "methylation_epic", "methylation_epic_v2", "protein",
+    "gene-level_ascat-ngs", "gene-level_ascat2", "gene-level_ascat3",
+    "gene-level_absolute",
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    options = create_parser().parse_args(argv)
+
+    if options.subcomm == "dtypes":
+        from xena_gdc_etl_spark.gdc_pipelines import supported_dtypes
+
+        print("\n".join(supported_dtypes()))
+        return 0
+
+    if options.subcomm == "metadata":
+        from xena_gdc_etl_spark.metadata import build_metadata, write_metadata
+
+        meta = build_metadata(
+            options.project, options.datatype, options.matrix, options.release
+        )
+        path = write_metadata(meta, options.matrix)
+        print(f"Metadata JSON is saved at {path}.")
+        return 0
+
+    # Remaining subcommands need a SparkSession.
+    from xena_gdc_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"xge-spark-{options.subcomm}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if options.subcomm == "etl":
+        from xena_gdc_etl_spark.gdc_pipelines import transform_matrix_dtype
+        from xena_gdc_etl_spark.sources.xena_tsv import write_xena_tsv
+
+        raw = spark.read.parquet(options.source)
+        matrix = transform_matrix_dtype(
+            raw,
+            options.dtype,
+            sample_col=options.sample_col,
+            feature_col=options.feature_col,
+            value_col=options.value_col,
+        )
+        write_xena_tsv(matrix, options.out)
+        print(f"Xena matrix is saved at {options.out}.")
+        return 0
+
+    if options.subcomm == "xena-eql":
+        from xena_gdc_etl_spark.operators.matrix import matrix_equal
+        from xena_gdc_etl_spark.sources.xena_tsv import read_xena_tsv
+
+        m1 = read_xena_tsv(spark, options.df1)
+        m2 = read_xena_tsv(spark, options.df2)
+        result = matrix_equal(m1, m2, keys=["sample", "feature"]).collect()[0]
+        equal = result.mismatched_rows == 0
+        print("Equal." if equal else "Not equal.")
+        return 0 if equal else 1
+
+    if options.subcomm == "merge-xena":
+        from xena_gdc_etl_spark.operators.matrix import union_matrices
+        from xena_gdc_etl_spark.sources.xena_tsv import read_xena_tsv, write_xena_tsv
+
+        frames = [read_xena_tsv(spark, f) for f in options.files]
+        # Long-format union covers both reference merge axes: axis=0 appends
+        # samples, axis=1 appends features — in long form both are row unions
+        # keyed by (sample, feature).
+        merged = union_matrices(frames)
+        name = options.name or f"{options.cohort or 'MergedCohort'}.{options.datatype}.tsv"
+        out = f"{options.outdir.rstrip('/')}/{name}"
+        write_xena_tsv(merged, out)
+        print(f'Merged "{options.datatype}" matrix is ready at {out}')
+        return 0
+
+    if options.subcomm == "gdc-check-new":
+        from xena_gdc_etl_spark.operators.mapping import check_new
+
+        files_df = spark.read.parquet(options.files_table)
+        try:
+            ids = [int(i) for i in options.ids]
+        except ValueError:
+            ids = list(options.ids)
+        out = check_new(files_df, options.id_col, ids, options.summary_cols)
+        rows = out.collect()
+        print("\t".join(options.summary_cols))
+        for r in rows:
+            print("\t".join(str(v) for v in r))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

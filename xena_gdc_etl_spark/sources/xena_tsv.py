@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from xena_gdc_etl_spark.operators.matrix import melt_long, pivot_wide
+from xena_gdc_etl_spark.operators.matrix import melt_long
 
 
 def read_xena_tsv(
@@ -54,17 +54,17 @@ def write_xena_tsv(
     Pivot width = number of samples; exporting is only sane for bounded
     sample sets, which is exactly the reference's use case.
     """
+    from pyspark.sql import functions as F
+
     samples = [
         r[0]
         for r in long_df.select(sample_col).distinct().orderBy(sample_col).collect()
     ]
-    wide = pivot_wide(
-        long_df.withColumnRenamed(feature_col, "sample__idx"),
-        sample_col="sample__idx",
-        feature_col=sample_col,
-        value_col=value_col,
-        features=[str(s) for s in samples],
-    ).withColumnRenamed("sample__idx", "sample")
+    wide = (
+        long_df.groupBy(feature_col)
+        .pivot(sample_col, [str(s) for s in samples])
+        .agg(F.first(value_col))
+    )
     wide.coalesce(1).write.options(sep="\t", header=True, nullValue="NA").mode(
         "overwrite"
     ).csv(path)

@@ -911,3 +911,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.attach_binary_payload(Catalog(spark, sf_dir).documents)
     return mm.extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# 33. Nested-JSON field extraction + aggregation — the engine-side analog of
+#     the reference's JSON handling (reduce_json_array / get_json_objects,
+#     /root/reference/xena_gdc_etl/utils.py:164,207): pull a path out of a
+#     serialized JSON column and aggregate over it. get_json_object is a
+#     codegen'd JVM expression — no Python in the path.
+# --------------------------------------------------------------------------
+@query(
+    "json_props_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = Catalog(spark, sf_dir).events
+    return ev_df.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
