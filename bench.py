@@ -38,8 +38,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # Warm the JVM/session on a trivial action so q1 isn't charged for init.
+    # Warm the session so no single query is charged for one-time init:
+    # JVM/codegen, the parquet reader path, and the Arrow Python worker pool
+    # (reused across queries once started).
     spark.range(1).count()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(int(CPUS) * 2).repartition(int(CPUS)).mapInPandas(
+        _identity, schema="id long"
+    ).count()
     for name, fn in QUERIES.items():
         start = time.perf_counter()
         df = fn(spark, SF_DIR)

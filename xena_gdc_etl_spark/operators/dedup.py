@@ -168,35 +168,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs sharing a bucket.
 
-    Inverted-index form (relational, array-free): distinct (bucket, gram,
-    id) postings; intersection = postings self-join on (bucket, gram);
-    |A∪B| = |A|+|B|-|A∩B|. Scales as the posting-list join, never a doc×doc
-    cross join.
+    Posting-list form: one shuffle builds per-(bucket, gram) posting sets
+    (``collect_set`` — within-doc duplicate grams collapse for free);
+    candidate pairs come from a pairwise explode of each posting list, so
+    the intersection count needs no self-join. |A∪B| = |A|+|B|-|A∩B|.
+    Never a doc×doc cross join; a hot gram's posting list is the one
+    quadratic spot (cap it upstream with a document-frequency cut when the
+    corpus needs it).
     """
-    grams = (
-        _spread(docs).select(
-            F.col(id_col),
-            F.col(bucket_col).alias("bucket"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1))
-            ).alias("__i"),
-            F.col(text_col),
-        )
-        .select(
-            F.col(id_col),
-            "bucket",
-            F.expr(f"substring({text_col}, __i, {n})").alias("gram"),
-        )
-        .distinct()
+    grams = _spread(docs).select(
+        F.col(id_col),
+        F.col(bucket_col).alias("bucket"),
+        F.explode(
+            F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1))
+        ).alias("__i"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        "bucket",
+        F.expr(f"substring({text_col}, __i, {n})").alias("gram"),
     )
-    sizes = grams.groupBy(F.col(id_col)).agg(F.count(F.lit(1)).alias("sz"))
-    ga = grams.select(F.col("bucket"), F.col("gram"), F.col(id_col).alias("a"))
-    gb = grams.select(F.col("bucket"), F.col("gram"), F.col(id_col).alias("b"))
+    postings = (
+        grams.groupBy("bucket", "gram")
+        .agg(F.collect_set(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     inter = (
-        ga.join(gb, on=["bucket", "gram"])
+        postings.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = grams.groupBy(F.col(id_col)).agg(
+        F.count_distinct(F.col("gram")).alias("sz")
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
