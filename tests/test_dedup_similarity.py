@@ -132,3 +132,28 @@ def test_multimodal_features_deterministic_and_batched(spark):
     # deterministic across runs/partitionings
     again = {r.media_id: r.features for r in mm.extract_features(media.repartition(3)).collect()}
     assert again[1] == by_id[1].features
+
+
+def test_connected_components_pairs(spark):
+    # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,6}, singleton {9}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 3), (5, 6)], ["a", "b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 9]], ["doc_id"])
+    out = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_bipartite_matches_pair_form(spark):
+    # doc->bucket memberships; components via shared buckets:
+    # b1:{10,11}, b2:{11,12}, b3:{20,21} => {10,11,12}, {20,21}, {30}
+    assign = spark.createDataFrame(
+        [(10, "b1"), (11, "b1"), (11, "b2"), (12, "b2"), (20, "b3"), (21, "b3"), (30, "b4")],
+        ["doc_id", "bkey"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in [10, 11, 12, 20, 21, 30]], ["doc_id"])
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_bipartite(nodes, assign).collect()
+    }
+    assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}

@@ -1,0 +1,58 @@
+"""Nested normalization + GDC filter-grammar rendering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.filters import FilterSpec
+from xena_gdc_etl_spark.operators.nested import (
+    explode_nested,
+    flatten_structs,
+    reduce_array,
+)
+
+
+def test_flatten_structs_recursive(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 2, "inner": {"b": 3}})],
+        "id int, s struct<a:int, inner:struct<b:int>>",
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["id", "s_a", "s_inner_b"]
+    row = out.collect()[0]
+    assert (row.id, row.s_a, row.s_inner_b) == (1, 2, 3)
+
+
+def test_explode_nested_outer_keeps_empty(spark):
+    df = spark.createDataFrame(
+        [(1, [{"x": 10}, {"x": 20}]), (2, [])],
+        "id int, arr array<struct<x:int>>",
+    )
+    out = explode_nested(df, "arr").orderBy("id", "arr_x").collect()
+    assert [(r.id, r.arr_x) for r in out] == [(1, 10), (1, 20), (2, None)]
+
+
+def test_reduce_array_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, ["only"]), (2, ["b", "a", "b"]), (3, [])],
+        "id int, v array<string>",
+    )
+    out = {r.id: r.red for r in df.select("id", reduce_array(F.col("v")).alias("red")).collect()}
+    assert out == {1: "only", 2: "a,b", 3: None}
+
+
+def test_filterspec_to_gdc_matches_reference_grammar():
+    # shape parity with gdc.py:175 simple_and_filter
+    assert FilterSpec().to_gdc() == {}
+    spec = FilterSpec(
+        include={"project.project_id": "TCGA-BRCA", "data_type": ["Copy Number Segment"]},
+        exclude={"access": "controlled"},
+    )
+    assert spec.to_gdc() == {
+        "op": "and",
+        "content": [
+            {"op": "in", "content": {"field": "project.project_id", "value": ["TCGA-BRCA"]}},
+            {"op": "in", "content": {"field": "data_type", "value": ["Copy Number Segment"]}},
+            {"op": "exclude", "content": {"field": "access", "value": ["controlled"]}},
+        ],
+    }

@@ -50,6 +50,24 @@ class FilterSpec:
     def apply(self, df: DataFrame) -> DataFrame:
         return df.filter(self.predicate())
 
+    def to_gdc(self) -> dict:
+        """Render the spec in the GDC API's JSON filter grammar — the exact
+        output shape of the reference's ``simple_and_filter``
+        (/root/reference/xena_gdc_etl/gdc.py:175): an ``and`` of ``in`` /
+        ``exclude`` ops, each ``{"field": ..., "value": [...]}``. Empty spec
+        renders as ``{}`` (no filtering), matching the reference.
+        """
+        content = [
+            {"op": "in", "content": {"field": k, "value": _as_list(v)}}
+            for k, v in self.include.items()
+        ] + [
+            {"op": "exclude", "content": {"field": k, "value": _as_list(v)}}
+            for k, v in self.exclude.items()
+        ]
+        if not content:
+            return {}
+        return {"op": "and", "content": content}
+
 
 def search(
     df: DataFrame,

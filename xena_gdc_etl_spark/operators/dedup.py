@@ -95,18 +95,17 @@ def minhash_signatures(
     return doc_shingles.groupBy(F.col(id_col)).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """LSH banding: hash each band of the signature to a bucket, self-join
-    per (band, bucket) to emit candidate pairs (a < b), distinct.
-
-    Scale: the join key is (band_id, bucket) — only docs agreeing on a full
-    band ever meet; a hot bucket (many identical docs) is the one genuinely
-    quadratic spot and is AQE-skew-split.
+    """LSH banding: hash each signature band to a bucket — one (id, band,
+    bucket) row per band. Two docs are duplicate candidates iff they share a
+    (band, bucket); downstream consumers either self-join this table
+    (candidate pairs) or treat it as a doc–bucket bipartite graph (cluster
+    labeling) without ever materializing the quadratic pair set.
     """
     n_bands = num_hashes // band_size
     bands = []
@@ -115,13 +114,28 @@ def lsh_candidate_pairs(
         bands.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bucket"))
         )
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs (a < b, distinct) via a per-(band, bucket)
+    self-join of the bucket table.
+
+    Scale: the join key is (band_id, bucket) — only docs agreeing on a full
+    band ever meet; a hot bucket (many identical docs) is the one genuinely
+    quadratic spot and is AQE-skew-split.
+    """
     # The bucket table is tiny next to the corpus (one row per doc per band)
     # but its lineage is the whole shingle+signature pipeline — persist so
     # the self-join doesn't recompute that pipeline for each side.
-    buckets = buckets.persist()
+    buckets = lsh_buckets(signatures, id_col, num_hashes, band_size).persist()
     a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
     b_ = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
     return (
@@ -130,6 +144,129 @@ def lsh_candidate_pairs(
         .select("a", "b")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster duplicate-candidate pairs into components: every node gets
+    ``cluster_id`` = the smallest node id reachable from it. This is the step
+    that turns pair candidates (LSH / simhash / cosine) into an actionable
+    dedup decision — keep ``doc_id == cluster_id``, drop the rest.
+
+    Distributed min-label propagation: each round joins the current labels
+    across the (symmetric) edge list and takes the per-node min — one
+    shuffle-join plus one partial-aggregated groupBy per round, converging in
+    ``diameter(G)`` rounds. Duplicate clusters are near-cliques (every member
+    shares an LSH band bucket with most others) so the diameter is tiny in
+    practice; ``localCheckpoint`` truncates lineage so late rounds don't
+    re-execute early ones. The driver-side loop only ever sees a single
+    aggregate (the did-anything-change count), never row data.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    def _label_sum(df: DataFrame):
+        # Labels only ever decrease, so the (overflow-proof) sum is a
+        # convergence fingerprint — one scan instead of an old-vs-new join.
+        return df.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
+def connected_components_bipartite(
+    nodes: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "bkey",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate clusters straight from the doc–bucket assignment table.
+
+    Sharing a bucket ⇔ being LSH candidates, so the components of the
+    bipartite doc–bucket graph are exactly the components of the candidate
+    pair graph — but the bipartite edge list is O(docs × bands), never the
+    quadratic pair set. Each round alternates two tiny partial-aggregated
+    shuffles (bucket-min of member labels, doc-min of bucket labels) and
+    converges in half the bucket-graph diameter; this is the 100 TB path,
+    with ``connected_components`` kept as the general pair-graph form.
+    """
+    assign = assignments.select(
+        F.col(id_col).alias("node"), F.col(bucket_col).alias("bkey")
+    ).persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iterations):
+        bucket_min = (
+            assign.join(labels, "node")
+            .groupBy("bkey")
+            .agg(F.min("cluster_id").alias("bmin"))
+        )
+        doc_min = (
+            assign.join(bucket_min, "bkey")
+            .groupBy("node")
+            .agg(F.min("bmin").alias("nmin"))
+        )
+        labels = (
+            labels.join(doc_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    assign.unpersist()
+    return labels.select(F.col("node").alias(id_col), "cluster_id")
 
 
 def simhash(

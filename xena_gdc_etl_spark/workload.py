@@ -619,6 +619,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 22b. Duplicate clusters: connected components over the LSH candidate
+#      pairs — every doc labeled with the smallest doc id in its component
+#      (keep doc_id == cluster_id, drop the rest). Oracle: recursive-CTE
+#      transitive closure + min label.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig),
+    pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id),
+    ed AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN ed e ON e.src = r.node)
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    sig = dd.minhash_signatures(dd.shingles(docs, k=5, distinct=False), num_hashes=8)
+    buckets = dd.lsh_buckets(sig, num_hashes=8, band_size=2).select(
+        "doc_id", F.concat_ws("|", F.col("band"), F.col("bucket")).alias("bkey")
+    )
+    return dd.connected_components_bipartite(docs, buckets)
+
+
+# --------------------------------------------------------------------------
 # 23. SimHash fingerprints (16-bit).
 # --------------------------------------------------------------------------
 def _simhash_sql(bits: int = 16) -> str:
@@ -920,6 +963,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     serialized JSON column and aggregate over it. get_json_object is a
 #     codegen'd JVM expression — no Python in the path.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# 34. Nested normalization: parse the serialized props JSON into a struct and
+#     star-expand it to flat columns — the reference's get_samples_clinical /
+#     json_normalize flattening (gdc.py:462) as a pure Catalyst projection.
+# --------------------------------------------------------------------------
+@query(
+    "flatten_props",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS props_k
+    FROM events
+    """,
+)
+def flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.nested import flatten_structs
+
+    ev_df = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.from_json("props", "k INT").alias("props"),
+    )
+    return flatten_structs(ev_df)
+
+
 @query(
     "json_props_agg",
     """
