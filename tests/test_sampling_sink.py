@@ -1,0 +1,103 @@
+"""Deterministic sampling, the partitioned parquet sink, and property tests
+(hypothesis) for filter-spec semantics and minhash partition-invariance."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.filters import FilterSpec
+from xena_gdc_etl_spark.operators import dedup as dd
+from xena_gdc_etl_spark.operators.sampling import (
+    sample_by_group,
+    split_assign,
+    stratified_sample,
+)
+from xena_gdc_etl_spark.sources.parquet_sink import write_partitioned
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = split_assign(df, "k")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == 2000
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # invariant under repartitioning (pure function of the key)
+    again = split_assign(df.repartition(7), "k")
+    assert out.select("k", "split").subtract(again.select("k", "split")).count() == 0
+
+
+def test_stratified_sample_fraction(spark):
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    n = stratified_sample(df, "k", 0.2).count()
+    assert 0.15 * 5000 < n < 0.25 * 5000
+    assert stratified_sample(df, "k", 0.0).count() == 0
+    assert stratified_sample(df, "k", 1.0).count() == 5000
+
+
+def test_sample_by_group_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "common" if i % 2 == 0 else "rare") for i in range(2000)], ["k", "g"]
+    )
+    out = sample_by_group(df, "g", "k", {"common": 0.1, "rare": 1.0})
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 1000
+    assert counts.get("common", 0) < 250
+
+
+def test_write_partitioned_layout_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="sink_")
+    try:
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        write_partitioned(
+            events, d, partition_by=["event_type"], sort_within=["user_id"],
+            max_records_per_file=1000,
+        )
+        subdirs = {p for p in os.listdir(d) if p.startswith("event_type=")}
+        assert len(subdirs) >= 2  # hive layout for partition pruning
+        back = spark.read.parquet(d)
+        assert back.count() == events.count()
+        # partition filter prunes to one directory's files
+        one = sorted(subdirs)[0].split("=", 1)[1]
+        assert back.filter(F.col("event_type") == one).count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    include=st.dictionaries(
+        st.sampled_from(["a", "b"]), st.lists(st.integers(0, 3), min_size=1, max_size=3), max_size=2
+    ),
+    exclude=st.dictionaries(
+        st.sampled_from(["a", "b"]), st.lists(st.integers(0, 3), min_size=1, max_size=3), max_size=2
+    ),
+)
+def test_filterspec_matches_python_semantics(spark, include, exclude):
+    rows = [(i % 4, (i // 4) % 4) for i in range(16)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        tuple(r) for r in FilterSpec(include, exclude).apply(df).collect()
+    }
+    expected = {
+        (a, b)
+        for a, b in rows
+        if all({"a": a, "b": b}[k] in v for k, v in include.items())
+        and all({"a": a, "b": b}[k] not in v for k, v in exclude.items())
+    }
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcdef ", min_size=5, max_size=30), min_size=1, max_size=6))
+def test_minhash_partition_invariant(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    sig1 = dd.minhash_signatures(dd.shingles(df.repartition(1), k=3, distinct=False), num_hashes=4)
+    sig5 = dd.minhash_signatures(dd.shingles(df.repartition(5), k=3, distinct=False), num_hashes=4)
+    assert sorted(map(tuple, sig1.collect())) == sorted(map(tuple, sig5.collect()))

@@ -67,3 +67,26 @@ def test_sessionize_stream_matches_batch_session_count(spark, events_stream_dir)
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got_per_user == expected_per_user
+
+
+def test_streaming_dedup_exact_bounded_state(spark, events_stream_dir):
+    from xena_gdc_etl_spark.streaming import streaming_dedup_exact
+
+    batch = Catalog(spark, "/root/testdata/sf0.001").events
+    expected_keys = {r.event_type for r in batch.select("event_type").distinct().collect()}
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    dedup = streaming_dedup_exact(stream, key_cols=["event_type"], watermark="10 minutes")
+    out = f"memsink_dedup_{abs(hash(events_stream_dir)) % 10**8}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(out)
+    # one surviving row per key within the watermark horizon of one batch
+    assert {r.event_type for r in got.select("event_type").collect()} == expected_keys
+    assert got.groupBy("event_type").count().filter(F.col("count") > 1).count() == 0

@@ -44,11 +44,22 @@ class Catalog:
     # double mantissa).
     _NANOS_TS_COLS = {"events": ("ts",)}
 
+    # DataFrames are immutable logical plans, so resolving a table once per
+    # (session, path) is safe — and skips the file-listing + footer-schema
+    # job `spark.read.parquet` runs on every call (a fixed per-query tax
+    # when a workload touches the same tables repeatedly).
+    _RESOLVED: dict[tuple[int, str], DataFrame] = {}
+
     def table(self, name: str) -> DataFrame:
+        key = (id(self.spark), self.path(name))
+        cached = self._RESOLVED.get(key)
+        if cached is not None:
+            return cached
         df = self.spark.read.parquet(self.path(name))
         for col in self._NANOS_TS_COLS.get(name, ()):
             if col in df.columns and dict(df.dtypes)[col] == "bigint":
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        self._RESOLVED[key] = df
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

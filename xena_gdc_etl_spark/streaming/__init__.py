@@ -65,3 +65,26 @@ def streaming_sessionize(
             F.col("n_events"),
         )
     )
+
+
+def streaming_dedup_exact(
+    records: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first record per content hash.
+
+    State is the set of hashes inside the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` evicts a hash once no duplicate can
+    still arrive, so state is bounded on unbounded input (a plain
+    ``dropDuplicates`` would grow state forever). Batch twin:
+    operators/dedup.py:dedup_exact.
+    """
+    if key_cols is None:
+        records = records.withColumn("content_hash", F.md5(F.col(text_col)))
+        key_cols = ["content_hash"]
+    return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

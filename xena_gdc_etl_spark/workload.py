@@ -964,6 +964,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     codegen'd JVM expression — no Python in the path.
 # --------------------------------------------------------------------------
 # --------------------------------------------------------------------------
+# 35. Deterministic train/valid/test split, stratification check: membership
+#     is a pure function of the doc id (md5-bucket), never of partition
+#     order or RNG state — reproducible by any engine, leakage-safe, zero
+#     shuffle for the assignment itself.
+# --------------------------------------------------------------------------
+@query(
+    "train_split",
+    """
+    WITH b AS (
+        SELECT source, ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+        FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.sampling import split_assign
+
+    docs = Catalog(spark, sf_dir).documents
+    return split_assign(docs, "doc_id").groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
 # 34. Nested normalization: parse the serialized props JSON into a struct and
 #     star-expand it to flat columns — the reference's get_samples_clinical /
 #     json_normalize flattening (gdc.py:462) as a pure Catalyst projection.
