@@ -157,3 +157,34 @@ def test_connected_components_bipartite_matches_pair_form(spark):
         for r in dd.connected_components_bipartite(nodes, assign).collect()
     }
     assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_minhash_jaccard_estimate_bounds(spark):
+    df = docs_df(spark, ["the quick brown fox jumps over", "the quick brown fox jumps over",
+                         "totally different content here now"])
+    sig = dd.minhash_signatures(dd.shingles(df, k=3, distinct=False), num_hashes=8)
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["a", "b"])
+    out = {(r.a, r.b): r.est_jaccard for r in dd.minhash_jaccard_estimate(pairs, sig).collect()}
+    assert out[(0, 1)] == 1.0  # identical docs agree on every slot
+    assert out[(0, 2)] < 1.0
+
+
+def test_normalize_text(spark):
+    df = docs_df(spark, ["  Hello,   WORLD!! ", "hello world"])
+    out = [r.n for r in df.select(dd.normalize_text("text").alias("n")).collect()]
+    assert out[0] == out[1] == "hello world"
+
+
+def test_quantize_int8_reconstruction(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, [0.1, 0.0, -0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in sim.quantize_int8(emb).collect()}
+    assert out[0].q == [64, -127, 32]  # floor(x*63.5+0.5)
+    assert all(-127 <= q <= 127 for r in out.values() for q in r.q)
+    # reconstruction error bounded by half a quantization step
+    for r in out.values():
+        orig = {0: [1.0, -2.0, 0.5], 1: [0.1, 0.0, -0.1]}[r.vec_id]
+        for x, q in zip(orig, r.q):
+            assert abs(q / r.scale - x) <= (0.5 / r.scale) + 1e-9

@@ -8,7 +8,7 @@ always bucket- or index-join based so the plans survive 100 TB corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xena_gdc_etl_spark.functions import md5_hash60
@@ -185,7 +185,7 @@ def connected_components(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = None  # first round always changes something worth checking after
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -208,6 +208,53 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
+def minhash_jaccard_estimate(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Estimate Jaccard similarity for candidate pairs from their minhash
+    signatures: Pr[min-hash collision] = J(A,B), so the slot-agreement rate
+    is an unbiased estimate. Two hash-joins against the (narrow) signature
+    table — never touches document text, which is what makes the
+    LSH → estimate → threshold pipeline cheap at corpus scale.
+    """
+    sig_a = signatures.select(
+        F.col(id_col).alias("a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)]
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "a")
+        .join(sig_b, "b")
+        .select(
+            "a",
+            "b",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Dedup-normalization: casefold, strip punctuation, collapse runs of
+    whitespace, trim — so trivially-reformatted copies hash identically.
+    Pure codegen expressions (no Python), portable to any SQL oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
 
 
 def connected_components_bipartite(
@@ -239,7 +286,7 @@ def connected_components_bipartite(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = None  # first round always changes something worth checking after
     for _ in range(max_iterations):
         bucket_min = (
             assign.join(labels, "node")

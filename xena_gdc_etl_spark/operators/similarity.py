@@ -99,6 +99,34 @@ def cosine_topk(
     )
 
 
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = round(127/max|x|, 6)``
+    (rounded so the factor is engine-portable), ``q_i = floor(x_i·scale+0.5)``
+    (explicit half-up — identical in any IEEE engine). 4× smaller vectors for
+    the ANN candidate stage; runs entirely in higher-order functions
+    (aggregate/transform), no Python, no shuffle.
+    """
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.round(F.lit(127.0) / F.nullif(maxabs, F.lit(0.0)), 6)
+    quant = F.transform(
+        v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+    return vectors.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        quant.alias("q"),
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

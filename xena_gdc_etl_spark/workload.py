@@ -662,6 +662,87 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 22c. MinHash Jaccard estimate for the LSH candidate pairs — completes the
+#      signatures → buckets → pairs → similarity → threshold pipeline
+#      without ever re-reading document text.
+# --------------------------------------------------------------------------
+@query(
+    "minhash_jaccard_est",
+    f"""
+    WITH sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig),
+    pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id)
+    SELECT pr.a, pr.b,
+           CAST(({" + ".join(f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(8))}) / 8.0 AS DOUBLE) AS est_jaccard
+    FROM pr JOIN sig sa ON sa.doc_id = pr.a JOIN sig sb ON sb.doc_id = pr.b
+    WHERE ({" + ".join(f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(8))}) / 8.0 >= 0.75
+    """,
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    sig = dd.minhash_signatures(
+        dd.shingles(docs, k=5, distinct=False), num_hashes=8
+    ).persist()
+    pairs = dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+    return dd.minhash_jaccard_estimate(pairs, sig, num_hashes=8, threshold=0.75)
+
+
+# --------------------------------------------------------------------------
+# 20b. Exact dedup after text normalization (casefold / strip punctuation /
+#      collapse whitespace) — trivially-reformatted copies hash identically.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_normalized",
+    r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    return dd.dedup_exact(
+        docs.withColumn("text", dd.normalize_text("text"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 25b. Per-vector symmetric int8 quantization (4× smaller ANN candidate
+#      stage); higher-order functions only, no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "embed_quantize",
+    """
+    SELECT vec_id,
+           CAST(round(127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS scale,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * round(127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 6) + 0.5) AS INT)) AS q
+    FROM embeddings
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    return sim.quantize_int8(Catalog(spark, sf_dir).embeddings)
+
+
+# --------------------------------------------------------------------------
 # 23. SimHash fingerprints (16-bit).
 # --------------------------------------------------------------------------
 def _simhash_sql(bits: int = 16) -> str:
