@@ -64,3 +64,24 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
     df.collect()  # AQE only reports codegen spans in the finalized plan
     # formatted mode marks codegen'd operators with "[codegen id : N]"
     assert "codegen id" in formatted_plan(df)
+
+
+def test_projection_ops_have_zero_shuffles(spark, sf_dir):
+    # pure row-wise ops must not exchange: quantization, struct flattening,
+    # split assignment (before any aggregation)
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.operators.sampling import split_assign
+    from xena_gdc_etl_spark.operators.similarity import quantize_int8
+
+    cat = Catalog(spark, sf_dir)
+    for df in [
+        quantize_int8(cat.embeddings),
+        split_assign(cat.documents, "doc_id"),
+        QUERIES["flatten_props"](spark, sf_dir),
+    ]:
+        assert "Exchange" not in formatted_plan(df)
+
+
+def test_train_split_reads_only_needed_columns(spark, sf_dir):
+    read = scan_read_schema(QUERIES["train_split"](spark, sf_dir))
+    assert "text" not in read  # the fat column stays unread

@@ -1,0 +1,77 @@
+"""Salted-join equivalence + custom stateful streaming operator."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.catalog import Catalog
+from xena_gdc_etl_spark.operators.skew import salted_join
+from xena_gdc_etl_spark.streaming.stateful import streaming_running_totals
+
+
+def test_salted_join_equals_plain_join(spark):
+    # one pathologically hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [(0 if i % 10 else i % 7, i) for i in range(5000)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], ["k", "name"])
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = {tuple(r) for r in salted_join(big, small, ["k"], n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "v"])
+    small = spark.createDataFrame([(1, "dim")], ["k", "name"])
+    rows = {(r.k, r.v, r.name) for r in salted_join(big, small, ["k"], how="left").collect()}
+    assert rows == {(1, "a", "dim"), (99, "b", None)}
+
+
+def test_streaming_running_totals_across_microbatches(spark):
+    d = tempfile.mkdtemp(prefix="stateful_")
+    chk = tempfile.mkdtemp(prefix="chk_")
+    try:
+        events = Catalog(spark, "/root/testdata/sf0.001").events
+        # several input files → several micro-batches with maxFilesPerTrigger
+        events.repartition(3).write.mode("overwrite").parquet(d)
+        expected = {
+            r.event_type: (r.n, round(r.total, 6))
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            streaming_running_totals(stream)
+            .writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sink = spark.table("running_totals")
+        # multiple emissions per key (one per micro-batch containing the key)
+        assert sink.count() > sink.select("event_type").distinct().count()
+        # the last emission per key is the lifetime total == batch aggregate
+        last = {
+            r.event_type: (r.n, round(r.total, 6))
+            for r in sink.withColumn("i", F.monotonically_increasing_id())
+            .orderBy(F.col("i").desc())
+            .dropDuplicates(["event_type"])
+            .collect()
+        }
+        assert last == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
