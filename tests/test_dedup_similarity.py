@@ -188,3 +188,26 @@ def test_quantize_int8_reconstruction(spark):
         orig = {0: [1.0, -2.0, 0.5], 1: [0.1, 0.0, -0.1]}[r.vec_id]
         for x, q in zip(orig, r.q):
             assert abs(q / r.scale - x) <= (0.5 / r.scale) + 1e-9
+
+
+def test_ivf_train_converges_and_deterministic(spark):
+    # two tight 2-D clusters around (0,0) and (10,10)
+    pts = [(i, [0.9 + 0.01 * i, 1.1 - 0.01 * i]) for i in range(4)] + [
+        (i + 4, [10.0 + 0.05 * i, 9.9 - 0.05 * i]) for i in range(4)
+    ]
+    vecs = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = {
+        r.centroid_id: r.embedding
+        for r in sim.ivf_train(vecs, k=2, iterations=3).collect()
+    }
+    assert len(cents) == 2
+    small = min(cents.values(), key=lambda c: c[0])
+    big = max(cents.values(), key=lambda c: c[0])
+    assert all(abs(x - y) < 0.2 for x, y in zip(small, [0.915, 1.085]))
+    assert all(x > 9.5 for x in big)
+    # deterministic under repartitioning
+    again = {
+        r.centroid_id: r.embedding
+        for r in sim.ivf_train(vecs.repartition(5), k=2, iterations=3).collect()
+    }
+    assert again == cents

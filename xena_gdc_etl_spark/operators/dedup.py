@@ -286,10 +286,9 @@ def connected_components_bipartite(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = None  # first round always changes something worth checking after
-    for _ in range(max_iterations):
+    def _propagate(lbls: DataFrame) -> DataFrame:
         bucket_min = (
-            assign.join(labels, "node")
+            assign.join(lbls, "node")
             .groupBy("bkey")
             .agg(F.min("cluster_id").alias("bmin"))
         )
@@ -298,16 +297,18 @@ def connected_components_bipartite(
             .groupBy("node")
             .agg(F.min("bmin").alias("nmin"))
         )
-        labels = (
-            labels.join(doc_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
+        return lbls.join(doc_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
+            ).alias("cluster_id"),
         )
+
+    prev_sum = None  # first round always changes something worth checking after
+    for _ in range(max_iterations):
+        # two propagation hops per materialized round: halves the
+        # checkpoint + convergence-check job count for the same total hops
+        labels = _propagate(_propagate(labels)).localCheckpoint(eager=True)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break

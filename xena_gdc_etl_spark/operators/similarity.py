@@ -244,6 +244,52 @@ def ivf_topk(
     return cells.groupBy(centroid_id).applyInPandas(_cell_topk, schema=out_schema)
 
 
+def ivf_train(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Train IVF centroids with Lloyd's k-means — fully deterministic:
+    init = the ``k`` smallest-id vectors (reproducible, no RNG), fixed
+    ``iterations`` (no data-dependent stopping), cosine assignment with the
+    same rounding/tiebreak as ``ivf_assign``.
+
+    Per round: one broadcast of the k×d centroid matrix + one matmul per
+    Arrow batch (assignment), then one partial-aggregated groupBy for the
+    per-cell mean — two jobs per round, corpus never shuffles whole vectors
+    except into the d-column mean aggregation. The driver only ever holds
+    k×d floats.
+    """
+    dim = len(
+        vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+    )
+    centroids = vectors.orderBy(id_col).limit(k).select(
+        (F.row_number().over(Window.orderBy(id_col)).cast("bigint") - 1).alias(
+            centroid_id
+        ),
+        F.col(vec_col),
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            vectors, centroids, id_col=id_col, vec_col=vec_col, centroid_id=centroid_id
+        )
+        # element-wise mean per cell: d aggregate columns, map-side partial
+        means = assigned.groupBy(centroid_id).agg(
+            *[
+                F.avg(F.col(vec_col).getItem(i)).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        centroids = means.select(
+            F.col(centroid_id),
+            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias(vec_col),
+        )
+    return centroids
+
+
 def cosine_dup_pairs(
     assigned: DataFrame,
     id_col: str = "vec_id",
