@@ -151,3 +151,44 @@ def test_cli_xena_eql_and_merge(spark, tmp_path):
     )
     assert merged.returncode == 0, merged.stderr
     assert glob.glob(os.path.join(outdir, "out.tsv", "*.csv"))
+
+
+def test_xena_dataset_spark_end_to_end(spark, tmp_path):
+    from xena_gdc_etl_spark.pipeline import XenaDatasetSpark
+    from xena_gdc_etl_spark.filters import FilterSpec
+
+    # long-format raw source
+    raw = spark.createDataFrame(
+        [("s1", "g1", 1.0), ("s1", "g1", 3.0), ("s2", "g1", 7.0),
+         ("s2", "N_unmapped", 5.0), ("s1", "g2", 0.0)],
+        ["sample", "feature", "value"],
+    )
+    src = str(tmp_path / "raw.parquet")
+    raw.write.parquet(src)
+
+    ds = XenaDatasetSpark(
+        projects="TCGA-TEST", xena_dtype="star_counts", root_dir=str(tmp_path),
+        gdc_filter=FilterSpec(exclude={"sample": "s999"}),
+    )
+    out = ds.run(spark, src)
+    assert out.endswith("TCGA-TEST/Xena_Matrices/TCGA-TEST.star_counts.tsv")
+    assert os.path.isdir(out)          # matrix written
+    assert os.path.exists(out + ".json")  # metadata sidecar next to it
+
+    back = read_xena_tsv(spark, out)
+    vals = {(r.sample, r.feature): r.value for r in back.collect()}
+    # duplicates averaged then log2(x+1): (1+3)/2=2 -> log2(3)
+    assert abs(vals[("s1", "g1")] - math.log2(3.0)) < 1e-6
+    # summary pseudo-genes dropped
+    assert ("s2", "N_unmapped") not in vals
+
+    meta = json.load(open(out + ".json"))
+    assert meta["project_id"] == "TCGA-TEST"
+    assert meta["xena_dtype"] == "star_counts"
+
+
+def test_xena_dataset_spark_rejects_unknown_dtype(tmp_path):
+    from xena_gdc_etl_spark.pipeline import XenaDatasetSpark
+
+    with pytest.raises(ValueError):
+        XenaDatasetSpark(projects="P", xena_dtype="nope", root_dir=str(tmp_path))

@@ -56,3 +56,24 @@ def test_filterspec_to_gdc_matches_reference_grammar():
             {"op": "exclude", "content": {"field": "access", "value": ["controlled"]}},
         ],
     }
+
+
+def test_gdc_search_payload_shape():
+    from xena_gdc_etl_spark.sources.gdc_api import data_url, search_payload
+
+    url, body = search_payload(
+        "files",
+        FilterSpec(include={"data_type": "Gene Expression Quantification"}),
+        fields=["file_id", "md5sum"],
+        size=500,
+    )
+    assert url == "https://api.gdc.cancer.gov/files"
+    assert body["size"] == 500 and body["from"] == 0
+    assert body["fields"] == "file_id,md5sum"
+    import json as _json
+    assert _json.loads(body["filters"])["op"] == "and"
+    assert data_url("abc-123") == "https://api.gdc.cancer.gov/data/abc-123"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        search_payload("nope")

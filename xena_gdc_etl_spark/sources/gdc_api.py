@@ -1,0 +1,82 @@
+"""GDC API request construction — the query surface of the reference's
+``gdc.search``/``gdc.download`` (/root/reference/xena_gdc_etl/gdc.py:221,
+:360), split the Spark way: building the request payload is pure, testable
+logic here; actually fetching runs on executors via ``fetch_table`` so a
+million-file manifest downloads in parallel, not in a driver loop.
+
+Endpoints and payload grammar are the public GDC API
+(https://api.gdc.cancer.gov, docs.gdc.cancer.gov). No network is touched
+unless ``fetch_table`` is called.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xena_gdc_etl_spark.filters import FilterSpec
+
+GDC_API_BASE = "https://api.gdc.cancer.gov"
+VALID_ENDPOINTS = ("files", "cases", "projects", "annotations")
+
+
+def search_payload(
+    endpoint: str,
+    filter_spec: FilterSpec | None = None,
+    fields: Sequence[str] = (),
+    size: int = 10_000,
+    from_: int = 0,
+) -> tuple[str, dict]:
+    """(url, POST body) for one search page — the reference's request shape
+    (method='dict', typ='dataframe' handling stays with the caller)."""
+    if endpoint not in VALID_ENDPOINTS:
+        raise ValueError(f"endpoint must be one of {VALID_ENDPOINTS}")
+    body: dict = {"size": size, "from": from_}
+    gdc_filter = (filter_spec or FilterSpec()).to_gdc()
+    if gdc_filter:
+        body["filters"] = json.dumps(gdc_filter)
+    if fields:
+        body["fields"] = ",".join(fields)
+    return f"{GDC_API_BASE}/{endpoint}", body
+
+
+def data_url(uuid: str) -> str:
+    """Download URL for one file UUID (gdc.py:360 ``download``)."""
+    return f"{GDC_API_BASE}/data/{uuid}"
+
+
+def fetch_table(
+    spark: SparkSession,
+    endpoint: str,
+    filter_spec: FilterSpec | None = None,
+    fields: Sequence[str] = (),
+    page_size: int = 10_000,
+    n_pages: int = 1,
+) -> DataFrame:
+    """Fetch search pages IN PARALLEL on executors and return the hits as a
+    DataFrame (spark.read.json over the responses). Requires network +
+    ``requests``; raises if either is unavailable. Page ranges distribute
+    one page per task — the driver never holds more than the URLs.
+    """
+    try:
+        import requests  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "fetch_table needs the 'requests' package and network access; "
+            "build payloads with search_payload() and fetch elsewhere"
+        ) from exc
+
+    url, base_body = search_payload(endpoint, filter_spec, fields, page_size)
+
+    def _fetch(page: int) -> list[str]:
+        import requests as rq
+
+        body = dict(base_body, **{"from": page * page_size})
+        resp = rq.post(url, json=body, timeout=120)
+        resp.raise_for_status()
+        return [json.dumps(hit) for hit in resp.json()["data"]["hits"]]
+
+    pages = spark.sparkContext.parallelize(range(n_pages), n_pages)
+    return spark.read.json(pages.flatMap(_fetch))
