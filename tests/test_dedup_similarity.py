@@ -211,3 +211,22 @@ def test_ivf_train_converges_and_deterministic(spark):
         for r in sim.ivf_train(vecs.repartition(5), k=2, iterations=3).collect()
     }
     assert again == cents
+
+
+def test_resize_media_deterministic_dims(spark):
+    media = mm.attach_binary_payload(docs_df(spark, ["hello world", "spark engine"]))
+    out = {r.media_id: r for r in mm.resize_media(media, width=8, height=4).collect()}
+    assert all(len(bytes(r.payload)) == 32 for r in out.values())
+    assert all((r.width, r.height) == (8, 4) for r in out.values())
+    again = {r.media_id: bytes(r.payload) for r in mm.resize_media(media.repartition(3), 8, 4).collect()}
+    assert again == {k: bytes(v.payload) for k, v in out.items()}
+
+
+def test_sample_frames_expands_cardinality(spark):
+    texts = ["x" * 200, "y" * 200, "z" * 200]  # ids 0,1,2 → modality video for id 2
+    media = mm.attach_binary_payload(docs_df(spark, texts))
+    frames = mm.sample_frames(media, frame_bytes=32, every_n=2).collect()
+    assert all(r.media_id == 2 for r in frames)  # only the video row
+    # 200 bytes → 6 frames → sampled 0,2,4
+    assert sorted(r.frame_idx for r in frames) == [0, 2, 4]
+    assert all(len(bytes(r.frame_payload)) == 32 for r in frames)

@@ -56,18 +56,6 @@ def create_parser() -> argparse.ArgumentParser:
     return parser
 
 
-# Matrix merge axes per dtype — utils.py:92-109 in the reference: expression/
-# methylation matrices merge column-wise (axis=1), segment/SNV/phenotype/
-# survival matrices row-wise (axis=0).
-_AXIS1_DTYPES = {
-    "star_counts", "star_tpm", "star_fpkm", "star_fpkm-uq",
-    "mirna", "mirna_isoform", "methylation27", "methylation450",
-    "methylation_epic", "methylation_epic_v2", "protein",
-    "gene-level_ascat-ngs", "gene-level_ascat2", "gene-level_ascat3",
-    "gene-level_absolute",
-}
-
-
 def main(argv: list[str] | None = None) -> int:
     options = create_parser().parse_args(argv)
 

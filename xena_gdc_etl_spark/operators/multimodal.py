@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -103,3 +104,84 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stage (stubbed codec): each payload is re-encoded to a
+    deterministic ``width*height``-byte pseudo-raster (md5-keyed byte
+    stream), tagged with the new dimensions. The real-decoder swap point is
+    the body of ``_resize`` only; the Arrow plumbing — binary in, binary
+    out, 1:1 rows, partition-preserving — is exactly production shape.
+    """
+    n_out = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_raster(b: bytes) -> bytes:
+                seed = hashlib.md5(b).digest()
+                reps = (n_out + len(seed) - 1) // len(seed)
+                return (seed * reps)[:n_out]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "format": "raw_resized",
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(lambda b: fake_raster(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    every_n: int = 2,
+) -> DataFrame:
+    """Frame sampling for video payloads: one OUTPUT ROW PER SAMPLED FRAME —
+    a cardinality-expanding Arrow stage (mapInPandas may emit more rows than
+    it reads; no explode/shuffle needed). The stub treats the payload as a
+    concatenation of fixed-size frames and keeps every ``every_n``-th; a real
+    build swaps the slicer for a demuxer, same schema and plan.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for j in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(j)
+                    payloads.append(raw[j * frame_bytes : (j + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    videos = media.filter(F.col("modality") == "video")
+    return videos.mapInPandas(_frames, schema=FRAME_SCHEMA)
