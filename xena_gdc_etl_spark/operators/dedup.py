@@ -74,20 +74,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """k independent min-hash slots per doc in ONE aggregation pass.
 
-    Hash budget: one sha256 per shingle yields four independent 60-bit slots
-    (64 hex chars → 4×15-hex chunks), so k slots cost ceil(k/4) digest calls
-    per shingle instead of k — the digest is the dominant per-row cost at
-    corpus scale. Portable (sha256 + base-16 decode exist in any oracle).
+    Hash budget: one sha256 per shingle yields EIGHT independent 32-bit
+    slots (64 hex chars → 8×8-hex chunks), so k slots cost ceil(k/8) digest
+    calls per shingle — the digest is the dominant per-row cost at corpus
+    scale, and disjoint chunks of a crypto digest are jointly uniform. 32
+    bits per slot keeps the per-slot collision odds negligible for min-hash
+    (collisions only bias J upward by ~|shingles|/2³²). Portable (sha256 +
+    base-16 decode exist in any oracle).
     """
-    n_digests = (num_hashes + 3) // 4
+    n_digests = (num_hashes + 7) // 8
     slot_exprs = []
     for d in range(n_digests):
         digest = F.sha2(F.concat(F.lit(f"s{d}:"), F.col("shingle")), 256)
-        for c in range(4):
+        for c in range(8):
             if len(slot_exprs) == num_hashes:
                 break
             slot_exprs.append(
-                F.conv(F.substring(digest, 1 + 15 * c, 15), 16, 10).cast("bigint")
+                F.conv(F.substring(digest, 1 + 8 * c, 8), 16, 10).cast("bigint")
             )
     aggs = [
         F.min(expr).alias(f"mh{j}") for j, expr in enumerate(slot_exprs)

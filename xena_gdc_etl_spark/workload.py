@@ -545,10 +545,10 @@ def _mh_sql_shingles() -> str:
 
 
 def _mh_sql_minexprs() -> str:
-    # 4 slots per sha256 digest (15-hex chunks), mirroring
+    # 8 slots per sha256 digest (8-hex chunks), mirroring
     # operators/dedup.py minhash_signatures.
     return ", ".join(
-        f"min(('0x'||substr(sha256('s{j // 4}:'||shingle), {1 + 15 * (j % 4)}, 15))::BIGINT) AS mh{j}"
+        f"min(('0x'||substr(sha256('s{j // 8}:'||shingle), {1 + 8 * (j % 8)}, 8))::BIGINT) AS mh{j}"
         for j in _MH_SEEDS
     )
 
