@@ -14,6 +14,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from xena_gdc_etl_spark.session import get_spark  # noqa: E402
 from xena_gdc_etl_spark.workload import QUERIES  # noqa: E402
 
@@ -42,7 +44,13 @@ def main() -> None:
     # JVM/codegen, the parquet reader path, and the Arrow Python worker pool
     # (reused across queries once started).
     spark.range(1).count()
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    # compile the hash-agg and join codegen paths on 5 rows
+    region.groupBy("r_name").count().count()
+    region.join(
+        region.select(region["r_regionkey"].alias("rk")),
+        region["r_regionkey"] == F.col("rk"),
+    ).count()
 
     def _identity(batches):
         yield from batches

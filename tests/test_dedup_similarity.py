@@ -230,3 +230,17 @@ def test_sample_frames_expands_cardinality(spark):
     # 200 bytes → 6 frames → sampled 0,2,4
     assert sorted(r.frame_idx for r in frames) == [0, 2, 4]
     assert all(len(bytes(r.frame_payload)) == 32 for r in frames)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = docs_df(spark, [
+        "contact me at jane.doe@example.com or +1 555-123-4567 now",
+        "server 192.168.0.1 is fine",
+        "nothing sensitive here",
+    ])
+    out = {r.doc_id: r for r in tx.scrub_pii(df).collect()}
+    assert out[0].n_email == 1 and out[0].n_phone == 1
+    assert "<EMAIL>" in out[0].scrubbed_text and "<PHONE>" in out[0].scrubbed_text
+    assert "jane.doe" not in out[0].scrubbed_text
+    assert out[1].n_ipv4 == 1 and "<IP>" in out[1].scrubbed_text
+    assert out[2].scrubbed_text == "nothing sensitive here"

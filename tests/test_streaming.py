@@ -90,3 +90,20 @@ def test_streaming_dedup_exact_bounded_state(spark, events_stream_dir):
     # one surviving row per key within the watermark horizon of one batch
     assert {r.event_type for r in got.select("event_type").collect()} == expected_keys
     assert got.groupBy("event_type").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_to_partitioned_parquet_roundtrip(spark, events_stream_dir, tmp_path):
+    from xena_gdc_etl_spark.streaming import stream_to_partitioned_parquet
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    out = str(tmp_path / "landed")
+    q = stream_to_partitioned_parquet(
+        stream, out, checkpoint=str(tmp_path / "chk"), partition_by=["event_type"]
+    )
+    q.awaitTermination(300)
+    import os as _os
+    assert any(p.startswith("event_type=") for p in _os.listdir(out))
+    back = spark.read.parquet(out)
+    src = spark.read.parquet(events_stream_dir)
+    assert back.count() == src.count()

@@ -119,3 +119,36 @@ def fingerprints(
         lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
     )
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# Redaction patterns for common PII shapes in web-scraped corpora. Order
+# matters: emails before bare domains would, e.g., double-redact.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact common PII patterns and report per-doc redaction counts —
+    the pre-training scrub step. Chained ``regexp_replace`` (codegen JVM
+    regex, no Python); counts measured before replacement so they reflect
+    the original text.
+    """
+    scrubbed = F.col(text_col)
+    count_cols = []
+    for name, pattern, token in PII_PATTERNS:
+        count_cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return docs.select(
+        F.col(id_col), *count_cols, scrubbed.alias("scrubbed_text")
+    )

@@ -88,3 +88,32 @@ def streaming_dedup_exact(
     return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] = (),
+    trigger_available_now: bool = True,
+):
+    """Land a stream into the engine's partitioned parquet sink via
+    ``foreachBatch`` — each micro-batch goes through the same
+    ``write_partitioned`` layout (hive dirs, file-size caps) the batch
+    pipelines use, so downstream readers can't tell how the data arrived.
+    Exactly-once per micro-batch comes from the checkpointed batch id.
+    """
+    from xena_gdc_etl_spark.sources.parquet_sink import write_partitioned
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitioned(
+            batch_df, path, partition_by=partition_by, mode="append"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

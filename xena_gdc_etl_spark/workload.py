@@ -1045,6 +1045,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     codegen'd JVM expression — no Python in the path.
 # --------------------------------------------------------------------------
 # --------------------------------------------------------------------------
+# 36. PII scrubbing: redact emails/IPs/phones (chained codegen regex) and
+#     count redactions per doc — the pre-training scrub step.
+# --------------------------------------------------------------------------
+@query(
+    "scrub_pii",
+    r"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(length(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(length(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS scrub_hash
+    FROM documents
+    """,
+)
+def scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import scrub_pii
+
+    out = scrub_pii(Catalog(spark, sf_dir).documents)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("scrubbed_text").alias("scrub_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 35. Deterministic train/valid/test split, stratification check: membership
 #     is a pure function of the doc id (md5-bucket), never of partition
 #     order or RNG state — reproducible by any engine, leakage-safe, zero
