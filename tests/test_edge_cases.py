@@ -1,0 +1,67 @@
+"""Degenerate-input robustness: empty frames, single rows, null text —
+the shapes that appear constantly in per-partition slices at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.operators import dedup as dd
+from xena_gdc_etl_spark.operators import matrix as mx
+from xena_gdc_etl_spark.operators import similarity as sim
+from xena_gdc_etl_spark.operators import text as tx
+
+
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, source string")
+
+
+def test_dedup_ops_on_empty_corpus(spark):
+    e = empty_docs(spark)
+    assert dd.dedup_exact(e).count() == 0
+    sig = dd.minhash_signatures(dd.shingles(e, k=5, distinct=False))
+    assert sig.count() == 0
+    assert dd.lsh_candidate_pairs(sig).count() == 0
+    assert dd.simhash(e).count() == 0
+    assert dd.ngram_jaccard_pairs(e, n=3, threshold=0.0).count() == 0
+
+
+def test_connected_components_no_edges(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 2}  # all singletons
+
+
+def test_shingles_shorter_than_k(spark):
+    df = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
+    # text shorter than the shingle width → no shingles, not an error
+    assert dd.shingles(df, k=5, distinct=False).count() == 0
+
+
+def test_single_doc_lsh_has_no_pairs(spark):
+    df = spark.createDataFrame([(0, "hello world text")], ["doc_id", "text"])
+    sig = dd.minhash_signatures(dd.shingles(df, k=3, distinct=False))
+    assert dd.lsh_candidate_pairs(sig).count() == 0
+
+
+def test_text_ops_handle_empty_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "real text")], ["doc_id", "text"]
+    )
+    assert tx.token_counts(df).count() == 3
+    zero = {r.doc_id: r.ws_tokens for r in tx.token_counts(df).collect()}
+    assert zero[0] == 0 and zero[1] == 0 and zero[2] == 2
+
+
+def test_matrix_equal_both_empty(spark):
+    e = spark.createDataFrame([], "k long, v double")
+    row = mx.matrix_equal(e, e, keys=["k"]).collect()[0]
+    assert (row.compared_rows, row.mismatched_rows) == (0, 0)
+
+
+def test_quantize_zero_vector_yields_null_scale(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = sim.quantize_int8(emb).collect()[0]
+    assert r.scale is None  # nullif guards the divide, never a crash/inf

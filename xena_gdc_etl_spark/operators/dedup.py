@@ -26,6 +26,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _offsets(text_col: str, width: int) -> Column:
+    """1-based start offsets of every ``width``-gram. Guarded: for text
+    shorter than ``width``, ``sequence(1, len-width+1)`` would run BACKWARD
+    (Spark sequences descend when stop < start) and emit garbage offsets —
+    short/empty docs must yield zero grams instead.
+    """
+    stop = F.length(F.col(text_col)) - (width - 1)
+    return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def dedup_exact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -55,7 +67,7 @@ def shingles(
     shuffle — min-hash is multiset-invariant, so signature pipelines don't
     need it.
     """
-    offsets = F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+    offsets = _offsets(text_col, k)
     out = _spread(docs).select(
         F.col(id_col),
         F.explode(offsets).alias("__i"),
@@ -367,9 +379,7 @@ def ngram_jaccard_pairs(
     grams = _spread(docs).select(
         F.col(id_col),
         F.col(bucket_col).alias("bucket"),
-        F.explode(
-            F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1))
-        ).alias("__i"),
+        F.explode(_offsets(text_col, n)).alias("__i"),
         F.col(text_col),
     ).select(
         F.col(id_col),

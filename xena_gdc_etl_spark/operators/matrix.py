@@ -180,5 +180,9 @@ def matrix_equal(
         mismatch = mismatch | F.coalesce(ne, F.lit(True)) & ~(l.isNull() & r.isNull())
     return joined.agg(
         F.count(F.lit(1)).alias("compared_rows"),
-        F.sum(F.when(mismatch, 1).otherwise(0)).cast("bigint").alias("mismatched_rows"),
+        # coalesce: sum over zero rows is null, but "no rows compared" is
+        # zero mismatches, not unknown
+        F.coalesce(F.sum(F.when(mismatch, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("mismatched_rows"),
     )
