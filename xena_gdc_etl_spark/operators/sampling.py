@@ -19,7 +19,11 @@ _BUCKETS = 10_000
 
 
 def _bucket(key: Column, seed: str) -> Column:
-    digest = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    # Null keys hash as a sentinel string, not null — otherwise every
+    # comparison on the bucket is null and null-keyed rows silently fall
+    # into whatever the otherwise-branch is.
+    key_str = F.coalesce(key.cast("string"), F.lit("\x00null"))
+    digest = F.md5(F.concat(F.lit(seed), key_str))
     return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % _BUCKETS
 
 

@@ -1045,6 +1045,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     codegen'd JVM expression — no Python in the path.
 # --------------------------------------------------------------------------
 # --------------------------------------------------------------------------
+# 37. Corpus vocabulary: top-k tokens by document frequency — the input to
+#     tokenizer training. Explode → two-level agg (partial map-side), then
+#     a single ordered top-k (rank ties broken lexically for determinism).
+# --------------------------------------------------------------------------
+@query(
+    "vocab_topk",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        FROM documents),
+    df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM toks GROUP BY tok)
+    SELECT tok, tf, doc_freq FROM df
+    ORDER BY tf DESC, tok LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
 # 36. PII scrubbing: redact emails/IPs/phones (chained codegen regex) and
 #     count redactions per doc — the pre-training scrub step.
 # --------------------------------------------------------------------------
