@@ -1,0 +1,146 @@
+"""Unit tests for the as-of join and the newer text/contamination operators:
+exact expectations on tiny frames, covering the tie/NULL/no-match edges the
+oracle comparison can't isolate.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.operators.asof import asof_join
+from xena_gdc_etl_spark.operators.dedup import ngram_contamination
+from xena_gdc_etl_spark.operators.text import repetition_scores, tfidf_keywords
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted(tuple(r) for r in out.collect())
+
+
+def _events(spark, data):
+    return spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+
+
+def test_asof_basic_backward_match(spark):
+    left = _events(spark, [(10, 1, _ts("2024-01-01T10:00"), 5.0)])
+    right = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01T09:00"), 1.0),
+            (2, 1, _ts("2024-01-01T09:30"), 2.0),
+            (3, 1, _ts("2024-01-01T11:00"), 3.0),  # after left — ignored
+        ],
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], right_order=["event_id"],
+    )
+    assert rows(out, "event_id", "asof_event_id", "asof_value") == [(10, 2, 2.0)]
+
+
+def test_asof_equal_ts_matches_and_tiebreaks(spark):
+    t = _ts("2024-01-01T09:00")
+    left = _events(spark, [(10, 1, t, 5.0)])
+    # two right rows at the SAME (key, ts): greatest right_order wins
+    right = _events(spark, [(1, 1, t, 1.0), (2, 1, t, 2.0)])
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], right_order=["event_id"],
+    )
+    assert rows(out, "asof_event_id", "asof_value") == [(2, 2.0)]
+
+
+def test_asof_no_prior_row_yields_nulls(spark):
+    left = _events(spark, [(10, 1, _ts("2024-01-01T08:00"), 5.0)])
+    right = _events(spark, [(1, 1, _ts("2024-01-01T09:00"), 1.0)])
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["event_id"], right_order=["event_id"],
+    )
+    assert rows(out, "event_id", "asof_event_id", "asof_ts") == [(10, None, None)]
+
+
+def test_asof_null_payload_does_not_mix_rows(spark):
+    # The latest right row has a NULL value column; a naive per-column
+    # last(ignorenulls) carry would leak 1.0 from the older row into it.
+    left = _events(spark, [(10, 1, _ts("2024-01-01T10:00"), 5.0)])
+    right = _events(
+        spark,
+        [
+            (1, 1, _ts("2024-01-01T09:00"), 1.0),
+            (2, 1, _ts("2024-01-01T09:30"), None),
+        ],
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], right_order=["event_id"],
+    )
+    assert rows(out, "asof_event_id", "asof_value") == [(2, None)]
+
+
+def test_asof_keys_do_not_cross(spark):
+    left = _events(spark, [(10, 1, _ts("2024-01-01T10:00"), 5.0)])
+    right = _events(spark, [(1, 2, _ts("2024-01-01T09:00"), 1.0)])
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_cols=["event_id"], right_order=["event_id"],
+    )
+    assert rows(out, "event_id", "asof_event_id") == [(10, None)]
+
+
+def test_repetition_scores_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # words: 2/4 dup; bigrams [a b, b a, a b] → 1/3 dup
+            (2, "x y z"),        # no repetition
+            (3, "w"),            # single word: no bigrams → NULL
+            (4, ""),             # empty: NULLs
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert got[1]["n_words"] == 4
+    assert got[1]["dup_word_frac"] == 0.5
+    assert got[1]["dup_bigram_frac"] == round(1 - 2 / 3, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["dup_bigram_frac"] is None
+    assert got[4]["n_words"] == 0
+    assert got[4]["dup_word_frac"] is None
+
+
+def test_ngram_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z q"), (3, "a b")], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame([(100, "a b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_contamination(train, test, n=3).collect()}
+    # doc 1: trigrams {a b c, b c d} → 1 hit of 2
+    assert (out[1]["n_grams"], out[1]["n_hit"], out[1]["contam_frac"]) == (2, 1, 0.5)
+    # doc 2: no overlap
+    assert (out[2]["n_grams"], out[2]["n_hit"]) == (2, 0)
+    # doc 3: too short for trigrams → absent
+    assert 3 not in out
+
+
+def test_tfidf_keywords_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"), (2, "banana common"), (3, "common")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["tok"]))
+    # doc 1: apple (tf=2) first; banana (df=2) over common (df=3)
+    assert sorted(by_doc[1]) == [(1, "apple"), (2, "banana")]
+    assert sorted(by_doc[2]) == [(1, "banana"), (2, "common")]
+    # rarer token ⇒ higher idf score within equal tf
+    scores = {r["tok"]: r["tfidf"] for r in out if r["doc_id"] == 2}
+    assert scores["banana"] > scores["common"]

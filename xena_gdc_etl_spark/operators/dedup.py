@@ -415,3 +415,50 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for each train doc, the fraction of
+    its distinct word n-grams that appear anywhere in the held-out ``test``
+    corpus (the GPT-3/C4-style n-gram decontamination test).
+
+    Plan: both sides explode to distinct n-grams; the test gram set
+    (bounded by the eval corpus, small relative to training data) is
+    broadcast, so the probe is a map-side hash join — the 100 TB train side
+    never shuffles. Docs with fewer than ``n`` tokens yield no grams and are
+    absent from the result.
+    """
+    from xena_gdc_etl_spark.operators.text import _tokens, word_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(_tokens(F.lower(F.col(text_col))), n)).alias(
+                "gram"
+            ),
+        ).distinct()
+
+    test_grams = grams(test).select("gram").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    return (
+        grams(train)
+        .join(F.broadcast(test_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_frac"),
+        )
+    )

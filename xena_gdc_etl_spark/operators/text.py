@@ -105,6 +105,90 @@ def lang_scores(
     return out.withColumn("predicted_lang", pred)
 
 
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token array. Guarded:
+    Spark sequences run BACKWARD when stop < start, so docs with fewer than
+    ``n`` tokens must yield an empty array, not garbage offsets.
+    """
+    stop = F.size(tokens) - (n - 1)
+    idx = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition features (the Gopher-style repetition
+    filters): duplicate-word fraction and duplicate-bigram fraction. Pure
+    higher-order Column expressions — whole-stage codegen, no explode, no
+    shuffle; the filter decision is computable in the scan stage.
+    """
+    toks = _tokens(F.col(text_col))
+    bigrams = word_ngrams(toks, 2)
+    n_words = F.size(toks)
+    n_bigrams = F.size(bigrams)
+
+    def dup_frac(arr: Column, n: Column) -> Column:
+        # guarded: empty docs yield NULL (engines disagree on 0/0)
+        return F.when(
+            n > 0, F.round(1 - F.size(F.array_distinct(arr)) / n, 6)
+        )
+
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        dup_frac(toks, n_words).alias("dup_word_frac"),
+        dup_frac(bigrams, n_bigrams).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by tf-idf. Ranking uses only integer
+    statistics (tf desc, doc_freq asc, token asc) so it is deterministic
+    across engines; the reported score is tf·ln((N+1)/(df+1)).
+
+    Plan: one explode + two-level agg (per-doc tf, then corpus df), one
+    tok-keyed join, one window over doc_id. The doc count N joins in as a
+    broadcast 1-row aggregate — no driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(df, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("bigint").alias("rank"),
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1.0) / (F.col("doc_freq") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1181,3 +1181,193 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# 38. Within-document repetition (Gopher-style repetition filters): dup-word
+#     and dup-bigram fractions as pure higher-order expressions — zero
+#     shuffle, decidable in the scan stage.
+# --------------------------------------------------------------------------
+@query(
+    "doc_repetition",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+        FROM documents),
+    b AS (
+        SELECT doc_id, words,
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i+1]) AS bigrams
+        FROM w)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CASE WHEN len(words) > 0
+                THEN round(1 - len(list_distinct(words)) / len(words), 6) END
+             AS dup_word_frac,
+           CASE WHEN len(bigrams) > 0
+                THEN round(1 - len(list_distinct(bigrams)) / len(bigrams), 6) END
+             AS dup_bigram_frac
+    FROM b
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import repetition_scores
+
+    return repetition_scores(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 39. Benchmark-contamination check: distinct word-trigram overlap of each
+#     train doc (doc_id % 10 != 0) against the held-out corpus
+#     (doc_id % 10 == 0). Test gram set broadcasts; train side never
+#     shuffles for the probe.
+# --------------------------------------------------------------------------
+@query(
+    "contamination",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS gram
+        FROM w),
+    tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(tg.gram) AS BIGINT) AS n_hit,
+           round(count(tg.gram) / count(*), 6) AS contam_frac
+    FROM tr LEFT JOIN tg ON tr.gram = tg.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.dedup import ngram_contamination
+
+    docs = Catalog(spark, sf_dir).documents
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=3,
+    )
+
+
+# --------------------------------------------------------------------------
+# 40. tf-idf keyword extraction: top-3 tokens per doc. Integer-deterministic
+#     ranking (tf desc, df asc, tok asc); score reported as tf·ln((N+1)/(df+1)).
+# --------------------------------------------------------------------------
+@query(
+    "tfidf_topk",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    r AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.doc_freq,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.doc_freq ASC, tf.tok ASC) AS rank
+        FROM tf JOIN df USING (tok))
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+           CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
+           round(tf * ln((n_docs + 1.0) / (doc_freq + 1.0)), 6) AS tfidf
+    FROM r, n WHERE rank <= 3
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(Catalog(spark, sf_dir).documents, k=3)
+
+
+# --------------------------------------------------------------------------
+# 41. As-of join (backward): each purchase event picks up the latest click
+#     at-or-before it by the same user. Union + carry-forward window — one
+#     shuffle on the user key; no native ASOF in Spark. Oracle: DuckDB ASOF
+#     LEFT JOIN against a (user, ts)-deduplicated click table (the
+#     right_order=event_id tiebreak made explicit).
+# --------------------------------------------------------------------------
+@query(
+    "asof_join",
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events),
+    c AS (SELECT user_id, ts, max(event_id) AS event_id
+          FROM e WHERE event_type = 'click' GROUP BY user_id, ts),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS asof_event_id, c.ts AS asof_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.asof import asof_join
+
+    ev_df = Catalog(spark, sf_dir).events
+    purchases = ev_df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev_df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id"],
+        right_order=["event_id"],
+    )
+
+
+# --------------------------------------------------------------------------
+# 42. Grouped percentiles (data-profiling op): exact interpolated p50/p95 of
+#     customer balance per nation. Spark SQL `percentile` == DuckDB
+#     quantile_cont (both linear interpolation at p·(n-1)).
+# --------------------------------------------------------------------------
+@query(
+    "group_percentiles",
+    """
+    SELECT c_nationkey,
+           CAST(round(quantile_cont(c_acctbal, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(c_acctbal, 0.95), 6) AS DOUBLE) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer
+    return cust.groupBy("c_nationkey").agg(
+        F.round(F.percentile("c_acctbal", 0.5), 6).alias("p50"),
+        F.round(F.percentile("c_acctbal", 0.95), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 43. Fixed-width value histogram (data profiling): bucket counts of
+#     l_extendedprice at 5000/bucket. Portable arithmetic only (floor of an
+#     IEEE division) — identical buckets in any engine; map-side partial agg.
+# --------------------------------------------------------------------------
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(least(floor(l_extendedprice / 5000.0), 23) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(23)).cast(
+        "bigint"
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
