@@ -58,6 +58,26 @@ def main() -> None:
     spark.range(int(CPUS) * 2).repartition(int(CPUS)).mapInPandas(
         _identity, schema="id long"
     ).count()
+    # JIT-warm the JVM paths the workload leans on (java.util.regex, hash
+    # digests, higher-order array funcs, window frames): first use costs
+    # seconds of HotSpot warmup that says nothing about plan quality.
+    from pyspark.sql import Window
+
+    warm = spark.range(2000).select(
+        F.col("id"), F.concat(F.lit("a b1 c,d "), F.col("id").cast("string")).alias("t")
+    )
+    warm.select(
+        F.regexp_replace(F.regexp_replace("t", r"[^a-z0-9\s]", ""), r"\s+", " ").alias("r"),
+        F.regexp_count("t", F.lit(r"[A-Za-z]+|[0-9]")).alias("c"),
+        F.md5("t").alias("h"),
+        F.sha2("t", 256).alias("s"),
+        F.aggregate(
+            F.filter(F.split("t", r"\s+"), lambda x: x != ""),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("agg"),
+        F.row_number().over(Window.partitionBy(F.col("id") % 8).orderBy("id")).alias("rn"),
+    ).count()
     for name, fn in QUERIES.items():
         start = time.perf_counter()
         df = fn(spark, SF_DIR)

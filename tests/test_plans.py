@@ -85,3 +85,35 @@ def test_projection_ops_have_zero_shuffles(spark, sf_dir):
 def test_train_split_reads_only_needed_columns(spark, sf_dir):
     read = scan_read_schema(QUERIES["train_split"](spark, sf_dir))
     assert "text" not in read  # the fat column stays unread
+
+
+def test_doc_repetition_zero_shuffle_pure_codegen(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    df = QUERIES["doc_repetition"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert python_udf_count(df) == 0
+
+
+def test_contamination_broadcasts_test_grams(spark, sf_dir):
+    # the train side must probe a broadcast of the held-out gram set, never
+    # shuffle on the gram key
+    df = QUERIES["contamination"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union + carry-forward window: exactly ONE exchange (on the join key),
+    # same shuffle count as a plain sort-merge join
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    df = QUERIES["asof_join"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert python_udf_count(df) == 0
+
+
+def test_histogram_and_percentiles_prune_columns(spark, sf_dir):
+    read = scan_read_schema(QUERIES["value_histogram"](spark, sf_dir))
+    assert read == ["l_extendedprice"]
+    read = scan_read_schema(QUERIES["group_percentiles"](spark, sf_dir))
+    assert sorted(read) == ["c_acctbal", "c_nationkey"]

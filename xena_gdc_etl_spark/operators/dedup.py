@@ -437,7 +437,9 @@ def ngram_contamination(
     from xena_gdc_etl_spark.operators.text import _tokens, word_ngrams
 
     def grams(df: DataFrame) -> DataFrame:
-        return df.select(
+        # _spread: documents are compact on disk — without the pre-explode
+        # repartition the tokenize+explode runs at scan parallelism.
+        return _spread(df).select(
             F.col(id_col),
             F.explode(word_ngrams(_tokens(F.lower(F.col(text_col))), n)).alias(
                 "gram"

@@ -160,7 +160,10 @@ def tfidf_keywords(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    # pre-explode repartition: document tables are compact on disk, so the
+    # tokenize+explode would otherwise run at scan parallelism
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = spread.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")

@@ -46,3 +46,12 @@ def python_udf_count(df: DataFrame) -> int:
     are allowed and not counted.
     """
     return formatted_plan(df).count("BatchEvalPython")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the physical plan (broadcast
+    exchanges excluded — they ship a dim table, not the fact stream).
+    """
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.M))
