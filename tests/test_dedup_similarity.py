@@ -151,12 +151,16 @@ def test_connected_components_bipartite_matches_pair_form(spark):
         [(10, "b1"), (11, "b1"), (11, "b2"), (12, "b2"), (20, "b3"), (21, "b3"), (30, "b4")],
         ["doc_id", "bkey"],
     )
-    nodes = spark.createDataFrame([(i,) for i in [10, 11, 12, 20, 21, 30]], ["doc_id"])
+    # node 40 has NO bucket row (zero-shingle doc): must come back as its
+    # own singleton via the frozen path, not vanish
+    nodes = spark.createDataFrame(
+        [(i,) for i in [10, 11, 12, 20, 21, 30, 40]], ["doc_id"]
+    )
     out = {
         r.doc_id: r.cluster_id
         for r in dd.connected_components_bipartite(nodes, assign).collect()
     }
-    assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+    assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 40: 40}
 
 
 def test_minhash_jaccard_estimate_bounds(spark):

@@ -292,9 +292,15 @@ def connected_components_bipartite(
     assign = assignments.select(
         F.col(id_col).alias("node"), F.col(bucket_col).alias("bkey")
     ).persist()
-    labels = nodes.select(
+    all_labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    )
+    # Nodes with no bucket (e.g. empty docs with zero shingles) are
+    # singletons: the first hop's inner join on node drops them from the
+    # iteration automatically — at corpus scale that whole population rides
+    # zero rounds — and the final anti-join stitches them back unchanged.
+    frozen = all_labels.join(assign, "node", "left_anti")
+    labels = all_labels.localCheckpoint(eager=True)
 
     def _label_sum(df: DataFrame):
         return df.agg(
@@ -302,21 +308,18 @@ def connected_components_bipartite(
         ).collect()[0][0]
 
     def _propagate(lbls: DataFrame) -> DataFrame:
+        # A node's own label contributes to each of its buckets' min, so
+        # the doc-side min over bucket mins IS the updated label (always
+        # <= the old one) — no merge join back against the old labels.
         bucket_min = (
             assign.join(lbls, "node")
             .groupBy("bkey")
             .agg(F.min("cluster_id").alias("bmin"))
         )
-        doc_min = (
+        return (
             assign.join(bucket_min, "bkey")
             .groupBy("node")
-            .agg(F.min("bmin").alias("nmin"))
-        )
-        return lbls.join(doc_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
-            ).alias("cluster_id"),
+            .agg(F.min("bmin").alias("cluster_id"))
         )
 
     prev_sum = None  # first round always changes something worth checking after
@@ -329,7 +332,9 @@ def connected_components_bipartite(
             break
         prev_sum = cur_sum
     assign.unpersist()
-    return labels.select(F.col("node").alias(id_col), "cluster_id")
+    return labels.unionByName(frozen).select(
+        F.col("node").alias(id_col), "cluster_id"
+    )
 
 
 def simhash(
