@@ -1371,3 +1371,100 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     return li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# 44. Corpus-stats rollup (the data-profiling dashboard shape): per
+#     (source, lang) doc count, token volume, exact-dup rate, avg length.
+#     One groupBy — map-side partials; count_distinct(md5) is the only
+#     expansion and stays keyed by the group.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_stats",
+    r"""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate,
+           CAST(round(avg(n_chars), 6) AS DOUBLE) AS avg_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            1 - F.count_distinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 45. Grouped top-k: the 2 longest docs per source (window row_number with
+#     an integer-deterministic tiebreak). The rank filter prunes before any
+#     wide columns are carried.
+# --------------------------------------------------------------------------
+@query(
+    "top_docs_per_source",
+    """
+    SELECT source, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        FROM documents)
+    WHERE rnk <= 2
+    """,
+)
+def top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .withColumn("rnk", F.col("rnk").cast("bigint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 46. Deterministic per-group sampling (operators/sampling.sample_by_group):
+#     downsample boilerplate-heavy sources, keep rare ones whole. Membership
+#     is a pure function of the key hash — zero shuffle, reproducible by any
+#     engine (oracle reproduces the md5-bucket arithmetic exactly).
+# --------------------------------------------------------------------------
+@query(
+    "sample_by_group",
+    """
+    WITH b AS (
+        SELECT doc_id, source,
+               ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+        FROM documents)
+    SELECT doc_id, source FROM b
+    WHERE bucket < CASE source WHEN 'src0' THEN 2500
+                               WHEN 'src1' THEN 10000
+                               ELSE 5000 END
+    """,
+)
+def sample_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.sampling import sample_by_group
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    return sample_by_group(
+        docs,
+        group_col="source",
+        key_col="doc_id",
+        fractions={"src0": 0.25, "src1": 1.0},
+        default_fraction=0.5,
+    )
