@@ -101,3 +101,37 @@ def test_minhash_partition_invariant(spark, texts):
     sig1 = dd.minhash_signatures(dd.shingles(df.repartition(1), k=3, distinct=False), num_hashes=4)
     sig5 = dd.minhash_signatures(dd.shingles(df.repartition(5), k=3, distinct=False), num_hashes=4)
     assert sorted(map(tuple, sig1.collect())) == sorted(map(tuple, sig5.collect()))
+
+
+def test_bucketed_tables_join_with_zero_shuffle(spark, sf_dir, tmp_path):
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.plans import formatted_plan, shuffle_count
+    from xena_gdc_etl_spark.sources.parquet_sink import write_bucketed
+
+    cat = Catalog(spark, sf_dir)
+    write_bucketed(
+        cat.orders.select("o_orderkey", "o_custkey"),
+        "orders_b", ["o_orderkey"], 4, path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        cat.lineitem.select("l_orderkey", "l_quantity"),
+        "lineitem_b", ["l_orderkey"], 4, path=str(tmp_path / "lineitem_b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            spark.table("lineitem_b")["l_orderkey"]
+            == spark.table("orders_b")["o_orderkey"],
+        )
+        plan = formatted_plan(joined)
+        # the pre-paid shuffle: sort-merge join straight off the bucketed
+        # scans, zero Exchange nodes
+        assert "SortMergeJoin" in plan
+        assert shuffle_count(joined) == 0
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
