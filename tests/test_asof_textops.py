@@ -144,3 +144,89 @@ def test_tfidf_keywords_ranking(spark):
     # rarer token ⇒ higher idf score within equal tf
     scores = {r["tok"]: r["tfidf"] for r in out if r["doc_id"] == 2}
     assert scores["banana"] > scores["common"]
+
+
+# ---- property test: asof_join ≡ pandas merge_asof on random inputs ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ev = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # user_id
+        st.integers(min_value=0, max_value=20),   # ts offset (seconds)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_raw=_ev, right_raw=_ev)
+def test_asof_join_matches_pandas_merge_asof(spark, left_raw, right_raw):
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+
+    def frame(raw, id_start):
+        return pd.DataFrame(
+            {
+                "event_id": range(id_start, id_start + len(raw)),
+                "user_id": [u for u, _ in raw],
+                "ts": [base + pd.Timedelta(seconds=s) for _, s in raw],
+            }
+        ).astype(
+            {"event_id": "int64", "user_id": "int64", "ts": "datetime64[ns]"}
+        )
+
+    left_pd = frame(left_raw, 1000)
+    right_pd = frame(right_raw, 0)
+    # merge_asof picks the positionally-last right row among equal
+    # (user, ts); sorting by (ts, event_id) makes that the max event_id —
+    # the same contract as right_order=["event_id"]
+    schema = "event_id long, user_id long, ts timestamp"
+    out = asof_join(
+        spark.createDataFrame(left_pd, schema=schema)
+        if len(left_pd)
+        else spark.createDataFrame([], schema=schema),
+        spark.createDataFrame(right_pd, schema=schema)
+        if len(right_pd)
+        else spark.createDataFrame([], schema=schema),
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id"],
+        right_order=["event_id"],
+    ).toPandas()
+
+    if len(left_pd):
+        expected = pd.merge_asof(
+            left_pd.sort_values(["ts", "event_id"]),
+            right_pd.sort_values(["ts", "event_id"]).rename(
+                columns={"event_id": "asof_event_id", "ts": "asof_ts"}
+            )[["user_id", "asof_ts", "asof_event_id"]],
+            left_on="ts",
+            right_on="asof_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+    else:
+        expected = left_pd.assign(asof_event_id=None, asof_ts=None)
+
+    key = ["event_id", "user_id"]
+    got = out.sort_values(key).reset_index(drop=True)
+    exp = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ("asof_event_id", "asof_ts"):
+        g = got[col].tolist()
+        e = exp[col].tolist()
+        for gv, evv in zip(g, e):
+            g_null = gv is None or (isinstance(gv, float) and pd.isna(gv)) or gv is pd.NaT
+            e_null = evv is None or (isinstance(evv, float) and pd.isna(evv)) or evv is pd.NaT
+            assert g_null == e_null, (col, gv, evv)
+            if not g_null:
+                assert gv == evv, (col, gv, evv)
