@@ -230,3 +230,48 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_raw, right_raw):
             assert g_null == e_null, (col, gv, evv)
             if not g_null:
                 assert gv == evv, (col, gv, evv)
+
+
+# ---- point-in-interval join edges ----
+
+def test_interval_join_half_open_and_degenerate(spark):
+    from xena_gdc_etl_spark.operators.interval import point_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00")), (2, _ts("2024-01-01T01:00")),
+         (3, _ts("2024-01-01T02:00"))],
+        ["pid", "pt"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            # [00:00, 02:00): matches pids 1,2 — NOT 3 (half-open end)
+            (10, _ts("2024-01-01T00:00"), _ts("2024-01-01T02:00")),
+            # degenerate end == start: matches nothing
+            (11, _ts("2024-01-01T01:00"), _ts("2024-01-01T01:00")),
+        ],
+        ["iid", "win_start", "win_end"],
+    )
+    out = point_interval_join(
+        pts, ivs, point_ts="pt", start_col="win_start", end_col="win_end",
+        bin_seconds=3600,
+    )
+    assert rows(out, "pid", "iid") == [(1, 10), (2, 10)]
+
+
+def test_interval_join_spanning_many_bins_no_duplicates(spark):
+    from xena_gdc_etl_spark.operators.interval import point_interval_join
+
+    # interval spans 5 one-hour bins; each matching point must appear ONCE
+    pts = spark.createDataFrame(
+        [(i, _ts(f"2024-01-01T0{i}:30")) for i in range(6)], ["pid", "pt"]
+    )
+    ivs = spark.createDataFrame(
+        [(10, _ts("2024-01-01T00:30"), _ts("2024-01-01T04:30"))],
+        ["iid", "win_start", "win_end"],
+    )
+    out = point_interval_join(
+        pts, ivs, point_ts="pt", start_col="win_start", end_col="win_end",
+        bin_seconds=3600,
+    )
+    # pids 0..3 in [00:30, 04:30); pid 4 at 04:30 excluded (half-open)
+    assert rows(out, "pid", "iid") == [(0, 10), (1, 10), (2, 10), (3, 10)]

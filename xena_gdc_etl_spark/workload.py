@@ -1468,3 +1468,42 @@ def sample_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions={"src0": 0.25, "src1": 1.0},
         default_fraction=0.5,
     )
+
+
+# --------------------------------------------------------------------------
+# 47. Range join: lineitems shipped within 7 days of each order's date.
+#     Bin-bucketed point-in-interval join (operators/interval.py) — an
+#     equi-join on the bin key with ~2× interval fan-out, never a cross
+#     join. Oracle: DuckDB's native inequality (IE) join.
+# --------------------------------------------------------------------------
+@query(
+    "range_join",
+    """
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_shipped,
+           CAST(round(sum(l.l_quantity), 2) AS DOUBLE) AS qty_shipped
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.interval import point_interval_join
+
+    cat = Catalog(spark, sf_dir)
+    intervals = cat.orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+    )
+    points = cat.lineitem.select("l_shipdate", "l_quantity")
+    joined = point_interval_join(
+        points, intervals,
+        point_ts="l_shipdate", start_col="win_start", end_col="win_end",
+        bin_seconds=7 * 86400,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_shipped"),
+    )
