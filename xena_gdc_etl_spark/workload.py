@@ -1507,3 +1507,73 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped"),
         F.round(F.sum("l_quantity"), 2).alias("qty_shipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# 48. Rolling window: 4-event moving average of `value` per user ordered by
+#     (ts, event_id). One shuffle on the user key; the frame is computed in
+#     a single sorted pass per partition (no self-join).
+# --------------------------------------------------------------------------
+@query(
+    "rolling_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+             AS rolling_avg
+    FROM events
+    """,
+)
+def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev_df = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev_df.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 49. Pivot with a FIXED value list (the reference's matrix pivot — wide
+#     sample×feature — in its scale-safe form: explicit columns, so the
+#     plan is a single groupBy with conditional aggregates, no
+#     value-discovery pass). Ref: xena_dataset.py:165 merge_sample_cols
+#     pivot step; sources/xena_tsv.py pivot_wide.
+# --------------------------------------------------------------------------
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = Catalog(spark, sf_dir).events
+    out = (
+        ev_df.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot-count leaves NULL for absent combos; the conditional-agg oracle
+    # (and any matrix consumer) wants 0
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("click", "view", "purchase", "signup", "error")
+        ],
+    )
