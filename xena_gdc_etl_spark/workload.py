@@ -1471,10 +1471,13 @@ def sample_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 47. Range join: lineitems shipped within 7 days of each order's date.
-#     Bin-bucketed point-in-interval join (operators/interval.py) — an
+# 47. Range join: lineitems shipped within 7 days of each sampled order's
+#     date. Bin-bucketed point-in-interval join (operators/interval.py) — an
 #     equi-join on the bin key with ~2× interval fan-out, never a cross
-#     join. Oracle: DuckDB's native inequality (IE) join.
+#     join. The deterministic 2% order sample bounds the pair cardinality:
+#     an unrestricted orders×week-of-lineitem join is ~1700 matches PER
+#     order (≈2.5M pairs per 1k orders) — the output itself, not the join
+#     strategy, is what explodes. Oracle: DuckDB's native inequality join.
 # --------------------------------------------------------------------------
 @query(
     "range_join",
@@ -1485,6 +1488,7 @@ def sample_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN lineitem l
       ON l.l_shipdate >= o.o_orderdate
      AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey % 50 = 0
     GROUP BY o.o_orderkey
     """,
 )
@@ -1492,7 +1496,7 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators.interval import point_interval_join
 
     cat = Catalog(spark, sf_dir)
-    intervals = cat.orders.select(
+    intervals = cat.orders.filter(F.col("o_orderkey") % 50 == 0).select(
         "o_orderkey",
         F.col("o_orderdate").alias("win_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
