@@ -107,3 +107,87 @@ def test_stream_to_partitioned_parquet_roundtrip(spark, events_stream_dir, tmp_p
     back = spark.read.parquet(out)
     src = spark.read.parquet(events_stream_dir)
     assert back.count() == src.count()
+
+
+def test_streaming_enrich_matches_batch(spark, events_stream_dir):
+    from xena_gdc_etl_spark.streaming import streaming_enrich
+
+    batch = Catalog(spark, "/root/testdata/sf0.001").events
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("bigint"))
+    )
+    expected = sorted(
+        tuple(r)
+        for r in batch.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "tier")
+        .collect()
+    )
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    out = f"enrich_sink_{abs(hash(events_stream_dir)) % 10**8}"
+    q = (
+        streaming_enrich(stream, dim, "user_id")
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("memory")
+        .queryName(out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.table(out).collect())
+    assert got == expected
+
+
+def test_streaming_time_bounded_join_matches_batch(spark, events_stream_dir):
+    from xena_gdc_etl_spark.streaming import streaming_time_bounded_join
+
+    batch = Catalog(spark, "/root/testdata/sf0.001").events
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts"
+    )
+    p, c = purchases.alias("p"), clicks.alias("c")
+    expected = sorted(
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") <= F.col("p.ts"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("p_id", "c_id")
+        .collect()
+    )
+    assert expected  # sanity: the fixture actually produces matches
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    def stream_side(event_type, id_alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_stream_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(F.col("event_id").alias(id_alias), "user_id", "ts")
+        )
+
+    joined = streaming_time_bounded_join(
+        stream_side("purchase", "p_id"),
+        stream_side("click", "c_id"),
+        key_col="user_id",
+        lookback="1 hour",
+        watermark="2 hours",
+    ).select("p_id", "c_id")
+    out = f"ssjoin_sink_{abs(hash(events_stream_dir)) % 10**8}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted((r.p_id, r.c_id) for r in spark.table(out).collect())
+    assert got == expected

@@ -117,3 +117,48 @@ def stream_to_partitioned_parquet(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to every
+    streamed row. The static side broadcasts, so the stream never shuffles
+    and no join state accumulates — the stateless hot path for attaching
+    user/document metadata at ingest.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_time_bounded_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows at-or-before each left row and
+    within ``lookback`` of it, per key — the streaming counterpart of the
+    batch as-of/interval joins (operators/asof.py, operators/interval.py).
+
+    Both sides carry watermarks and the join condition bounds event time
+    from BOTH directions, so Spark can evict join state once the watermark
+    passes ``lookback`` — without the time bound, stream-stream state grows
+    forever. Matches emit as soon as both rows arrive (inner-join
+    semantics); the watermark only governs state cleanup.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}")
+            >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return l.join(r, cond)
