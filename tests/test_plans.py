@@ -117,3 +117,11 @@ def test_histogram_and_percentiles_prune_columns(spark, sf_dir):
     assert read == ["l_extendedprice"]
     read = scan_read_schema(QUERIES["group_percentiles"](spark, sf_dir))
     assert sorted(read) == ["c_acctbal", "c_nationkey"]
+
+
+def test_range_join_is_equi_join_not_cartesian(spark, sf_dir):
+    # the bin-bucketed interval join must plan as a hash/sort-merge join on
+    # the bin key — never a cartesian/broadcast-nested-loop product
+    plan = formatted_plan(QUERIES["range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
