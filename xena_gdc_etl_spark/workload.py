@@ -716,7 +716,9 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
-    docs = Catalog(spark, sf_dir).documents
+    # _spread: the three-regex normalization is the expensive part and
+    # would otherwise run at scan parallelism (compact doc files = 1 task)
+    docs = dd._spread(Catalog(spark, sf_dir).documents)
     return dd.dedup_exact(
         docs.withColumn("text", dd.normalize_text("text"))
     )
