@@ -109,7 +109,13 @@ def test_metadata_build_and_write(tmp_path):
     path = write_metadata(meta, matrix)
     loaded = json.load(open(path))
     assert loaded["project_id"] == "TCGA-BRCA"
-    assert loaded["xena_cohort"] == "GDC TCGA-BRCA"
+    # GDC_XENA_COHORT display-name parity (constants.py:6)
+    assert loaded["xena_cohort"] == "GDC TCGA Breast Cancer (BRCA)"
+    # rendered template fields (template.rna.meta.json parity)
+    assert loaded["label"] == "STAR - Counts"
+    assert loaded["unit"] == "log2(count+1)"
+    assert loaded["type"] == "genomicMatrix"
+    assert loaded["url"].startswith("release-40, https://api.gdc.cancer.gov")
     assert loaded["gdc_release"] == "release-40"
     assert path == matrix + ".json"
 

@@ -1,0 +1,188 @@
+"""Distributed download operator — naming/extension/md5 parity with the
+reference (gdc.py:360 download, :336 get_ext; xena_dataset.py:246
+get_md5sum), with the network isolated behind an injected fetcher.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.sources.download import (
+    download_files,
+    get_ext,
+    md5_file,
+    md5sum_files,
+    parse_content_disposition,
+    target_path,
+)
+
+
+def test_get_ext_reference_rule():
+    # keep everything from the first supported extension on (gdc.py:336)
+    assert get_ext("sample.htseq.counts.tsv.gz") == "tsv.gz"
+    assert get_ext("archive.tar.gz") == "tar.gz"
+    assert get_ext("data.maf") == "maf"
+    assert get_ext("noext") == ""
+    # an unsupported token before a supported one is dropped
+    assert get_ext("a.weird.txt.md5") == "txt.md5"
+
+
+def test_parse_content_disposition():
+    assert (
+        parse_content_disposition('attachment; filename=abc.tsv.gz')
+        == "abc.tsv.gz"
+    )
+    assert (
+        parse_content_disposition('attachment; filename="q.maf"') == "q.maf"
+    )
+    assert parse_content_disposition("attachment") == ""
+
+
+def test_target_path(tmp_path):
+    p = target_path("u-1", "orig.tsv.gz", str(tmp_path))
+    assert p == os.path.join(str(tmp_path), "u-1.tsv.gz")
+    # no recognizable extension → bare uuid (reference would error; we land
+    # the bytes anyway, named by uuid)
+    assert target_path("u-2", "", str(tmp_path)).endswith("/u-2")
+
+
+def test_md5_file_matches_reference_whole_read(tmp_path):
+    payload = b"x" * (1 << 20) + b"tail"
+    f = tmp_path / "m.tsv"
+    f.write_bytes(payload)
+    # reference reads the whole file in one go (xena_dataset.py:246); the
+    # chunked stream must produce the identical digest
+    assert md5_file(str(f), chunk_size=4096) == hashlib.md5(payload).hexdigest()
+
+
+def test_download_files_distributed(spark, tmp_path):
+    # nested so cloudpickle ships it by value (a test module isn't
+    # importable on executors)
+    def _fake_fetcher(url: str):
+        uuid = url.rsplit("/", 1)[1]
+        payload = (uuid * 100).encode()
+        chunks = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+        return f"{uuid}.counts.tsv.gz", iter(chunks)
+
+    land = str(tmp_path / "land")
+    manifest = spark.createDataFrame(
+        [("aa",), ("bb",), ("cc",)], ["uuid"]
+    ).withColumn(
+        "md5",
+        F.when(F.col("uuid") == "bb", F.lit("0" * 32)).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    status = download_files(
+        manifest, land, md5_col="md5", fetcher=_fake_fetcher
+    ).collect()
+    by_uuid = {r.uuid: r for r in status}
+    assert set(by_uuid) == {"aa", "bb", "cc"}
+    for uuid in ("aa", "bb", "cc"):
+        r = by_uuid[uuid]
+        assert r.error is None
+        # uuid.<ext> naming; get_ext drops the unsupported "counts" token
+        assert r.path.endswith(f"{uuid}.tsv.gz")
+        expected = (uuid * 100).encode()
+        assert open(r.path, "rb").read() == expected
+        assert r.n_bytes == len(expected)
+        assert r.md5 == hashlib.md5(expected).hexdigest()
+    # md5_ok: null when no expected digest, False for the wrong one
+    assert by_uuid["aa"].md5_ok is None
+    assert by_uuid["bb"].md5_ok is False
+    # no stray .part files (atomic rename)
+    assert not [p for p in os.listdir(land) if p.endswith(".part")]
+
+
+def test_download_failure_is_a_row_not_an_exception(spark, tmp_path):
+    def flaky(url: str):
+        uuid = url.rsplit("/", 1)[1]
+        if uuid == "bad":
+            raise OSError("connection reset")
+        return f"{uuid}.tsv", iter([b"ok"])
+
+    status = download_files(
+        spark.createDataFrame([("good",), ("bad",)], ["uuid"]),
+        str(tmp_path / "land2"),
+        fetcher=flaky,
+    ).collect()
+    by_uuid = {r.uuid: r for r in status}
+    assert by_uuid["good"].error is None and by_uuid["good"].md5
+    assert "connection reset" in by_uuid["bad"].error
+    assert by_uuid["bad"].path is None
+
+
+def test_md5sum_files_jvm_side(spark, tmp_path):
+    files = {}
+    for name in ("a.tsv", "b.tsv"):
+        payload = name.encode() * 1000
+        (tmp_path / name).write_bytes(payload)
+        files[name] = hashlib.md5(payload).hexdigest()
+    out = md5sum_files(spark, str(tmp_path / "*.tsv")).collect()
+    got = {os.path.basename(r.path): (r.md5, r.n_bytes) for r in out}
+    for name, digest in files.items():
+        assert got[name][0] == digest
+        assert got[name][1] == len(name.encode()) * 1000
+
+
+def test_retrying_fetcher_backoff_then_success():
+    from xena_gdc_etl_spark.sources.download import (
+        RetryableFetchError,
+        retrying_fetcher,
+    )
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise RetryableFetchError("HTTP 502")
+        return "f.tsv", iter([b"ok"])
+
+    fetch = retrying_fetcher(flaky, retries=10, backoff_factor=0.5,
+                             sleep=sleeps.append)
+    name, chunks = fetch("http://x/u")
+    assert name == "f.tsv" and b"".join(chunks) == b"ok"
+    assert calls["n"] == 4
+    # reference Retry backoff: 0.5 * 2^(n-1) between attempts (utils.py:187)
+    assert sleeps == [0.5, 1.0]
+
+
+def test_retrying_fetcher_exhausts_and_raises():
+    from xena_gdc_etl_spark.sources.download import (
+        RetryableFetchError,
+        retrying_fetcher,
+    )
+
+    def always_bad(url):
+        raise RetryableFetchError("HTTP 500")
+
+    fetch = retrying_fetcher(always_bad, retries=2, sleep=lambda s: None)
+    import pytest as _pytest
+
+    with _pytest.raises(RetryableFetchError):
+        fetch("http://x/u")
+
+
+def test_retrying_fetcher_passes_through_non_retryable():
+    from xena_gdc_etl_spark.sources.download import retrying_fetcher
+
+    def notfound(url):
+        raise ValueError("HTTP 404")
+
+    calls = {"n": 0}
+
+    def counting(url):
+        calls["n"] += 1
+        return notfound(url)
+
+    fetch = retrying_fetcher(counting, retries=5, sleep=lambda s: None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fetch("http://x/u")
+    assert calls["n"] == 1

@@ -1,0 +1,85 @@
+"""Hot-key caps: LSH bucket-size cap and n-gram document-frequency cut.
+
+Both drop ONLY over-limit groups before the quadratic pair expansion —
+results for under-limit groups are byte-identical to the uncapped run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.operators import dedup as dd
+
+
+def docs_df(spark, texts, source="s"):
+    return spark.createDataFrame(
+        [(i, t, source) for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"],
+    )
+
+
+def _sig(spark, texts):
+    return dd.minhash_signatures(
+        dd.shingles(docs_df(spark, texts), k=5, distinct=False)
+    )
+
+
+def test_lsh_bucket_cap_drops_only_over_limit_buckets(spark):
+    # 4 identical docs (one bucket of 4 in every band) + 2 identical docs
+    # (bucket of 2) + 1 unique
+    texts = (
+        ["the quick brown fox jumps over the lazy dog"] * 4
+        + ["an entirely different duplicated sentence here ok"] * 2
+        + ["no duplicate of this one exists anywhere at all"]
+    )
+    sig = _sig(spark, texts)
+    uncapped = {(r.a, r.b) for r in dd.lsh_candidate_pairs(sig).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in dd.lsh_candidate_pairs(sig, max_bucket_size=3).collect()
+    }
+    # the 4-clique (docs 0-3) is gone, the 2-bucket pair (4,5) survives
+    assert (4, 5) in capped
+    assert all(not (a <= 3 and b <= 3) for a, b in capped)
+    # capped is exactly uncapped minus the over-limit bucket's pairs
+    assert capped == {
+        (a, b) for a, b in uncapped if not (a <= 3 and b <= 3)
+    }
+
+
+def test_lsh_cap_none_is_uncapped(spark):
+    texts = ["the quick brown fox jumps over it"] * 3
+    sig = _sig(spark, texts)
+    assert (
+        dd.lsh_candidate_pairs(sig).collect()
+        == dd.lsh_candidate_pairs(sig, max_bucket_size=None).collect()
+    )
+
+
+def test_ngram_doc_freq_cut_drops_only_hot_grams(spark):
+    # docs 0/1 share a rare 3-gram pattern; a hot gram ('zzz') appears in all
+    texts = [
+        "abcdef zzz",
+        "abcdef zzz",
+        "qrstuv zzz",
+        "mnopqr zzz",
+    ]
+    df = docs_df(spark, texts)
+    uncapped = {
+        (r.a, r.b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    }
+    capped = {
+        (r.a, r.b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            df, n=3, threshold=0.0, max_doc_freq=2
+        ).collect()
+    }
+    # pair (0,1) still intersects on the rare 'abc'... grams
+    assert (0, 1) in capped
+    # pairs held together ONLY by hot grams (df > 2, e.g. ' zz'/'zzz') vanish
+    assert (2, 3) in uncapped and (2, 3) not in capped
+    # capped similarity is a lower bound of the uncapped one (denominator
+    # keeps all grams, numerator loses the hot ones)
+    for pair, j in capped.items():
+        assert j <= uncapped[pair] + 1e-9

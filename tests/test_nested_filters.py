@@ -77,3 +77,26 @@ def test_gdc_search_payload_shape():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         search_payload("nope")
+
+
+def test_format_multiple_collapses_per_id(spark):
+    from xena_gdc_etl_spark.operators.nested import format_multiple
+
+    df = spark.createDataFrame(
+        [
+            ("a", "chemo", 2010),
+            ("a", "radiation", 2010),
+            ("b", "surgery", None),
+            ("c", None, None),
+        ],
+        ["id", "treatment", "year"],
+    )
+    rows = {r.id: r for r in format_multiple(df, "id").collect()}
+    # multiple distinct values -> sorted joined list (gdc.py:156 semantics)
+    assert rows["a"].treatment == "chemo,radiation"
+    # single value -> scalar
+    assert rows["a"].year == "2010"
+    assert rows["b"].treatment == "surgery"
+    # all-null field -> empty string (reference fillna(''))
+    assert rows["b"].year == ""
+    assert rows["c"].treatment == ""

@@ -1,0 +1,172 @@
+"""Pheno/survival dataset pipelines — parity with the reference's
+GDCPhenoset (xena_dataset.py:1232/1385) and GDCSurvivalset (:1417/1520):
+clinical-over-biospecimen merge + list-column dropping, and the 4-column
+Xena survival matrix, end-to-end through the CLI subprocess.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.operators.nested import drop_list_columns, flatten_structs
+from xena_gdc_etl_spark.pipeline import GDCPhenosetSpark, GDCSurvivalsetSpark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clinical(spark):
+    # nested case record with a list-valued leaf (→ dropped, get_to_drops)
+    return spark.createDataFrame(
+        [
+            Row(
+                case_id="c1",
+                demographic=Row(gender="female", year_of_birth=1970),
+                icd_10_codes=["C50.1", "C50.2"],
+                primary_site="Breast",
+            ),
+            Row(
+                case_id="c2",
+                demographic=Row(gender="male", year_of_birth=1960),
+                icd_10_codes=["C61"],
+                primary_site=None,
+            ),
+        ]
+    )
+
+
+def _biospecimen(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", "s1", "Primary Tumor", "Breast-bio"),
+            ("c1", "s2", "Solid Tissue Normal", None),
+            ("c2", "s3", "Primary Tumor", "Prostate-bio"),
+        ],
+        ["case_id", "sample", "sample_type", "primary_site"],
+    )
+
+
+def test_drop_list_columns_is_get_to_drops(spark):
+    flat = flatten_structs(_clinical(spark), sep=".")
+    out = drop_list_columns(flat)
+    assert "icd_10_codes" not in out.columns  # scalar-array leaf dropped
+    assert set(out.columns) == {
+        "case_id", "demographic.gender", "demographic.year_of_birth",
+        "primary_site",
+    }
+
+
+def test_pheno_transform_clinical_priority(spark):
+    ds = GDCPhenosetSpark(projects="TCGA-T", xena_dtype="GDC_phenotype")
+    out = ds.transform(_clinical(spark), _biospecimen(spark))
+    rows = {r.sample: r for r in out.collect()}
+    assert set(rows) == {"s1", "s2", "s3"}
+    # one row per sample, enriched with case-level clinical
+    assert rows["s1"]["demographic.gender"] == "female"
+    assert rows["s3"]["demographic.year_of_birth"] == 1960
+    # overlapping column: clinical wins when non-null, else biospecimen
+    assert rows["s1"].primary_site == "Breast"  # clinical over "Breast-bio"
+    assert rows["s3"].primary_site == "Prostate-bio"  # clinical was null
+
+
+def test_pheno_clinical_only_kind(spark):
+    ds = GDCPhenosetSpark(projects="TCGA-T", xena_dtype="clinical")
+    out = ds.transform(_clinical(spark), None)
+    assert "demographic.gender" in out.columns
+    assert out.count() == 2
+
+
+def test_pheno_rejects_unknown_dtype():
+    with pytest.raises(ValueError):
+        GDCPhenosetSpark(projects="P", xena_dtype="nope")
+
+
+def test_survival_transform_shape(spark):
+    surv = spark.createDataFrame(
+        [("c1", False, 912.0, "P1"), ("c2", True, 30.0, "P2")],
+        ["case_id", "censored", "time", "submitter_id"],
+    )
+    samples = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s3")], ["case_id", "sample"]
+    )
+    ds = GDCSurvivalsetSpark(projects="TCGA-T")
+    rows = {r.sample: r for r in ds.transform(surv, samples).collect()}
+    # OS = int(NOT censored) (xena_dataset.py:1561), one row per sample
+    assert rows["s1"].OS == 1 and rows["s1"].OS_time == 912.0
+    assert rows["s1"]._PATIENT == "P1"
+    assert rows["s3"].OS == 0
+
+
+def _run_cli(*args: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "xena_gdc_etl_spark.cli", *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=240,
+    )
+
+
+def _read_tsv_dir(path: str) -> list[dict]:
+    part = glob.glob(os.path.join(path, "part-*.csv"))[0]
+    with open(part, newline="") as f:
+        return list(csv.DictReader(f, delimiter="\t"))
+
+
+def test_cli_etl_survival_end_to_end(spark, tmp_path):
+    surv_p = str(tmp_path / "surv.parquet")
+    samp_p = str(tmp_path / "samp.parquet")
+    spark.createDataFrame(
+        [("c1", False, 912.0, "P1"), ("c2", True, 30.0, "P2")],
+        ["case_id", "censored", "time", "submitter_id"],
+    ).write.parquet(surv_p)
+    spark.createDataFrame(
+        [("c1", "s1"), ("c2", "s3")], ["case_id", "sample"]
+    ).write.parquet(samp_p)
+
+    root = str(tmp_path / "out")
+    proc = _run_cli(
+        "etl-survival", "--survival", surv_p, "--case-samples", samp_p,
+        "--project", "TCGA-T", "--root-dir", root,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_dir = os.path.join(root, "TCGA-T", "Xena_Matrices", "TCGA-T.survival.tsv")
+    rows = {r["sample"]: r for r in _read_tsv_dir(out_dir)}
+    # Xena spec: 4 columns named sample, OS, OS.time, _PATIENT
+    assert set(rows["s1"].keys()) == {"sample", "OS", "OS.time", "_PATIENT"}
+    assert rows["s1"]["OS"] == "1" and rows["s3"]["OS"] == "0"
+    meta = json.load(open(out_dir + ".json"))
+    # template.survival.meta.json parity
+    assert meta["label"] == "survival data"
+    assert meta["type"] == "clinicalMatrix"
+    assert meta["dataSubType"] == "phenotype"
+
+
+def test_cli_etl_pheno_end_to_end(spark, tmp_path):
+    clin_p = str(tmp_path / "clin.parquet")
+    bio_p = str(tmp_path / "bio.parquet")
+    _clinical(spark).write.parquet(clin_p)
+    _biospecimen(spark).write.parquet(bio_p)
+
+    root = str(tmp_path / "out")
+    proc = _run_cli(
+        "etl-pheno", "--clinical", clin_p, "--biospecimen", bio_p,
+        "--project", "TCGA-T", "--root-dir", root,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_dir = os.path.join(
+        root, "TCGA-T", "Xena_Matrices", "TCGA-T.GDC_phenotype.tsv"
+    )
+    rows = {r["sample"]: r for r in _read_tsv_dir(out_dir)}
+    assert set(rows) == {"s1", "s2", "s3"}
+    assert rows["s1"]["primary_site"] == "Breast"
+    assert rows["s2"]["sample_type"] == "Solid Tissue Normal"
+    # list-valued clinical leaf never reaches the matrix
+    assert "icd_10_codes" not in rows["s1"]
+    assert os.path.exists(out_dir + ".json")

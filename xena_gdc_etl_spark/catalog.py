@@ -10,6 +10,7 @@ cached or collected here.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,19 +48,30 @@ class Catalog:
     # DataFrames are immutable logical plans, so resolving a table once per
     # (session, path) is safe — and skips the file-listing + footer-schema
     # job `spark.read.parquet` runs on every call (a fixed per-query tax
-    # when a workload touches the same tables repeatedly).
-    _RESOLVED: dict[tuple[int, str], DataFrame] = {}
+    # when a workload touches the same tables repeatedly). Keyed by a weakref
+    # to the session so a stopped+collected session never aliases a new one
+    # (id() reuse), and dead entries vanish with their session.
+    _RESOLVED: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+        weakref.WeakKeyDictionary()
+    )
 
     def table(self, name: str) -> DataFrame:
-        key = (id(self.spark), self.path(name))
-        cached = self._RESOLVED.get(key)
+        per_session = self._RESOLVED.setdefault(self.spark, {})
+        path = self.path(name)
+        cached = per_session.get(path)
         if cached is not None:
             return cached
-        df = self.spark.read.parquet(self.path(name))
+        if name in self._NANOS_TS_COLS:
+            # The events parquet stores ts as TIMESTAMP(NANOS), which Spark
+            # refuses to read (PARQUET_TYPE_ILLEGAL) unless this runtime SQL
+            # conf is on. Externally-built sessions (the correctness harness)
+            # don't go through session.py, so set it here, at the read site.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
         for col in self._NANOS_TS_COLS.get(name, ()):
             if col in df.columns and dict(df.dtypes)[col] == "bigint":
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-        self._RESOLVED[key] = df
+        per_session[path] = df
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

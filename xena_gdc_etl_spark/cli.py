@@ -29,6 +29,30 @@ def create_parser() -> argparse.ArgumentParser:
     etl.add_argument("--value-col", default="value")
     etl.add_argument("--out", required=True, help="output matrix TSV directory")
 
+    pheno = sub.add_parser(
+        "etl-pheno", help="build a phenotype matrix (clinical ⋈ biospecimen)"
+    )
+    pheno.add_argument("--clinical", required=True, help="clinical parquet path")
+    pheno.add_argument("--biospecimen", default=None, help="biospecimen parquet path")
+    pheno.add_argument("--project", required=True)
+    pheno.add_argument(
+        "--dtype",
+        default="GDC_phenotype",
+        choices=["clinical", "biospecimen", "raw_phenotype", "GDC_phenotype"],
+    )
+    pheno.add_argument("--root-dir", default=".")
+    pheno.add_argument("--release", default="")
+
+    surv = sub.add_parser(
+        "etl-survival", help="build the 4-column Xena survival matrix"
+    )
+    surv.add_argument("--survival", required=True, help="per-case survival parquet")
+    surv.add_argument("--case-samples", required=True, help="case→sample map parquet")
+    surv.add_argument("--case-key", default="case_id")
+    surv.add_argument("--project", required=True)
+    surv.add_argument("--root-dir", default=".")
+    surv.add_argument("--release", default="")
+
     eql = sub.add_parser("xena-eql", help="check equality of two matrices")
     eql.add_argument("df1")
     eql.add_argument("df2")
@@ -95,6 +119,33 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_xena_tsv(matrix, options.out)
         print(f"Xena matrix is saved at {options.out}.")
+        return 0
+
+    if options.subcomm == "etl-pheno":
+        from xena_gdc_etl_spark.pipeline import GDCPhenosetSpark
+
+        ds = GDCPhenosetSpark(
+            projects=options.project,
+            xena_dtype=options.dtype,
+            root_dir=options.root_dir,
+            gdc_release=options.release,
+        )
+        out = ds.run(spark, options.clinical, options.biospecimen)
+        print(f"Xena matrix is saved at {out}.")
+        return 0
+
+    if options.subcomm == "etl-survival":
+        from xena_gdc_etl_spark.pipeline import GDCSurvivalsetSpark
+
+        ds = GDCSurvivalsetSpark(
+            projects=options.project,
+            root_dir=options.root_dir,
+            gdc_release=options.release,
+        )
+        out = ds.run(
+            spark, options.survival, options.case_samples, options.case_key
+        )
+        print(f"Xena matrix is saved at {out}.")
         return 0
 
     if options.subcomm == "xena-eql":

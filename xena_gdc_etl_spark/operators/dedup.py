@@ -139,24 +139,39 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs (a < b, distinct) via a per-(band, bucket)
-    self-join of the bucket table.
+    """LSH candidate pairs (a < b, distinct): group each (band, bucket) into
+    a sorted member array and expand pairs with a higher-order transform.
 
-    Scale: the join key is (band_id, bucket) — only docs agreeing on a full
-    band ever meet; a hot bucket (many identical docs) is the one genuinely
-    quadratic spot and is AQE-skew-split.
+    One shuffle (the groupBy) computes the signature pipeline exactly once —
+    no self-join, so no persist and no double-computed lineage. A hot bucket
+    (many near-identical docs) is the one genuinely quadratic spot;
+    ``max_bucket_size`` drops over-limit buckets BEFORE pair expansion (a
+    bucket of m docs would emit m·(m-1)/2 pairs), which is the standard
+    at-scale mitigation — members of a giant bucket are still clustered
+    together via every other bucket they share.
     """
-    # The bucket table is tiny next to the corpus (one row per doc per band)
-    # but its lineage is the whole shingle+signature pipeline — persist so
-    # the self-join doesn't recompute that pipeline for each side.
-    buckets = lsh_buckets(signatures, id_col, num_hashes, band_size).persist()
-    a = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
-    b_ = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    buckets = lsh_buckets(signatures, id_col, num_hashes, band_size)
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # ids is ascending, so pairing each element with its suffix gives a < b.
     return (
-        a.join(b_, on=["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -370,6 +385,7 @@ def ngram_jaccard_pairs(
     bucket_col: str = "source",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs sharing a bucket.
 
@@ -378,8 +394,12 @@ def ngram_jaccard_pairs(
     candidate pairs come from a pairwise explode of each posting list, so
     the intersection count needs no self-join. |A∪B| = |A|+|B|-|A∩B|.
     Never a doc×doc cross join; a hot gram's posting list is the one
-    quadratic spot (cap it upstream with a document-frequency cut when the
-    corpus needs it).
+    quadratic spot — ``max_doc_freq`` drops posting lists longer than the
+    cap BEFORE the pairwise explode (the classic document-frequency cut:
+    a gram shared by thousands of docs carries no dedup signal but would
+    emit |df|² pair rows). Capped grams still count toward each doc's
+    denominator ``sz``, so surviving similarities are a strict lower bound
+    — exactly the conservative direction for dedup.
     """
     grams = _spread(docs).select(
         F.col(id_col),
@@ -396,6 +416,8 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set(F.col(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ids") <= max_doc_freq)
     inter = (
         postings.select(F.explode("ids").alias("a"), F.col("ids"))
         .select("a", F.explode("ids").alias("b"))

@@ -55,6 +55,53 @@ def explode_nested(
     return out
 
 
+def format_multiple(
+    df: DataFrame, id_col: str = "id", sep: str = ","
+) -> DataFrame:
+    """Collapse multiple rows per id into one — the engine-side
+    ``format_multiple_data`` (/root/reference/xena_gdc_etl/gdc.py:156): a
+    field with one (distinct, non-null) value per id becomes that scalar; a
+    field with several values becomes a deterministic ``sep``-joined list
+    (the reference keeps a Python list in the cell; a joined sorted string
+    is the engine-portable equivalent). One partial-aggregated groupBy.
+    """
+    value_cols = [c for c in df.columns if c != id_col]
+    aggs = []
+    for c in value_cols:
+        vals = F.sort_array(
+            F.array_distinct(
+                F.collect_list(F.col(f"`{c}`").cast("string"))
+            )
+        )
+        aggs.append(
+            F.when(F.size(vals) == 0, F.lit(""))
+            .when(F.size(vals) == 1, F.element_at(vals, 1))
+            .otherwise(F.array_join(vals, sep))
+            .alias(c)
+        )
+    return df.groupBy(F.col(f"`{id_col}`")).agg(*aggs)
+
+
+def drop_list_columns(df: DataFrame) -> DataFrame:
+    """Drop columns whose type is an array of scalars — the engine-side
+    ``get_to_drops`` (/root/reference/xena_gdc_etl/utils.py:235): the
+    reference walks the nested case dict and drops leaf paths whose values
+    are lists (they can't be tabulated per-sample). After
+    ``flatten_structs``, those paths are exactly the scalar-array columns;
+    arrays of structs are kept (they're ``explode_nested`` material, a
+    caller decision). Pure projection — no shuffle.
+    """
+    keep = [
+        f.name
+        for f in df.schema.fields
+        if not (
+            isinstance(f.dataType, ArrayType)
+            and not isinstance(f.dataType.elementType, StructType)
+        )
+    ]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
 def reduce_array(col: Column) -> Column:
     """Collapse an array the way ``reduce_json_array`` does: a single
     (distinct) value becomes the scalar itself; genuinely multiple values

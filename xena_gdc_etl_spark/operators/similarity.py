@@ -25,6 +25,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _safe_norms(m: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zeros replaced by 1.0 — a zero vector then keeps
+    cosine 0.0 against everything instead of poisoning the matmul with NaN
+    (NaN > threshold is False, but NaN also breaks top-k ordering).
+    """
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return norms
+
+
 _TOPK_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -56,7 +66,7 @@ def cosine_topk(
     ).collect()
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     qm = np.array([r.qv for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / _safe_norms(qm)
     bc = spark.sparkContext.broadcast((q_ids, qn))
 
     def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -66,7 +76,7 @@ def cosine_topk(
                 continue
             vids = pdf[id_col].to_numpy(dtype=np.int64)
             vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            vm /= _safe_norms(vm)
             sims = np.round(vm @ qmat.T, 6)  # (n_vec, n_query)
             out_q, out_m, out_s = [], [], []
             for j, qid in enumerate(ids):
@@ -146,7 +156,7 @@ def ivf_assign(
     crows.sort(key=lambda r: r.cid)
     c_ids = np.array([r.cid for r in crows], dtype=np.int64)
     cm = np.array([r.cv for r in crows], dtype=np.float64)
-    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    cn = cm / _safe_norms(cm)
     bc = spark.sparkContext.broadcast((c_ids, cn))
 
     in_schema = vectors.select(id_col, vec_col).schema
@@ -164,7 +174,7 @@ def ivf_assign(
             if pdf.empty:
                 continue
             vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            vm /= _safe_norms(vm)
             sims = np.round(vm @ cmat.T, 6)
             nearest = ids[np.argmax(sims, axis=1)]
             yield pd.DataFrame(
@@ -219,7 +229,7 @@ def ivf_topk(
     def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         vids = pdf[id_col].to_numpy(dtype=np.int64)
         vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+        vm /= _safe_norms(vm)
         qmask = pdf["is_query"].to_numpy()
         if not qmask.any():
             return pd.DataFrame(columns=["query_id", "match_id", "sim", "rank"])
@@ -283,9 +293,20 @@ def ivf_train(
                 for i in range(dim)
             ]
         )
-        centroids = means.select(
+        # Left-join back to the previous centroid set: a cell that attracted
+        # no vectors this round keeps its old centroid instead of silently
+        # vanishing (which would shrink the index below k without warning).
+        prev = centroids.select(
+            F.col(centroid_id), F.col(vec_col).alias("__prev")
+        )
+        centroids = prev.join(means, centroid_id, "left").select(
             F.col(centroid_id),
-            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias(vec_col),
+            F.when(
+                F.col("c0").isNotNull(),
+                F.array(*[F.col(f"c{i}") for i in range(dim)]),
+            )
+            .otherwise(F.col("__prev"))
+            .alias(vec_col),
         )
     return centroids
 
@@ -311,7 +332,7 @@ def cosine_dup_pairs(
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         vids = pdf[id_col].to_numpy(dtype=np.int64)
         vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+        vm /= _safe_norms(vm)
         sims = np.round(vm @ vm.T, 6)
         iu, ju = np.triu_indices(len(vids), k=1)
         # canonical (a < b) orientation regardless of row order in the cell

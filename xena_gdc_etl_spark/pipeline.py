@@ -107,3 +107,163 @@ class XenaDatasetSpark:
         """download → transform → export, as the reference's CLI does per
         dataset (main.py etl subcommand)."""
         return self.export(self.transform(self.load(spark, source_path)))
+
+
+def _projects_str(projects: str | list[str]) -> str:
+    return ",".join(projects) if isinstance(projects, list) else projects
+
+
+@dataclass
+class GDCPhenosetSpark:
+    """Phenotype dataset — the reference's ``GDCPhenoset``
+    (/root/reference/xena_gdc_etl/xena_dataset.py:1232) re-expressed:
+    case-level clinical merges onto sample-level biospecimen with
+    clinical-over-biospecimen priority on overlapping columns
+    (:1385 ``transform``), nested fields flatten into dotted columns
+    (``pandas.json_normalize`` → ``flatten_structs``), and list-valued leaf
+    paths drop (``get_to_drops``, utils.py:235 → ``drop_list_columns``).
+
+    Scale: clinical is per-case (orders of magnitude smaller than
+    per-sample data at cohort size) so the merge broadcasts it; everything
+    else is pure projection.
+    """
+
+    projects: str | list[str]
+    xena_dtype: str = "GDC_phenotype"  # clinical | biospecimen | GDC_phenotype
+    root_dir: str = "."
+    gdc_release: str = ""
+
+    _VALID = ("clinical", "biospecimen", "raw_phenotype", "GDC_phenotype")
+
+    def __post_init__(self) -> None:
+        if self.xena_dtype not in self._VALID:
+            raise ValueError(
+                f"xena_dtype must be one of {self._VALID}, got {self.xena_dtype!r}"
+            )
+
+    def load(
+        self, spark: SparkSession, clinical_path: str, biospecimen_path: str | None = None
+    ) -> tuple[DataFrame, DataFrame | None]:
+        clin = spark.read.parquet(clinical_path)
+        bio = (
+            spark.read.parquet(biospecimen_path) if biospecimen_path else None
+        )
+        return clin, bio
+
+    def transform(
+        self,
+        clinical: DataFrame,
+        biospecimen: DataFrame | None = None,
+        sample_col: str = "sample",
+        case_col: str = "case_id",
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from xena_gdc_etl_spark.operators.matrix import coalesce_join
+        from xena_gdc_etl_spark.operators.nested import (
+            drop_list_columns,
+            flatten_structs,
+        )
+
+        clin = drop_list_columns(flatten_structs(clinical, sep="."))
+        if self.xena_dtype in ("clinical", "raw_phenotype") or biospecimen is None:
+            return clin
+        bio = drop_list_columns(flatten_structs(biospecimen, sep="."))
+        if self.xena_dtype == "biospecimen":
+            return bio
+        # GDC_phenotype: per-sample biospecimen rows enriched with case-level
+        # clinical; clinical wins on overlap (coalesce_join takes the LEFT
+        # value, so clinical is the left side; right-outer keeps every
+        # sample). Broadcast the small per-case side — the per-sample big
+        # side never shuffles.
+        key = case_col if case_col in clin.columns else sample_col
+        if key == case_col and case_col in bio.columns:
+            merged = coalesce_join(
+                F.broadcast(clin), bio, on=case_col, how="right"
+            )
+        else:
+            merged = coalesce_join(clin, bio, on=sample_col, how="full")
+        return merged
+
+    @property
+    def matrix_dir(self) -> str:
+        return os.path.join(
+            self.root_dir, _projects_str(self.projects), "Xena_Matrices"
+        )
+
+    def export(self, matrix: DataFrame, name: str | None = None) -> str:
+        name = name or f"{_projects_str(self.projects)}.{self.xena_dtype}.tsv"
+        out = os.path.join(self.matrix_dir, name)
+        matrix.coalesce(1).write.options(
+            sep="\t", header=True, nullValue="NA"
+        ).mode("overwrite").csv(out)
+        meta = build_metadata(
+            self.projects, "clinical", out, self.gdc_release
+        )
+        write_metadata(meta, out)
+        return out
+
+    def run(
+        self,
+        spark: SparkSession,
+        clinical_path: str,
+        biospecimen_path: str | None = None,
+    ) -> str:
+        clin, bio = self.load(spark, clinical_path, biospecimen_path)
+        return self.export(self.transform(clin, bio))
+
+
+@dataclass
+class GDCSurvivalsetSpark:
+    """Survival dataset — the reference's ``GDCSurvivalset``
+    (/root/reference/xena_gdc_etl/xena_dataset.py:1417): the per-case
+    survival table becomes the 4-column Xena survival matrix
+    (sample, OS, OS.time, _PATIENT; :1520 ``transform``) with one row per
+    sample of each case. ``survival_matrix`` broadcasts the per-case side
+    onto the case→sample map, so the big side never shuffles.
+    """
+
+    projects: str | list[str]
+    root_dir: str = "."
+    gdc_release: str = ""
+    xena_dtype: str = "survival"
+
+    def transform(
+        self,
+        survival: DataFrame,
+        case_samples: DataFrame,
+        case_key: str = "case_id",
+    ) -> DataFrame:
+        from xena_gdc_etl_spark.operators.survival import survival_matrix
+
+        return survival_matrix(survival, case_samples, case_key)
+
+    @property
+    def matrix_dir(self) -> str:
+        return os.path.join(
+            self.root_dir, _projects_str(self.projects), "Xena_Matrices"
+        )
+
+    def export(self, matrix: DataFrame, name: str | None = None) -> str:
+        name = name or f"{_projects_str(self.projects)}.survival.tsv"
+        out = os.path.join(self.matrix_dir, name)
+        # Xena's header spells it "OS.time" (xena_dataset.py:1545); the
+        # engine keeps OS_time internally (dots in Spark names fight column
+        # resolution) and renames only at the sink.
+        matrix.withColumnRenamed("OS_time", "OS.time").coalesce(1).write.options(
+            sep="\t", header=True, nullValue="NA"
+        ).mode("overwrite").csv(out)
+        meta = build_metadata(self.projects, "survival", out, self.gdc_release)
+        write_metadata(meta, out)
+        return out
+
+    def run(
+        self,
+        spark: SparkSession,
+        survival_path: str,
+        case_samples_path: str,
+        case_key: str = "case_id",
+    ) -> str:
+        surv = spark.read.parquet(survival_path)
+        samples = spark.read.parquet(case_samples_path)
+        return self.export(self.transform(surv, samples, case_key))

