@@ -275,3 +275,53 @@ def test_interval_join_spanning_many_bins_no_duplicates(spark):
     )
     # pids 0..3 in [00:30, 04:30); pid 4 at 04:30 excluded (half-open)
     assert rows(out, "pid", "iid") == [(0, 10), (1, 10), (2, 10), (3, 10)]
+
+
+def test_word_chunks_drops_partial_tail(spark):
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.operators.text import _tokens, word_chunks
+
+    df = spark.createDataFrame(
+        [("a b c d e f g",), ("a b",), ("",)], ["text"]
+    )
+    rows = df.select(
+        word_chunks(_tokens(F.col("text")), 3).alias("ch")
+    ).collect()
+    assert rows[0].ch == ["a b c", "d e f"]  # 'g' tail dropped
+    assert rows[1].ch == []  # shorter than width -> no backward sequence
+    assert rows[2].ch == []
+
+
+def test_passage_dedup_stats_flags_shared_chunks(spark):
+    from xena_gdc_etl_spark.operators.text import passage_dedup_stats
+
+    shared = "one two three four five six seven eight nine ten"
+    tail_a = "tail words beyond the first chunk boundary right here ok"
+    tail_b = "different continuation text of exactly ten more words here x"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " " + tail_a),  # 20 words -> 2 chunks
+            (1, shared + " " + tail_b),  # 20 words -> 2 chunks
+            (2, "totally unrelated words that never repeat anywhere at all no"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in passage_dedup_stats(docs, width=10).collect()}
+    # docs 0 and 1 share their first 10-word chunk
+    assert rows[0].n_shared == 1 and rows[1].n_shared == 1
+    assert rows[2].n_shared == 0
+    assert rows[0].shared_frac == 0.5  # 1 of its 2 chunks
+
+
+def test_quality_filter_rules(spark):
+    from xena_gdc_etl_spark.operators.text import quality_filter
+
+    ok = " ".join(f"word{i}" for i in range(40))
+    too_short = "tiny doc here"
+    all_dupes = " ".join(["same"] * 50)
+    docs = spark.createDataFrame(
+        [(0, ok), (1, too_short), (2, all_dupes)], ["doc_id", "text"]
+    )
+    kept = {r.doc_id for r in quality_filter(docs).collect()}
+    assert kept == {0}  # 1 fails min_words, 2 fails dup_word_frac

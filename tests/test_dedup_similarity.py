@@ -248,3 +248,30 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "jane.doe" not in out[0].scrubbed_text
     assert out[1].n_ipv4 == 1 and "<IP>" in out[1].scrubbed_text
     assert out[2].scrubbed_text == "nothing sensitive here"
+
+
+def test_simhash_pairs_finds_close_fingerprints(spark):
+    # hand-built fingerprints: 0b1111000011110000 vs flipped-2-bits copy
+    # (hamming 2, must be found), vs a far fingerprint (hamming 8, dropped)
+    fps = spark.createDataFrame(
+        [(1, 0b1111000011110000), (2, 0b1111000011111100),
+         (3, 0b0000111111110000)],
+        ["doc_id", "simhash"],
+    )
+    out = {(r.a, r.b): r.hamming for r in dd.simhash_pairs(
+        fps, bits=16, bands=4, max_distance=3
+    ).collect()}
+    assert out == {(1, 2): 2}
+
+
+def test_simhash_pairs_pigeonhole_guard(spark):
+    fps = spark.createDataFrame([(1, 0)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError):
+        dd.simhash_pairs(fps, bits=16, bands=4, max_distance=4)
+
+
+def test_simhash_pairs_exact_duplicates_hamming_zero(spark):
+    df = docs_df(spark, ["the quick brown fox jumps", "the quick brown fox jumps"])
+    fps = dd.simhash(df, bits=16)
+    out = dd.simhash_pairs(fps, bits=16, bands=4, max_distance=3).collect()
+    assert [(r.a, r.b, r.hamming) for r in out] == [(0, 1, 0)]

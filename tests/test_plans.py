@@ -125,3 +125,33 @@ def test_range_join_is_equi_join_not_cartesian(spark, sf_dir):
     plan = formatted_plan(QUERIES["range_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_no_cartesian_no_python(spark, sf_dir):
+    plan = formatted_plan(QUERIES["simhash_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert python_udf_count(QUERIES["simhash_pairs"](spark, sf_dir)) == 0
+
+
+def test_quality_filter_is_scan_stage_only(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    df = QUERIES["quality_filter"](spark, sf_dir)
+    # rule-chain filter must be a single pass: no shuffle, no Python
+    assert shuffle_count(df) == 0
+    assert python_udf_count(df) == 0
+    # and it only reads what it needs from the scan
+    read = scan_read_schema(df)
+    assert "text" in read and "lang" not in read
+
+
+def test_passage_dedup_no_pair_join(spark, sf_dir):
+    plan = formatted_plan(QUERIES["passage_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert python_udf_count(QUERIES["passage_dedup"](spark, sf_dir)) == 0
+
+
+def test_dedup_keep_best_reads_two_doc_columns(spark, sf_dir):
+    df = QUERIES["dedup_keep_best"](spark, sf_dir)
+    # the doc side of the window argmax joins only (doc_id, length(text))
+    assert python_udf_count(df) == 0

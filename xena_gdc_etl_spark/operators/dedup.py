@@ -378,6 +378,81 @@ def simhash(
     return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 16,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_distance``.
+
+    Pigeonhole exactness: splitting ``bits`` into ``bands`` equal slices,
+    two fingerprints within Hamming distance ``bands - 1`` MUST agree on at
+    least one whole slice — so banding the bits and pairing only within a
+    (band, value) bucket finds every qualifying pair without an O(n²) self
+    join (the classic Manku/Jain/Sarma web-dedup plan). Candidates then
+    verify exactly with ``bit_count(a XOR b)``. Requires
+    ``max_distance < bands`` for completeness (checked).
+    """
+    if max_distance >= bands:
+        raise ValueError(
+            f"max_distance={max_distance} needs bands > max_distance "
+            f"(pigeonhole completeness); got bands={bands}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("v"),
+        )
+        for b in range(bands)
+    ]
+    buckets = fingerprints.select(
+        F.col(id_col), F.explode(F.array(*slices)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.v").alias("v"))
+    grouped = (
+        buckets.groupBy("band", "v")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    fa = fingerprints.select(
+        F.col(id_col).alias("a"), F.col(sim_col).alias("__sa")
+    )
+    fb = fingerprints.select(
+        F.col(id_col).alias("b"), F.col(sim_col).alias("__sb")
+    )
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("__sa").bitwiseXOR(F.col("__sb"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("a", "b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -117,6 +117,109 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
 
 
+def word_chunks(tokens: Column, width: int) -> Column:
+    """Array of space-joined NON-overlapping ``width``-word chunks (the
+    passage unit for cross-document exact-passage dedup). The trailing
+    partial chunk is dropped — only full-width passages are comparable.
+    Guarded against Spark's backward-running sequence for short docs.
+    """
+    n_chunks = F.floor(F.size(tokens) / width).cast("int")
+    idx = F.when(
+        n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i * width + 1, width), " ")
+    )
+
+
+def passage_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+) -> DataFrame:
+    """Per-document cross-corpus repeated-passage fraction — the
+    ExactSubstr-style passage dedup signal at word-chunk granularity: a
+    passage is "shared" when the identical ``width``-word chunk appears in
+    at least one OTHER document.
+
+    Plan: explode distinct chunks per doc, one groupBy computes each
+    chunk's document frequency (map-side partial), a narrow self-aggregate
+    per doc counts shared chunks. No text re-read, no pair join — the
+    output is per-doc, so cardinality never exceeds the corpus.
+    """
+    from xena_gdc_etl_spark.operators.dedup import _spread
+
+    chunks = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(word_chunks(_tokens(F.col(text_col)), width)).alias(
+                "chunk"
+            ),
+        )
+        .distinct()
+    )
+    df_counts = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    return (
+        chunks.join(df_counts, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 10_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_word_frac: float = 0.8,
+) -> DataFrame:
+    """C4/Gopher-style rule-chain document filter: keep documents whose
+    word count, mean word length, and duplicate-word fraction all fall in
+    the configured bands. All rules are scan-stage Column predicates
+    (no explode, no shuffle, no Python) — at 100 TB this is a single pass
+    that parquet row-group statistics can help skip.
+    """
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wlen = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_words, F.lit(1))
+    dup_frac = 1 - F.size(F.array_distinct(toks)) / F.greatest(
+        n_words, F.lit(1)
+    )
+    return (
+        docs.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", F.round(mean_wlen, 6))
+        .withColumn("dup_word_frac", F.round(dup_frac, 6))
+        .filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+        )
+        .select(id_col, "n_words", "mean_word_len", "dup_word_frac")
+    )
+
+
 def repetition_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

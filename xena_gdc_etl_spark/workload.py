@@ -678,6 +678,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clusters_df(spark, sf_dir)
+
+
+def _clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
     docs = Catalog(spark, sf_dir).documents
@@ -686,6 +690,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat_ws("|", F.col("band"), F.col("bucket")).alias("bkey")
     )
     return dd.connected_components_bipartite(docs, buckets)
+
+
+# --------------------------------------------------------------------------
+# 22d. Keep-best-per-cluster: the dedup DECISION — for every duplicate
+#      cluster keep the longest document (tiebreak: smallest doc id), the
+#      step that turns cluster labels into a curated corpus. Window argmax
+#      over the cluster labels joined with a 2-column doc projection.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig),
+    pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id),
+    ed AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN ed e ON e.src = r.node),
+    cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    ranked AS (
+        SELECT cl.cluster_id, d.doc_id, length(d.text) AS n_chars,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY length(d.text) DESC, d.doc_id) AS rn,
+               count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+        FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           doc_id AS keep_id,
+           CAST(n_chars AS BIGINT) AS keep_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    clusters = _clusters_df(spark, sf_dir)
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    joined = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        ),
+    ).withColumn("n_members", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_chars").cast("bigint").alias("keep_chars"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -806,6 +875,111 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import dedup as dd
 
     return dd.simhash(Catalog(spark, sf_dir).documents, bits=16)
+
+
+# --------------------------------------------------------------------------
+# 23b. SimHash near-duplicate pairs: Hamming distance ≤ 3 over the 16-bit
+#      fingerprints via 4-bit band buckets (pigeonhole: d ≤ bands-1 ⇒ at
+#      least one identical band), then exact bit_count verify. The classic
+#      web-scale simhash dedup plan — never an O(n²) self join.
+#      Query-level discipline: a deterministic 10% doc sample bounds the
+#      output (the synthetic corpus's ~40-word vocabulary packs 16-bit
+#      fingerprints so densely that the full corpus yields ~4M pairs at
+#      sf0.1 — an output-cardinality artifact of the fixture, not the plan;
+#      real corpora at 64 bits are sparse).
+# --------------------------------------------------------------------------
+@query(
+    "simhash_pairs",
+    f"""
+    WITH fp AS (SELECT * FROM ({_simhash_sql(16)}) WHERE doc_id % 10 = 0),
+    bands AS (
+        SELECT doc_id, b, (simhash >> (4 * b)) & 15 AS v
+        FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b)),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.v = y.v
+        WHERE x.doc_id < y.doc_id)
+    SELECT a, b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM cand JOIN fp fa ON fa.doc_id = a JOIN fp fb ON fb.doc_id = b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+    """,
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 10 == 0)
+    fps = dd.simhash(docs, bits=16)
+    return dd.simhash_pairs(fps, bits=16, bands=4, max_distance=3)
+
+
+# --------------------------------------------------------------------------
+# 34b. Passage-level dedup signal: fraction of each document's 10-word
+#      chunks that appear verbatim in at least one other document
+#      (ExactSubstr-lite at chunk granularity). Per-doc output — never the
+#      pair set.
+# --------------------------------------------------------------------------
+@query(
+    "passage_dedup",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        FROM documents),
+    ch AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+        FROM (SELECT doc_id, tk,
+                     unnest(range(CAST(floor(len(tk) / 10) AS INT))) AS i
+              FROM toks)),
+    dfc AS (SELECT chunk, count(*) AS df FROM ch GROUP BY chunk)
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) / count(*), 6) AS DOUBLE) AS shared_frac
+    FROM ch JOIN dfc USING (chunk)
+    GROUP BY ch.doc_id
+    """,
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.passage_dedup_stats(
+        Catalog(spark, sf_dir).documents, width=10
+    )
+
+
+# --------------------------------------------------------------------------
+# 28b. Quality rule-chain filter (C4/Gopher style): word-count band, mean
+#      word length band, duplicate-word cap — all scan-stage predicates.
+# --------------------------------------------------------------------------
+@query(
+    "quality_filter",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(tk) AS n_words,
+               round(list_sum(list_transform(tk, x -> length(x))) / greatest(len(tk), 1), 6) AS mean_word_len,
+               round(1 - len(list_distinct(tk)) / greatest(len(tk), 1), 6) AS dup_word_frac
+        FROM t)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(mean_word_len AS DOUBLE) AS mean_word_len,
+           CAST(dup_word_frac AS DOUBLE) AS dup_word_frac
+    FROM m
+    WHERE n_words BETWEEN 30 AND 10000
+      AND mean_word_len BETWEEN 2.0 AND 10.0
+      AND dup_word_frac <= 0.8
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.quality_filter(Catalog(spark, sf_dir).documents)
 
 
 # --------------------------------------------------------------------------
@@ -1634,4 +1808,75 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
             for c in ("click", "view", "purchase", "signup", "error")
         ],
+    )
+
+
+# --------------------------------------------------------------------------
+# 50. Ordered-sequence funnel over the event stream: users who viewed, then
+#     clicked AFTER the first view, then purchased AFTER that click. Three
+#     stacked window-mins over the same user partition — Catalyst plans ONE
+#     exchange for all three (same partitioning), then a global count; the
+#     ts-ordering constraint never needs a self-join or explode.
+# --------------------------------------------------------------------------
+@query(
+    "event_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    u AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM e GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(ts) AS t2
+        FROM e JOIN u USING (user_id)
+        WHERE event_type = 'click' AND ts > u.t1
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(ts) AS t3
+        FROM e JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND ts > c.t2
+        GROUP BY e.user_id)
+    SELECT CAST(count(u.t1) AS BIGINT) AS n_view,
+           CAST(count(c.t2) AS BIGINT) AS n_view_click,
+           CAST(count(p.t3) AS BIGINT) AS n_funnel
+    FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev_df = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev_df.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_view_click"),
+        F.count("t3").cast("bigint").alias("n_funnel"),
     )
