@@ -170,3 +170,65 @@ def test_cli_etl_pheno_end_to_end(spark, tmp_path):
     # list-valued clinical leaf never reaches the matrix
     assert "icd_10_codes" not in rows["s1"]
     assert os.path.exists(out_dir + ".json")
+
+
+def test_hits_to_df_and_samples_clinical_offline(spark):
+    """The get_samples_clinical path (gdc.py:462) driven offline: nested
+    case hits -> per-sample flattened clinical rows."""
+    from xena_gdc_etl_spark.operators.phenotype import samples_clinical
+    from xena_gdc_etl_spark.sources.gdc_api import hits_to_df
+
+    hits = [
+        {
+            "id": "case-1",
+            "demographic": {"gender": "female", "vital_status": "Alive"},
+            "diagnoses": [{"primary_diagnosis": "x"}],  # list leaf-> dropped
+            "samples": [
+                {"submitter_id": "S1", "sample_type": "Primary Tumor"},
+                {"submitter_id": "S2", "sample_type": "Solid Tissue Normal"},
+            ],
+        },
+        {
+            "id": "case-2",
+            "demographic": {"gender": "male", "vital_status": "Dead"},
+            "samples": [
+                {"submitter_id": "S3", "sample_type": "Primary Tumor"}
+            ],
+        },
+        {"id": "case-3", "demographic": {"gender": "female"}},  # no samples
+    ]
+    cases = hits_to_df(spark, hits)
+    out = samples_clinical(cases)
+    rows = {r["sample"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"S1", "S2", "S3", None}  # outer explode keeps case-3
+    assert rows["S1"]["demographic.gender"] == "female"
+    assert rows["S2"]["samples.sample_type"] == "Solid Tissue Normal"
+    assert rows["S3"]["demographic.vital_status"] == "Dead"
+    # diagnoses was an array-of-struct: explode material, kept out of the
+    # flat matrix only if scalar-array; struct-arrays are a caller decision
+    flat_cols = set(rows["S1"].keys())
+    assert "id" in flat_cols
+
+
+def test_samples_clinical_feeds_pheno_transform(spark):
+    """hits -> samples_clinical -> GDCPhenosetSpark biospecimen-side merge."""
+    from xena_gdc_etl_spark.operators.phenotype import samples_clinical
+    from xena_gdc_etl_spark.sources.gdc_api import hits_to_df
+
+    hits = [
+        {
+            "id": "c1",
+            "primary_site": "Breast",
+            "samples": [{"submitter_id": "S1"}, {"submitter_id": "S2"}],
+        }
+    ]
+    bio = samples_clinical(hits_to_df(spark, hits)).withColumnRenamed(
+        "id", "case_id"
+    )
+    clin = spark.createDataFrame(
+        [("c1", 1970)], ["case_id", "year_of_birth"]
+    )
+    ds = GDCPhenosetSpark(projects="P", xena_dtype="GDC_phenotype")
+    merged = {r["sample"]: r for r in ds.transform(clin, bio).collect()}
+    assert merged["S1"]["year_of_birth"] == 1970
+    assert merged["S2"]["primary_site"] == "Breast"

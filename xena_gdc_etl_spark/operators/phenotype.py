@@ -53,6 +53,35 @@ def keep_samples_filter(
     return data.join(members, on=sample_col, how="left_semi")
 
 
+def samples_clinical(
+    cases: DataFrame,
+    samples_field: str = "samples",
+    sample_id_field: str = "submitter_id",
+    sep: str = ".",
+) -> DataFrame:
+    """Per-sample clinical table from nested GDC case records — the
+    reference's ``get_samples_clinical`` (gdc.py:462: fetch nested case
+    JSON, ``pandas.json_normalize`` per sample) as native Catalyst ops:
+    explode the samples array (one row per sample, outer — cases without
+    samples survive), star-expand nested structs into dotted columns, drop
+    list-valued leaves (``get_to_drops`` rule), and surface the sample's
+    submitter id as the ``sample`` column (the reference's
+    'submitter_id.samples' → 'sample' rename, xena_dataset.py:1399).
+    """
+    from xena_gdc_etl_spark.operators.nested import (
+        drop_list_columns,
+        explode_nested,
+        flatten_structs,
+    )
+
+    flat = explode_nested(cases, samples_field, keep_empty=True, sep=sep)
+    flat = drop_list_columns(flatten_structs(flat, sep=sep))
+    sample_col = f"{samples_field}{sep}{sample_id_field}"
+    if sample_col in flat.columns:
+        flat = flat.withColumnRenamed(sample_col, "sample")
+    return flat
+
+
 def case_to_samples(
     per_case: DataFrame,
     case_samples: DataFrame,

@@ -47,6 +47,20 @@ def data_url(uuid: str) -> str:
     return f"{GDC_API_BASE}/data/{uuid}"
 
 
+def hits_to_df(spark: SparkSession, hits: list[dict]) -> DataFrame:
+    """Materialize GDC API hit dicts (nested case/file JSON) as a DataFrame
+    with the nested structure intact — the ingestion half of the reference's
+    ``search(..., typ='dataframe')`` (gdc.py:221, which pandas-normalizes
+    instead). Schema inference runs on executors via ``spark.read.json``;
+    downstream normalization is ``operators.nested`` (flatten/explode/drop),
+    so the whole pipeline after this point is native Catalyst.
+    """
+    payload = [json.dumps(h) for h in hits]
+    return spark.read.json(
+        spark.sparkContext.parallelize(payload or ["{}"])
+    )
+
+
 def fetch_table(
     spark: SparkSession,
     endpoint: str,

@@ -49,3 +49,68 @@ def streaming_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming twin of the batch ``event_funnel`` query: per user, track
+    the earliest timestamp of each ORDERED funnel stage (stage k only
+    counts after stage k-1's time) and emit the user's current stage depth
+    every micro-batch.
+
+    State per user is just ``len(stages)`` epoch-micros — O(users), stream
+    length independent; order-correct across micro-batches because stage
+    times only ever move earlier-or-stay, never depend on within-batch
+    arrival order (each batch is sorted by ts before the fold).
+
+    Bounded-state caveat: an event that arrives AFTER a later-stage event
+    it should have enabled (cross-batch out-of-order beyond the fold's
+    view) can under-count that user's depth — the discarded later-stage
+    event is not replayed. The batch ``event_funnel`` query is the exact
+    form; in production pair this with a watermark and periodic batch
+    reconciliation, the standard lambda treatment for ordered-sequence
+    state.
+    """
+    n_stages = len(stages)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        times: list[int | None] = (
+            list(state.get) if state.exists else [None] * n_stages
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for typ, ts in zip(pdf[type_col], pdf[ts_col]):
+                micros = int(pd.Timestamp(ts).value // 1000)
+                for k, stage in enumerate(stages):
+                    if typ != stage:
+                        continue
+                    prev_ok = k == 0 or (
+                        times[k - 1] is not None and micros > times[k - 1]
+                    )
+                    if prev_ok and (times[k] is None or micros < times[k]):
+                        times[k] = micros
+        state.update(tuple(times))
+        depth = 0
+        for t in times:
+            if t is None:
+                break
+            depth += 1
+        yield pd.DataFrame({user_col: [key[0]], "stage_depth": [depth]})
+
+    state_schema = ", ".join(f"t{k} bigint" for k in range(n_stages))
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{user_col} bigint, stage_depth int",
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
