@@ -65,3 +65,52 @@ def test_quantize_zero_vector_yields_null_scale(spark):
     )
     r = sim.quantize_int8(emb).collect()[0]
     assert r.scale is None  # nullif guards the divide, never a crash/inf
+
+
+def test_new_text_ops_on_empty_and_null(spark):
+    e = empty_docs(spark)
+    assert tx.passage_dedup_stats(e, width=10).count() == 0
+    assert tx.quality_filter(e).count() == 0
+    fps = dd.simhash(e)
+    assert dd.simhash_pairs(fps, bits=16, bands=4, max_distance=3).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None, "s"), (2, "", "s")], "doc_id long, text string, source string"
+    )
+    # null/empty text must not crash; both produce zero chunks and fail
+    # the min-words rule rather than erroring
+    assert tx.passage_dedup_stats(nulls, width=10).count() == 0
+    assert tx.quality_filter(nulls).count() == 0
+
+
+def test_format_multiple_single_row_and_empty(spark):
+    from xena_gdc_etl_spark.operators.nested import format_multiple
+
+    empty = spark.createDataFrame([], "id string, v string")
+    assert format_multiple(empty, "id").count() == 0
+    one = spark.createDataFrame([("a", "x")], ["id", "v"])
+    assert format_multiple(one, "id").collect()[0].v == "x"
+
+
+def test_sequence_pack_budget_boundaries(spark, sf_dir):
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    rows = QUERIES["sequence_pack"](spark, sf_dir).collect()
+    assert rows, "fixture produced no packing rows"
+    for r in rows:
+        assert 0 <= r.pack_offset < 256
+        assert r.pack_id >= 0
+    # packs are dense per source: ids start at 0
+    first = min(r.pack_id for r in rows)
+    assert first == 0
+
+
+def test_samples_clinical_no_samples_field(spark):
+    from xena_gdc_etl_spark.operators.phenotype import samples_clinical
+
+    # cases entirely without a samples array (schema lacks the field after
+    # json inference on such hits): case-level rows pass through unexploded
+    cases = spark.createDataFrame([("c1", "Breast")], ["id", "primary_site"])
+    out = samples_clinical(cases)
+    assert out.count() == 1
+    assert "primary_site" in out.columns

@@ -155,3 +155,29 @@ def test_dedup_keep_best_reads_two_doc_columns(spark, sf_dir):
     df = QUERIES["dedup_keep_best"](spark, sf_dir)
     # the doc side of the window argmax joins only (doc_id, length(text))
     assert python_udf_count(df) == 0
+
+
+def test_sequence_pack_single_shuffle_no_udf(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    df = QUERIES["sequence_pack"](spark, sf_dir)
+    # one exchange for the per-source window; nothing else
+    assert shuffle_count(df) == 1
+    assert python_udf_count(df) == 0
+
+
+def test_event_funnel_one_window_exchange(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    df = QUERIES["event_funnel"](spark, sf_dir)
+    # three stacked window-mins share ONE user-partition exchange; the
+    # final single-row aggregate adds the only other one
+    assert shuffle_count(df) <= 2
+    assert python_udf_count(df) == 0
+
+
+def test_incremental_dedup_no_udf_no_cartesian(spark, sf_dir):
+    df = QUERIES["incremental_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert python_udf_count(df) == 0

@@ -74,7 +74,12 @@ def samples_clinical(
         flatten_structs,
     )
 
-    flat = explode_nested(cases, samples_field, keep_empty=True, sep=sep)
+    if samples_field in cases.columns:
+        flat = explode_nested(cases, samples_field, keep_empty=True, sep=sep)
+    else:
+        # a hit page where no case carried samples: schema inference drops
+        # the field entirely — case-level rows pass through unexploded
+        flat = cases
     flat = drop_list_columns(flatten_structs(flat, sep=sep))
     sample_col = f"{samples_field}{sep}{sample_id_field}"
     if sample_col in flat.columns:

@@ -1812,6 +1812,92 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 51. Sequence packing (concat-and-chunk): assign every document the index
+#     of the fixed-size token chunk its first token lands in when the
+#     corpus is concatenated per source in doc_id order — the GPT-style
+#     pretraining packing layout. Pure window arithmetic: one shuffle per
+#     source partition, no UDFs, deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "sequence_pack",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        FROM t)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(start_tok / 256) AS BIGINT) AS pack_id,
+           CAST(start_tok % 256 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    budget = 256
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return toks.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("start_tok") / budget).cast("bigint").alias("pack_id"),
+        (F.col("start_tok") % budget).cast("bigint").alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 52. Incremental dedup: probe NEW documents against an already-landed
+#     corpus by content hash — the "don't re-ingest what's landed" step of
+#     a continuously-fed pipeline. The landed side reduces to a (hash,
+#     min doc_id) index; at 100 TB that index is the only thing joined
+#     (broadcast when it fits, hash-join otherwise) — new docs carry only
+#     their digest through the shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "incremental_dedup",
+    """
+    WITH landed AS (
+        SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS dup_of
+        FROM documents WHERE doc_id % 5 = 0 GROUP BY md5(text)),
+    new_docs AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0)
+    SELECT n.doc_id, l.dup_of
+    FROM new_docs n LEFT JOIN landed l USING (h)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    landed = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").cast("bigint").alias("dup_of"))
+    )
+    new_docs = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return new_docs.join(landed, "h", "left").select("doc_id", "dup_of")
+
+
+# --------------------------------------------------------------------------
 # 50. Ordered-sequence funnel over the event stream: users who viewed, then
 #     clicked AFTER the first view, then purchased AFTER that click. Three
 #     stacked window-mins over the same user partition — Catalyst plans ONE
