@@ -1,0 +1,137 @@
+"""End-to-end corpus curation: the LLM-training-data pipeline composed from
+the engine's operators, as one lazy-until-write Spark job.
+
+    raw documents
+      → quality_filter          (C4/Gopher rule chain, scan-stage predicates)
+      → dedup: exact hash       (drop byte-identical copies)
+      → dedup: MinHash clusters (near-dups → keep longest per cluster)
+      → contamination guard     (drop docs overlapping the held-out set)
+      → sequence_pack           (concat-and-chunk pack layout)
+      → partitioned parquet     (hive-partitioned by source)
+
+Every stage is a DataFrame transformation — Catalyst sees the whole
+pipeline, so filters push into the scan and the only shuffles are the ones
+the semantics require (dedup groupBys, the CC rounds, the pack window).
+
+Run: python examples/corpus_curation.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    pack_budget: int = 256,
+) -> DataFrame:
+    """Returns the curated, packed corpus; writes it when out_dir is set."""
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.operators import dedup as dd
+    from xena_gdc_etl_spark.operators import text as tx
+
+    docs = Catalog(spark, sf_dir).documents
+
+    # 1. rule-chain quality filter (keeps doc_id only; rejoin text below so
+    #    the heavy column rides through as few stages as possible)
+    kept = tx.quality_filter(docs).select("doc_id")
+    docs = docs.join(kept, "doc_id", "left_semi")
+
+    # 2. exact dedup: keep the smallest doc_id per content hash
+    exact_keep = dd.dedup_exact(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs = docs.join(exact_keep, "doc_id", "left_semi")
+
+    # 3. near-dedup: MinHash → LSH candidates → Jaccard-estimate GATE →
+    #    connected components over the strong pairs → keep the longest
+    #    member of every cluster. The gate matters: raw bucket-sharing is a
+    #    RECALL device (candidates), not a similarity verdict — clustering
+    #    ungated buckets chains a low-diversity corpus into one giant
+    #    component and deletes nearly everything.
+    sig = dd.minhash_signatures(
+        dd.shingles(docs, k=5, distinct=False), num_hashes=8
+    ).localCheckpoint(eager=True)
+    pairs = dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+    strong = dd.minhash_jaccard_estimate(
+        pairs, sig, num_hashes=8, threshold=0.75
+    )
+    clusters = dd.connected_components(strong.select("a", "b"), docs)
+    ranked = clusters.join(
+        docs.select("doc_id", F.length("text").alias("__len")), "doc_id"
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("__len").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    near_keep = ranked.filter(F.col("__rn") == 1).select("doc_id")
+    docs = docs.join(near_keep, "doc_id", "left_semi")
+
+    # 4. contamination guard: drop training docs sharing ≥20% of their
+    #    word trigrams with the held-out slice (here: doc_id % 10 == 7)
+    heldout = Catalog(spark, sf_dir).documents.filter(
+        F.col("doc_id") % 10 == 7
+    )
+    contam = dd.ngram_contamination(docs, heldout, n=3)
+    clean_ids = contam.filter(F.col("contam_frac") < 0.2).select("doc_id")
+    docs = docs.join(clean_ids, "doc_id", "left_semi")
+
+    # 5. pack layout: chunk index + offset under concat-and-chunk
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "__start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "n_tokens",
+        F.floor(F.col("__start") / pack_budget).cast("bigint").alias("pack_id"),
+        (F.col("__start") % pack_budget).cast("bigint").alias("pack_offset"),
+    )
+
+    if out_dir:
+        from xena_gdc_etl_spark.sources.parquet_sink import write_partitioned
+
+        write_partitioned(
+            packed, out_dir, partition_by=["source"],
+            sort_within=["pack_id", "pack_offset"],
+        )
+    return packed
+
+
+if __name__ == "__main__":
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from xena_gdc_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark(app_name="corpus-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    result = curate(spark, sf_dir, out)
+    kept = result.count()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(f"curated corpus: kept {kept}/{total} documents")

@@ -1,0 +1,42 @@
+"""The composed corpus-curation example must run end-to-end and uphold the
+pipeline's guarantees at fixture scale."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_corpus_curation_end_to_end(spark, sf_dir, tmp_path):
+    from corpus_curation import curate
+
+    out_dir = str(tmp_path / "curated")
+    packed = curate(spark, sf_dir, out_dir)
+    rows = packed.collect()
+    assert rows, "curation dropped everything"
+
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) < total  # something was filtered/deduped
+    # ...but curation must not collapse the corpus (the ungated-bucket
+    # clustering failure mode kept 1 doc of 500)
+    assert len(rows) > total * 0.3
+
+    # no surviving byte-identical duplicates
+    texts = [r.text for r in rows]
+    assert len(set(texts)) == len(texts)
+
+    # pack invariants hold after all the filtering
+    budget = 256
+    for r in rows:
+        assert 0 <= r.pack_offset < budget
+        assert r.pack_id >= 0
+
+    # the write landed hive-partitioned by source
+    parts = [d for d in os.listdir(out_dir) if d.startswith("source=")]
+    assert parts
+    back = spark.read.parquet(out_dir)
+    assert back.count() == len(rows)

@@ -58,6 +58,25 @@ class XenaDatasetSpark:
         the GDC API filtering server-side."""
         return self.gdc_filter.apply(spark.read.parquet(source_path))
 
+    def download(
+        self,
+        manifest: DataFrame,
+        download_dir: str,
+        md5_col: str | None = None,
+        fetcher=None,
+    ) -> DataFrame:
+        """The reference's literal step 1 (``XenaDataset.download``,
+        xena_dataset.py:597: per-UUID fetch loop via ``download_map``) as a
+        cluster fan-out: hand a UUID manifest to ``sources.download`` and
+        get back a status table (path, md5, md5_ok per file). Callers then
+        parse the landed files into the long-format table ``load`` reads.
+        """
+        from xena_gdc_etl_spark.sources.download import download_files
+
+        return download_files(
+            manifest, download_dir, md5_col=md5_col, fetcher=fetcher
+        )
+
     # -- step 2: per-dtype transform ---------------------------------------
     def transform(self, raw: DataFrame) -> DataFrame:
         kind = DTYPE_SPECS[self.xena_dtype].kind
