@@ -325,3 +325,105 @@ def test_quality_filter_rules(spark):
     )
     kept = {r.doc_id for r in quality_filter(docs).collect()}
     assert kept == {0}  # 1 fails min_words, 2 fails dup_word_frac
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_raw=_ev, right_raw=_ev)
+def test_asof_join_forward_matches_pandas(spark, left_raw, right_raw):
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+
+    def frame(raw, id_start):
+        return pd.DataFrame(
+            {
+                "event_id": range(id_start, id_start + len(raw)),
+                "user_id": [u for u, _ in raw],
+                "ts": [base + pd.Timedelta(seconds=s) for _, s in raw],
+            }
+        ).astype(
+            {"event_id": "int64", "user_id": "int64", "ts": "datetime64[ns]"}
+        )
+
+    left_pd = frame(left_raw, 1000)
+    right_pd = frame(right_raw, 0)
+    schema = "event_id long, user_id long, ts timestamp"
+    out = asof_join(
+        spark.createDataFrame(left_pd, schema=schema)
+        if len(left_pd)
+        else spark.createDataFrame([], schema=schema),
+        spark.createDataFrame(right_pd, schema=schema)
+        if len(right_pd)
+        else spark.createDataFrame([], schema=schema),
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id"],
+        right_order=["event_id"],
+        direction="forward",
+    ).toPandas()
+
+    if len(left_pd):
+        # forward merge_asof picks the positionally-FIRST equal-ts right
+        # row; sorting right by (ts asc, event_id desc) makes that the max
+        # event_id — the greatest-under-right_order contract
+        expected = pd.merge_asof(
+            left_pd.sort_values(["ts", "event_id"]),
+            right_pd.sort_values(
+                ["ts", "event_id"], ascending=[True, False]
+            ).rename(
+                columns={"event_id": "asof_event_id", "ts": "asof_ts"}
+            )[["user_id", "asof_ts", "asof_event_id"]],
+            left_on="ts",
+            right_on="asof_ts",
+            by="user_id",
+            direction="forward",
+            allow_exact_matches=True,
+        )
+    else:
+        expected = left_pd.assign(asof_event_id=None, asof_ts=None)
+
+    key = ["event_id", "user_id"]
+    got = out.sort_values(key).reset_index(drop=True)
+    exp = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    import math
+
+    def null(v):
+        return v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v))
+
+    for col in ("asof_event_id", "asof_ts"):
+        for gv, evv in zip(got[col].tolist(), exp[col].tolist()):
+            assert null(gv) == null(evv), (col, gv, evv)
+            if not null(gv):
+                assert pd.Timestamp(gv) == pd.Timestamp(evv) if col == "asof_ts" else int(gv) == int(evv)
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:10:00"), (2, 1, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, 1, "2024-01-01 00:05:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    out = {r.event_id: r for r in asof_join(
+        left, right, on=["user_id"], ts_col="ts", right_cols=["event_id"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).collect()}
+    assert out[1].asof_event_id == 100       # 5 min back, inside tolerance
+    assert out[2].asof_event_id is None      # ~9h back, nulled
+
+    fwd = {r.event_id: r for r in asof_join(
+        left, right, on=["user_id"], ts_col="ts", right_cols=["event_id"],
+        direction="forward", tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).collect()}
+    # no right row at-or-after either left ts -> both null
+    assert fwd[1].asof_event_id is None and fwd[2].asof_event_id is None

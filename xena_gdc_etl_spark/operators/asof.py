@@ -24,17 +24,28 @@ def asof_join(
     right_cols: Sequence[str] = (),
     right_order: Sequence[str] = (),
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``ts_col`` <= left's ``ts_col`` within the same ``on`` key group
-    (backward as-of, ties at equal ts match).
+    (``direction="backward"``, ties at equal ts match) or the smallest
+    ``ts_col`` >= left's (``direction="forward"``) — pandas ``merge_asof``
+    direction parity on a distributed plan.
+
+    ``tolerance`` (a Column-compatible interval/number, e.g.
+    ``F.expr("INTERVAL 5 MINUTES")``) nulls the match when the matched
+    row's ts is farther than the tolerance from the left ts — applied as a
+    cheap post-projection, never widening the window.
 
     ``right_order`` breaks ties among right rows sharing (key, ts): the row
     greatest under this ordering wins, making the result deterministic (the
     equivalent of deduplicating the right side to one row per (key, ts)).
-    Right columns are exposed as ``{prefix}{col}``; left rows with no prior
-    right row get NULLs (left-outer semantics).
+    Right columns are exposed as ``{prefix}{col}``; left rows with no match
+    get NULLs (left-outer semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     right_cols = [c for c in right_cols if c not in on and c != ts_col]
     payload = [*right_cols, ts_col]
@@ -68,21 +79,47 @@ def asof_join(
     )
     unioned = left_tagged.unionByName(right_tagged)
 
-    # Right rows (__side=0) sort before left rows at equal ts, so an
-    # equal-ts right row is visible to the left row (>= semantics); among
-    # equal-(key, ts) right rows the last under right_order wins.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(
-            F.col(ts_col),
-            F.col("__side"),
-            *[F.col(f"__ord_{c}") for c in right_order],
+    if direction == "backward":
+        # Right rows (__side=0) sort before left rows at equal ts, so an
+        # equal-ts right row is visible to the left row (>= semantics);
+        # among equal-(key, ts) right rows the last under right_order wins.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col(ts_col),
+                F.col("__side"),
+                *[F.col(f"__ord_{c}") for c in right_order],
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__c", F.last(F.col("__payload"), ignorenulls=True).over(w)
-    )
+        carried = unioned.withColumn(
+            "__c", F.last(F.col("__payload"), ignorenulls=True).over(w)
+        )
+    else:
+        # Forward: left rows sort before equal-ts right rows (side desc) so
+        # an equal-ts right row is inside the following frame; first()
+        # picks the earliest right >= left ts, and ord desc keeps the
+        # greatest-under-right_order winner among equal-(key, ts) rights.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col(ts_col),
+                F.col("__side").desc(),
+                *[F.col(f"__ord_{c}").desc() for c in right_order],
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = unioned.withColumn(
+            "__c", F.first(F.col("__payload"), ignorenulls=True).over(w)
+        )
+    if tolerance is not None:
+        matched_ts = F.col("__c").getField(ts_col)
+        in_tol = (
+            matched_ts >= F.col(ts_col) - tolerance
+            if direction == "backward"
+            else matched_ts <= F.col(ts_col) + tolerance
+        )
+        carried = carried.withColumn("__c", F.when(in_tol, F.col("__c")))
     return carried.filter(F.col("__side") == 1).select(
         *left.columns,
         *[F.col("__c").getField(c).alias(f"{prefix}{c}") for c in payload],
