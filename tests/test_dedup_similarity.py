@@ -275,3 +275,56 @@ def test_simhash_pairs_exact_duplicates_hamming_zero(spark):
     fps = dd.simhash(df, bits=16)
     out = dd.simhash_pairs(fps, bits=16, bands=4, max_distance=3).collect()
     assert [(r.a, r.b, r.hamming) for r in out] == [(0, 1, 0)]
+
+
+def _pq_vectors(spark, n=40, dim=8, seed_groups=4):
+    # clustered synthetic vectors: group g centers at g*10 in every dim
+    rows = [
+        (i, [float((i % seed_groups) * 10 + (i % 3) * 0.1 + d * 0.01) for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_train_encode_shapes_and_determinism(spark):
+    vecs = _pq_vectors(spark)
+    books = sim.pq_train(vecs, m=4, k=4, iterations=2)
+    assert len(books) == 4 and all(b.shape == (4, 2) for b in books)
+    # deterministic: retraining gives identical codebooks
+    books2 = sim.pq_train(vecs, m=4, k=4, iterations=2)
+    for a, b in zip(books, books2):
+        assert (a == b).all()
+    codes = {r.vec_id: r.codes for r in sim.pq_encode(vecs, books).collect()}
+    assert len(codes) == 40
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in codes.values())
+    # identical vectors encode identically; distant groups encode differently
+    assert codes[0] == codes[12]  # same group (i % 4 == 0), same pattern
+    assert codes[0] != codes[1]
+
+
+def test_pq_encode_partition_invariant(spark):
+    vecs = _pq_vectors(spark)
+    books = sim.pq_train(vecs, m=4, k=4, iterations=2)
+    one = {r.vec_id: list(r.codes) for r in sim.pq_encode(vecs, books).collect()}
+    many = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_encode(vecs.repartition(7), books).collect()
+    }
+    assert one == many
+
+
+def test_pq_topk_finds_group_neighbours(spark):
+    vecs = _pq_vectors(spark)
+    books = sim.pq_train(vecs, m=4, k=8, iterations=3)
+    codes = sim.pq_encode(vecs, books)
+    queries = vecs.filter(F.col("vec_id") < 4)  # one per group
+    out = sim.pq_topk(codes, queries, books, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.match_id)
+    for qid, matches in by_q.items():
+        assert len(matches) == 5
+        # ADC neighbours of a group-g query are overwhelmingly group-g
+        same_group = sum(1 for m_ in matches if m_ % 4 == qid % 4)
+        assert same_group >= 4, (qid, matches)

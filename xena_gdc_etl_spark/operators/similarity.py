@@ -19,7 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -346,4 +348,246 @@ def cosine_dup_pairs(
         assigned.select(centroid_id, id_col, vec_col)
         .groupBy(centroid_id)
         .applyInPandas(_cell_pairs, schema=out_schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory side of the IVF-PQ layout that makes
+# billion-vector ANN feasible — each d-dim float vector compresses to m
+# uint8 codes (one per subspace), and query-time distances come from an
+# m×k lookup table (asymmetric distance computation, ADC) instead of
+# touching raw vectors. Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 (public method).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[np.ndarray]:
+    """Train per-subspace codebooks with deterministic Lloyd's k-means
+    (same determinism contract as ``ivf_train``: smallest-id init, fixed
+    iterations, first-min tiebreak). Returns ``m`` arrays of shape (k,
+    d/m) on the driver — codebooks are k·d floats TOTAL (kilobytes), the
+    one piece of ANN state that is *supposed* to live driver-side and
+    broadcast.
+
+    Per round each subspace needs only (sum, count) per centroid — one
+    partial-aggregated pass over the corpus computes ALL subspaces'
+    assignments and sums inside Arrow batches; the driver folds m×k
+    running sums, never rows.
+    """
+    dim = len(
+        vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+    )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    init_rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
+    books = [
+        np.array([r[1][j * sub : (j + 1) * sub] for r in init_rows])
+        for j in range(m)
+    ]
+
+    spark = vectors.sparkSession
+    agg_schema = StructType(
+        [
+            StructField("subspace", LongType()),
+            StructField("centroid", LongType()),
+            StructField("n", LongType()),
+            *[StructField(f"s{i}", DoubleType()) for i in range(sub)],
+        ]
+    )
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast([b.copy() for b in books])
+
+        def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            codebooks = bc.value
+            sums = np.zeros((m, k, sub))
+            counts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                for j in range(m):
+                    sv = vm[:, j * sub : (j + 1) * sub]
+                    d2 = ((sv[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    nearest = np.argmin(np.round(d2, 9), axis=1)
+                    for c in range(k):
+                        mask = nearest == c
+                        if mask.any():
+                            sums[j, c] += sv[mask].sum(axis=0)
+                            counts[j, c] += int(mask.sum())
+            rows = []
+            for j in range(m):
+                for c in range(k):
+                    rows.append(
+                        (j, c, int(counts[j, c]), *sums[j, c].tolist())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["subspace", "centroid", "n"]
+                + [f"s{i}" for i in range(sub)],
+            )
+
+        partials = (
+            vectors.select(id_col, vec_col)
+            .mapInPandas(_partial, schema=agg_schema)
+            .groupBy("subspace", "centroid")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(sub)],
+            )
+            .collect()
+        )
+        for r in partials:
+            j, c, n = r["subspace"], r["centroid"], r["n"]
+            if n > 0:
+                books[j][c] = np.array([r[f"s{i}"] for i in range(sub)]) / n
+            # empty cells keep their previous centroid (ivf_train contract)
+        bc.destroy()
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-subcentroid codes. Codebooks
+    broadcast; one batched distance argmin per subspace; output is
+    (id, array<int> of length m) — the 8-bit-per-subspace compressed corpus.
+    """
+    spark = vectors.sparkSession
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.zeros((len(vm), m), dtype=np.int32)
+            for j in range(m):
+                sv = vm[:, j * sub : (j + 1) * sub]
+                d2 = ((sv[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        _encode, schema=out_schema
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k by ADC: per query, an m×k_codebook table of
+    squared subdistances to every subcentroid; a candidate's distance is m
+    table lookups summed — the compressed corpus is never decoded. Same
+    two-stage top-k shape as ``cosine_topk`` (batch-local top-k ordered by
+    the final criterion, then one cheap global window).
+    """
+    spark = codes.sparkSession
+    m = len(codebooks)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.qv for r in qrows], dtype=np.float64)
+    sub = codebooks[0].shape[1]
+    # (n_query, m, k_codebook) lookup tables, built once on the driver
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    (
+                        (qm[:, j * sub : (j + 1) * sub][:, None, :]
+                         - codebooks[j][None, :, :])
+                        ** 2
+                    ).sum(axis=2)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+        ]
+    )[0]
+    bc = spark.sparkContext.broadcast((q_ids, tables))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("match_id", LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tabs = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            out_q, out_m, out_d = [], [], []
+            for qi, qid in enumerate(ids):
+                # dist[v] = sum_j tabs[qi, j, cm[v, j]]
+                d = np.round(
+                    tabs[qi, np.arange(m)[None, :], cm].sum(axis=1), 9
+                )
+                mask = vids != qid
+                cand_ids = vids[mask]
+                cand = d[mask]
+                order = np.lexsort((cand_ids, cand))[:k]
+                out_q.extend([qid] * len(order))
+                out_m.extend(cand_ids[order])
+                out_d.extend(cand[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "match_id": out_m, "adc_dist": out_d}
+            )
+
+    local = codes.mapInPandas(_local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("match_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            "adc_dist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )

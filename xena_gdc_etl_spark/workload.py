@@ -1812,6 +1812,47 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 53. Cohort retention: bucket users by first-seen day (cohort), then count
+#     how many of each cohort return k days later — the standard retention
+#     triangle. Two aggregations over the same user partitioning (first-seen
+#     min reuses the event shuffle), never a self-join.
+# --------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+    first_seen AS (
+        SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, d FROM e)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', cohort_day, d) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN first_seen USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_df = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev_df.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = ev_df.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            # dates serialize as yyyy-MM-dd strings: DuckDB's pandas export
+            # promotes DATE to datetime64, which canonicalizes differently
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
 # 51. Sequence packing (concat-and-chunk): assign every document the index
 #     of the fixed-size token chunk its first token lands in when the
 #     corpus is concatenated per source in doc_id order — the GPT-style
