@@ -126,3 +126,52 @@ def test_streaming_funnel_matches_batch_query(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_funnel_with_event_time_eviction(spark):
+    """With a watermark + idle timeout, the funnel still converges to the
+    batch answer on ts-ordered batches (eviction emits the final depth)."""
+    import shutil
+
+    from xena_gdc_etl_spark.streaming.stateful import streaming_funnel
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    d = tempfile.mkdtemp(prefix="funnel_ev_")
+    chk = tempfile.mkdtemp(prefix="funnel_ev_chk_")
+    try:
+        events = Catalog(spark, "/root/testdata/sf0.001").events.select(
+            "user_id", "event_type", "ts"
+        )
+        events.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            streaming_funnel(stream, idle_timeout_ms=60_000)
+            .writeStream.format("memory")
+            .queryName("funnel_ev_sink")
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sink = spark.table("funnel_ev_sink")
+        last = {
+            r.user_id: r.stage_depth
+            for r in sink.withColumn("i", F.monotonically_increasing_id())
+            .orderBy(F.col("i").desc())
+            .dropDuplicates(["user_id"])
+            .collect()
+        }
+        batch = QUERIES["event_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
+        depths = list(last.values())
+        assert sum(1 for v in depths if v >= 1) == batch.n_view
+        assert sum(1 for v in depths if v >= 3) == batch.n_funnel
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)

@@ -57,6 +57,7 @@ def streaming_funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     stages: tuple[str, ...] = ("view", "click", "purchase"),
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch ``event_funnel`` query: per user, track
     the earliest timestamp of each ORDERED funnel stage (stage k only
@@ -75,6 +76,12 @@ def streaming_funnel(
     form; in production pair this with a watermark and periodic batch
     reconciliation, the standard lambda treatment for ordered-sequence
     state.
+
+    ``idle_timeout_ms`` bounds state LIFETIME, not just size: with a
+    watermarked input, a user idle past the timeout is evicted (final
+    depth emitted, state removed) once the watermark passes — without it,
+    state is O(all users ever seen), which on an unbounded stream is a
+    slow leak no matter how small each entry is.
     """
     n_stages = len(stages)
 
@@ -83,13 +90,26 @@ def streaming_funnel(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            times = list(state.get) if state.exists else [None] * n_stages
+            depth = 0
+            for t in times:
+                if t is None:
+                    break
+                depth += 1
+            state.remove()
+            yield pd.DataFrame({user_col: [key[0]], "stage_depth": [depth]})
+            return
         times: list[int | None] = (
             list(state.get) if state.exists else [None] * n_stages
         )
+        latest_ms = None
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for typ, ts in zip(pdf[type_col], pdf[ts_col]):
                 micros = int(pd.Timestamp(ts).value // 1000)
+                ms = micros // 1000
+                latest_ms = ms if latest_ms is None else max(latest_ms, ms)
                 for k, stage in enumerate(stages):
                     if typ != stage:
                         continue
@@ -99,6 +119,8 @@ def streaming_funnel(
                     if prev_ok and (times[k] is None or micros < times[k]):
                         times[k] = micros
         state.update(tuple(times))
+        if idle_timeout_ms is not None and latest_ms is not None:
+            state.setTimeoutTimestamp(latest_ms + idle_timeout_ms)
         depth = 0
         for t in times:
             if t is None:
@@ -112,5 +134,9 @@ def streaming_funnel(
         outputStructType=f"{user_col} bigint, stage_depth int",
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
