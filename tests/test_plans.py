@@ -181,3 +181,13 @@ def test_incremental_dedup_no_udf_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert python_udf_count(df) == 0
+
+
+def test_cohort_retention_shares_user_shuffle(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    df = QUERIES["cohort_retention"](spark, sf_dir)
+    assert python_udf_count(df) == 0
+    # first-seen agg, activity distinct, join, final agg — but never a
+    # self-join of the raw events and never more than the agg exchanges
+    assert shuffle_count(df) <= 4
