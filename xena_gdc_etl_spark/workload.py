@@ -2007,3 +2007,44 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").cast("bigint").alias("n_view_click"),
         F.count("t3").cast("bigint").alias("n_funnel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Registry ordering. The driver's correctness gate samples the first 50
+# entries of ``queries()`` in dict order, which up to round 2 was decorator
+# order — so the last-registered 11 queries never received a driver oracle
+# row.  Promote those 11 to right after the flagship query; the entries they
+# displace are long-stable (green in rounds 1 and 2, byte-unchanged since).
+# Source-file position of the implementations is unchanged — only the dict
+# iteration order moves.
+# --------------------------------------------------------------------------
+_PROMOTED = [
+    "value_histogram",
+    "corpus_stats",
+    "top_docs_per_source",
+    "sample_by_group",
+    "range_join",
+    "rolling_avg",
+    "pivot_event_counts",
+    "cohort_retention",
+    "sequence_pack",
+    "incremental_dedup",
+    "event_funnel",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [k for k in _PROMOTED if k not in QUERIES]
+    if missing:  # fail loudly at import: a rename must update this list
+        raise RuntimeError(f"_PROMOTED names not registered: {missing}")
+    order = ["q1_pricing_summary", *_PROMOTED]
+    order += [k for k in QUERIES if k not in order]
+    for registry in (QUERIES, ORACLES):
+        snapshot = dict(registry)
+        registry.clear()
+        registry.update(
+            {k: snapshot[k] for k in order if k in snapshot}
+        )
+
+
+_reorder_registry()
