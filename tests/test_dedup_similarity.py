@@ -277,6 +277,39 @@ def test_simhash_pairs_exact_duplicates_hamming_zero(spark):
     assert [(r.a, r.b, r.hamming) for r in out] == [(0, 1, 0)]
 
 
+def test_simhash_64bit_default_uses_full_width(spark):
+    # The 64-bit scale default must be partition-invariant and actually
+    # populate the top nibble of the fingerprint (bits 60-63 come from
+    # xxhash64, not the 60-bit md5 path) across a modest vocabulary.
+    texts = [f"word{i} token{i * 7} item{i * 13} thing{i * 29}" for i in range(40)]
+    df = docs_df(spark, texts)
+    fps1 = {r.doc_id: r.simhash for r in dd.simhash(df).collect()}
+    fps2 = {r.doc_id: r.simhash for r in dd.simhash(df.repartition(7)).collect()}
+    assert fps1 == fps2
+    assert any(fp >> 60 != 0 for fp in fps1.values())  # top bits in play
+
+
+def test_simhash_pairs_64bit_handles_negative_fingerprints(spark):
+    # bit 63 set -> fingerprint is a negative long; banding and bit_count
+    # verification must still be exact. fp_b flips 2 low bits of fp_a.
+    fp_a = -(2**63) + 0xF0F0
+    fp_b = fp_a ^ 0b0011
+    fps = spark.createDataFrame(
+        [(1, fp_a), (2, fp_b), (3, 0x0FF0)], ["doc_id", "simhash"]
+    )
+    out = {
+        (r.a, r.b): r.hamming
+        for r in dd.simhash_pairs(fps, max_distance=3).collect()
+    }
+    assert out == {(1, 2): 2}
+
+
+def test_simhash_pairs_exact_duplicates_default_config(spark):
+    df = docs_df(spark, ["the quick brown fox jumps", "the quick brown fox jumps"])
+    out = dd.simhash_pairs(dd.simhash(df)).collect()
+    assert [(r.a, r.b, r.hamming) for r in out] == [(0, 1, 0)]
+
+
 def _pq_vectors(spark, n=40, dim=8, seed_groups=4):
     # clustered synthetic vectors: group g centers at g*10 in every dim
     rows = [

@@ -56,6 +56,35 @@ def test_lsh_cap_none_is_uncapped(spark):
     )
 
 
+def test_simhash_bucket_cap_drops_only_over_limit_buckets(spark):
+    # 4 docs share fingerprint A (one bucket of 4 in every band), 2 share
+    # fingerprint B (bucket of 2), doc 6 is far from both.
+    fp_a = 0b1111000011110000
+    fp_b = 0b0000111100001111
+    rows = [(i, fp_a) for i in range(4)] + [(4, fp_b), (5, fp_b), (6, 0)]
+    fps = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    kw = dict(bits=16, bands=4, max_distance=3)
+    uncapped = {(r.a, r.b) for r in dd.simhash_pairs(fps, **kw).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in dd.simhash_pairs(fps, max_bucket_size=3, **kw).collect()
+    }
+    assert (4, 5) in capped
+    assert all(not (a <= 3 and b <= 3) for a, b in capped)
+    assert capped == {(a, b) for a, b in uncapped if not (a <= 3 and b <= 3)}
+
+
+def test_simhash_cap_none_is_uncapped(spark):
+    fps = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], ["doc_id", "simhash"]
+    )
+    kw = dict(bits=16, bands=4, max_distance=3)
+    assert (
+        dd.simhash_pairs(fps, **kw).collect()
+        == dd.simhash_pairs(fps, max_bucket_size=None, **kw).collect()
+    )
+
+
 def test_ngram_doc_freq_cut_drops_only_hot_grams(spark):
     # docs 0/1 share a rare 3-gram pattern; a hot gram ('zzz') appears in all
     texts = [

@@ -356,16 +356,30 @@ def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 64,
 ) -> DataFrame:
-    """SimHash: per token a portable 60-bit hash; bit_j of the fingerprint is
-    set when the sum over tokens of (2*bit_j(h)-1) is positive. One explode +
-    one aggregation with ``bits`` sum expressions.
+    """SimHash: per token a hash; bit_j of the fingerprint is set when the
+    sum over tokens of (2*bit_j(h)-1) is positive. One explode + one
+    aggregation with ``bits`` sum expressions.
+
+    The scale default is a full 64-bit fingerprint hashed with the JVM-side
+    ``xxhash64`` (every bit independent, codegen, no md5 string round-trip).
+    ``bits <= 60`` switches to the md5-derived portable hash so a DuckDB
+    oracle can reproduce the fingerprint bit-for-bit — that is the test
+    fixture configuration, not the production one.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64]; got {bits}")
     tokens = _spread(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    h = md5_hash60(F.col("tok"), seed="sim:")
+    # md5_hash60 yields only 60 usable bits; beyond that the top fingerprint
+    # bits would be constant-zero (sum of -1s), shrinking the effective
+    # band space. xxhash64 fills all 64.
+    if bits <= 60:
+        h = md5_hash60(F.col("tok"), seed="sim:")
+    else:
+        h = F.xxhash64(F.concat(F.lit("sim:"), F.col("tok")))
     sums = [
         F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
         for j in range(bits)
@@ -373,18 +387,24 @@ def simhash(
     per_doc = tokens.groupBy(F.col(id_col)).agg(*sums)
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+        # OR of single-bit patterns, not addition: 1 << 63 is not a valid
+        # positive long literal and ANSI addition would overflow at bit 63.
+        bit = F.when(
+            F.col(f"b{j}") > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), j),
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     sim_col: str = "simhash",
-    bits: int = 16,
+    bits: int = 64,
     bands: int = 4,
     max_distance: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_distance``.
 
@@ -395,6 +415,15 @@ def simhash_pairs(
     join (the classic Manku/Jain/Sarma web-dedup plan). Candidates then
     verify exactly with ``bit_count(a XOR b)``. Requires
     ``max_distance < bands`` for completeness (checked).
+
+    The scale default is 64-bit fingerprints in 16-bit bands — 65,536
+    bucket values per band, so bucket population thins with corpus growth.
+    (The 16-bit/4-band oracle fixture has only 64 buckets total; never run
+    that configuration at scale.) A (band, value) bucket of m docs expands
+    to m·(m-1)/2 candidate pairs; ``max_bucket_size`` drops over-limit
+    buckets BEFORE expansion, same mitigation as ``lsh_candidate_pairs`` —
+    a giant bucket means the members also collide in their other bands, or
+    are so frequent that a sampled representative suffices.
     """
     if max_distance >= bands:
         raise ValueError(
@@ -420,6 +449,8 @@ def simhash_pairs(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     cand = (
         grouped.select(
             F.explode(
