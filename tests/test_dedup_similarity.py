@@ -361,3 +361,46 @@ def test_pq_topk_finds_group_neighbours(spark):
         # ADC neighbours of a group-g query are overwhelmingly group-g
         same_group = sum(1 for m_ in matches if m_ % 4 == qid % 4)
         assert same_group >= 4, (qid, matches)
+
+
+def test_pq_respects_custom_id_column(spark):
+    vecs = _pq_vectors(spark).withColumnRenamed("vec_id", "item_id")
+    books = sim.pq_train(vecs, m=4, k=4, iterations=2, id_col="item_id")
+    codes = sim.pq_encode(vecs, books, id_col="item_id")
+    assert codes.columns == ["item_id", "codes"]
+    out = sim.pq_topk(
+        codes, vecs.filter(F.col("item_id") < 2), books, id_col="item_id", k=3
+    )
+    assert {r.query_id for r in out.collect()} == {0, 1}
+
+
+def test_broadcast_side_size_guard(spark):
+    import pytest
+
+    vecs = _pq_vectors(spark, n=20)
+    with pytest.raises(ValueError, match="collected"):
+        sim.cosine_topk(vecs, vecs, k=2, max_driver_rows=10)
+    with pytest.raises(ValueError, match="collected"):
+        sim.ivf_assign(
+            vecs,
+            vecs.withColumnRenamed("vec_id", "centroid_id"),
+            max_driver_rows=10,
+        )
+    # under the bound, results are unchanged
+    q = vecs.filter(F.col("vec_id") < 3)
+    a = sim.cosine_topk(vecs, q, k=2).collect()
+    b = sim.cosine_topk(vecs, q, k=2, max_driver_rows=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_clear_errors_on_bad_inputs(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty or all-null"):
+        sim.pq_train(empty, m=4, k=4)
+    vecs = _pq_vectors(spark)
+    books = sim.pq_train(vecs, m=4, k=4, iterations=1)
+    mislabeled = sim.pq_encode(vecs, books).withColumnRenamed("codes", "cd")
+    with pytest.raises(ValueError, match="codes_id_col/codes_col"):
+        sim.pq_topk(mislabeled, vecs.limit(1), books)

@@ -115,6 +115,58 @@ def test_download_failure_is_a_row_not_an_exception(spark, tmp_path):
     assert by_uuid["bad"].path is None
 
 
+def test_mid_stream_failure_leaves_no_part_file(spark, tmp_path):
+    # the error hits while ITERATING chunks (past fetch establishment, so
+    # retrying_fetcher can't see it); the partial .part must be cleaned up
+    def breaks_mid_stream(url: str):
+        uuid = url.rsplit("/", 1)[1]
+
+        def chunks():
+            yield b"partial bytes that made it"
+            raise OSError("connection reset mid-stream")
+
+        return f"{uuid}.tsv", chunks()
+
+    land = str(tmp_path / "land3")
+    status = download_files(
+        spark.createDataFrame([("xx",)], ["uuid"]), land, fetcher=breaks_mid_stream
+    ).collect()
+    assert "connection reset mid-stream" in status[0].error
+    assert os.listdir(land) == []  # neither the file nor an orphan .part
+
+
+def test_mid_stream_retryable_error_is_retried_once(spark, tmp_path):
+    # first stream dies with a RetryableFetchError mid-iteration, the
+    # second attempt succeeds; count attempts through a side-effect file
+    # (executor closures can't mutate test-local state)
+    from xena_gdc_etl_spark.sources.download import RetryableFetchError
+
+    marker = str(tmp_path / "attempts")
+
+    def flaky_stream(url: str):
+        uuid = url.rsplit("/", 1)[1]
+        with open(marker, "a") as f:
+            f.write("x")
+        first = os.path.getsize(marker) == 1
+
+        def chunks():
+            yield b"abc"
+            if first:
+                raise RetryableFetchError("reset mid-stream")
+            yield b"def"
+
+        return f"{uuid}.tsv", chunks()
+
+    land = str(tmp_path / "land4")
+    status = download_files(
+        spark.createDataFrame([("yy",)], ["uuid"]), land, fetcher=flaky_stream
+    ).collect()
+    assert status[0].error is None
+    assert open(status[0].path, "rb").read() == b"abcdef"
+    assert open(marker).read() == "xx"  # exactly one retry
+    assert not [p for p in os.listdir(land) if p.endswith(".part")]
+
+
 def test_md5sum_files_jvm_side(spark, tmp_path):
     files = {}
     for name in ("a.tsv", "b.tsv"):

@@ -31,14 +31,19 @@ def test_jsonl_quarantines_malformed_lines(spark, tmp_path):
     p.write_text(
         '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
         "this is not json at all\n"
+        "\n"
         '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+        "   \t\n"
         '{"broken": \n'
     )
     valid, quarantine = read_jsonl_corpus(spark, str(p))
+    # blank/whitespace-only lines must land in quarantine, never as
+    # all-null valid rows
     assert sorted(r.doc_id for r in valid.collect()) == [1, 2]
     bad = sorted(r.raw_line for r in quarantine.collect())
-    assert len(bad) == 2
-    assert "not json" in bad[1] or "not json" in bad[0]
+    assert len(bad) == 4
+    assert any("not json" in line for line in bad)
+    assert "" in bad and "   \t" in bad
 
 
 def test_jsonl_partitioned_export(spark, tmp_path):

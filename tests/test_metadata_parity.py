@@ -67,6 +67,61 @@ def test_snv_and_segment_template_fields(tmp_path):
     assert seg["label"] == "Masked Copy Number Segment (DNAcopy)"
 
 
+def test_key_set_matches_reference_templates(tmp_path):
+    # The generated sidecar must carry EXACTLY the keys the reference's
+    # Jinja template renders (minus the conditional 'notes' block, which
+    # only appears when notes are passed).
+    import os
+    import re
+
+    res = "/root/reference/xena_gdc_etl/resources"
+    if not os.path.isdir(res):  # reference tree absent outside the sandbox
+        import pytest
+
+        pytest.skip("reference resources not available")
+    cases = {
+        "star_tpm": "rna",
+        "mirna": "mirna",
+        "masked_cnv_DNAcopy": "cnv",
+        "gene-level_ascat3": "ascat",
+        "gene-level_absolute": "absolute",
+        "somaticmutation_wxs": "snv",
+        "methylation450": "methylation",
+        "protein": "protein",
+        "clinical": "clinical",
+        "survival": "survival",
+    }
+    # keys the Spark sidecar adds beyond the template on purpose (raw
+    # template variables kept for programmatic consumers)
+    provenance = {"project_id", "xena_cohort", "xena_dtype", "date", "gdc_release"}
+    for dtype, family in cases.items():
+        tpl = open(f"{res}/template.{family}.meta.json").read()
+        # one key per line in every template; anchoring to line start keeps
+        # ':'-prefixed keys (":probeMap") from confusing the match
+        tpl_keys = set(
+            re.findall(r'^\s*\{?\s*"([^"]+)"\s*:', tpl, re.M)
+        ) - {"notes"}
+        got = build_metadata("TCGA-GBM", dtype, str(tmp_path / dtype), "r40")
+        assert set(got) == tpl_keys | provenance, (
+            f"{dtype}: missing={tpl_keys - set(got)} "
+            f"extra={set(got) - tpl_keys - provenance}"
+        )
+
+
+def test_clinical_and_description_parity(tmp_path):
+    c = build_metadata("TCGA-GBM", "clinical", str(tmp_path / "c"))
+    assert c[":clinicalFeature"] == "featureSetting.tsv"
+    for dtype, anchor in (
+        ("masked_cnv_DNAcopy", "CNV_Pipeline/#ascat-pipelines"),
+        ("gene-level_absolute", "CNV_Pipeline/#absolute-copy-number"),
+        ("somaticmutation_wxs", "#somatic-variant-calling-workflow"),
+        ("methylation450", "Methylation_LO_Pipeline/"),
+        ("protein", "RPPA_intro/"),
+    ):
+        m = build_metadata("TCGA-GBM", dtype, str(tmp_path / dtype))
+        assert anchor in m["description"], dtype
+
+
 def test_protein_and_survival_fields(tmp_path):
     p = build_metadata("TCGA-OV", "protein", str(tmp_path / "p"))
     assert p["PLATFORM"] == "rppa"

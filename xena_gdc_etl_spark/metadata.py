@@ -159,10 +159,22 @@ def _render_family(family: str, v: dict) -> dict:
             if family == "mirna"
             else "miRNA isoform expression RNAseq"
         )
+        wrangle = (
+            "RPM Data from the same sample but from different vials/portions/"
+            "analytes/aliquotes is averaged; "
+            + (
+                ""
+                if family == "mirna"
+                else "data from different samples is combined into "
+                "genomicMatrix; "
+            )
+            + "all data is then log2(x+1) transformed."
+        )
         return {
             "dataSubType": sub,
             "label": label,
             "colNormalization": True,
+            "wrangling_procedure": wrangle,
             "PLATFORM": "Illumina",
             "type": "genomicMatrix",
             "unit": "log2(RPM+1)",
@@ -183,8 +195,15 @@ def _render_family(family: str, v: dict) -> dict:
             "assembly": "hg38",
             "type": "genomicSegment",
             "unit": "copy number",
+            "description": (
+                "More information on the GDC pipeline used to generate this "
+                f"data: {_GDC_DOCS}CNV_Pipeline/#ascat-pipelines"
+            ),
         }
     if family in ("ascat", "absolute"):
+        anchor = (
+            "#ascat-pipelines" if family == "ascat" else "#absolute-copy-number"
+        )
         return {
             "dataSubType": "copy number (gene-level)",
             ":probeMap": "gencode.v36.annotation.gtf.gene.probemap",
@@ -193,6 +212,10 @@ def _render_family(family: str, v: dict) -> dict:
             "wrangling_procedure": "Loaded data directly into Xena",
             "type": "genomicMatrix",
             "unit": "copy number",
+            "description": (
+                "More information on the GDC pipeline used to generate this "
+                f"data: {_GDC_DOCS}CNV_Pipeline/{anchor}"
+            ),
         }
     if family == "snv":
         return {
@@ -209,6 +232,11 @@ def _render_family(family: str, v: dict) -> dict:
             "assembly": "hg38",
             "PLATFORM": "Illumina",
             "type": "mutationVector",
+            "description": (
+                "More information on the GDC pipeline used to generate this "
+                f"data: {_GDC_DOCS}DNA_Seq_Variant_Calling_Pipeline/"
+                "#somatic-variant-calling-workflow"
+            ),
         }
     if family == "methylation":
         num = v.get("platform_num", "")
@@ -218,9 +246,18 @@ def _render_family(family: str, v: dict) -> dict:
             "dataSubType": "DNA methylation",
             ":probeMap": v.get("probe_map", ""),
             "label": f"Illumina Human Methylation {num}",
+            "wrangling_procedure": (
+                "Beta_value from the same sample but from different vials/"
+                "portions/analytes/aliquotes is averaged; beta_value from "
+                "different samples is combined into genomicMatrix."
+            ),
             "PLATFORM": f"Illumina Human Methylation {num}",
             "type": "genomicMatrix",
             "unit": "beta value",
+            "description": (
+                "More information on the GDC pipeline used to generate this "
+                f"data: {_GDC_DOCS}Methylation_LO_Pipeline/"
+            ),
         }
     if family == "protein":
         return {
@@ -233,12 +270,17 @@ def _render_family(family: str, v: dict) -> dict:
             "PLATFORM": v.get("platform", ""),
             "type": "genomicMatrix",
             "unit": "normalized RPPA value",
+            "description": (
+                "More information on the GDC pipeline used to generate this "
+                f"data: {_GDC_DOCS}RPPA_intro/"
+            ),
         }
     if family == "clinical":
         return {
             "dataSubType": "phenotype",
             "label": "Phenotype",
             "type": "clinicalMatrix",
+            ":clinicalFeature": "featureSetting.tsv",
         }
     if family == "survival":
         return {

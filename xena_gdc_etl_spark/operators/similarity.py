@@ -37,6 +37,25 @@ def _safe_norms(m: np.ndarray) -> np.ndarray:
     return norms
 
 
+# The query/centroid sides of the broadcast ANN operators are collected to
+# the driver by design (they are the small side); this bound turns the
+# silent driver OOM of an oversized side into an actionable error.
+DEFAULT_MAX_BROADCAST_ROWS = 1 << 16
+
+
+def _collect_bounded(df: DataFrame, what: str, limit: int) -> list:
+    """Collect a deliberately-small DataFrame, failing clearly (instead of
+    an opaque driver OOM) when it exceeds ``limit`` rows."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{what} has more than {limit} rows — this side is collected "
+            "to the driver and broadcast, so it must stay small; raise "
+            "max_driver_rows only if the driver can really hold it"
+        )
+    return rows
+
+
 _TOPK_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -52,6 +71,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_driver_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Exact top-k by cosine for every query vector (self-match excluded).
 
@@ -63,9 +83,13 @@ def cosine_topk(
     finishes. The corpus never shuffles.
     """
     spark = vectors.sparkSession
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
+    qrows = _collect_bounded(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "the query side of cosine_topk",
+        max_driver_rows,
+    )
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     qm = np.array([r.qv for r in qrows], dtype=np.float64)
     qn = qm / _safe_norms(qm)
@@ -145,15 +169,20 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    max_driver_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (rounded cosine; ties →
     smallest centroid id). The centroid matrix ships to every task; one
     matmul per Arrow batch, no shuffle and no per-row window.
     """
     spark = vectors.sparkSession
-    crows = centroids.select(
-        F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
-    ).collect()
+    crows = _collect_bounded(
+        centroids.select(
+            F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
+        ),
+        "the centroid side of ivf_assign",
+        max_driver_rows,
+    )
     # sorted by centroid id so argmax's first-max rule == smallest-id tiebreak
     crows.sort(key=lambda r: r.cid)
     c_ids = np.array([r.cid for r in crows], dtype=np.int64)
@@ -381,9 +410,13 @@ def pq_train(
     assignments and sums inside Arrow batches; the driver folds m×k
     running sums, never rows.
     """
-    dim = len(
-        vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-    )
+    probe = vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            f"pq_train needs at least one non-null '{vec_col}' vector; "
+            "input is empty or all-null"
+        )
+    dim = len(probe[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -477,7 +510,7 @@ def pq_encode(
 
     out_schema = StructType(
         [
-            StructField("vec_id", LongType()),
+            StructField(id_col, LongType()),
             StructField("codes", ArrayType(IntegerType())),
         ]
     )
@@ -495,7 +528,7 @@ def pq_encode(
                 codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
                     "codes": list(codes),
                 }
             )
@@ -512,18 +545,35 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    codes_id_col: str | None = None,
+    codes_col: str = "codes",
 ) -> DataFrame:
     """Approximate top-k by ADC: per query, an m×k_codebook table of
     squared subdistances to every subcentroid; a candidate's distance is m
     table lookups summed — the compressed corpus is never decoded. Same
     two-stage top-k shape as ``cosine_topk`` (batch-local top-k ordered by
     the final criterion, then one cheap global window).
+
+    ``id_col``/``vec_col`` name the QUERY side; the codes side follows
+    ``pq_encode``'s output (``id_col``/"codes") unless overridden with
+    ``codes_id_col``/``codes_col``.
     """
+    codes_id_col = codes_id_col if codes_id_col is not None else id_col
+    missing = [c for c in (codes_id_col, codes_col) if c not in codes.columns]
+    if missing:
+        raise ValueError(
+            f"codes side lacks column(s) {missing}; have {codes.columns} — "
+            "pass codes_id_col/codes_col to match your pq_encode output"
+        )
     spark = codes.sparkSession
     m = len(codebooks)
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
+    qrows = _collect_bounded(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "the query side of pq_topk",
+        DEFAULT_MAX_BROADCAST_ROWS,
+    )
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     qm = np.array([r.qv for r in qrows], dtype=np.float64)
     sub = codebooks[0].shape[1]
@@ -558,8 +608,8 @@ def pq_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            vids = pdf[codes_id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
             out_q, out_m, out_d = [], [], []
             for qi, qid in enumerate(ids):
                 # dist[v] = sum_j tabs[qi, j, cm[v, j]]

@@ -59,8 +59,14 @@ Fetcher = Callable[[str], tuple[str, Iterator[bytes]]]
 
 def get_ext(file_name: str) -> str:
     """All supported extensions in ``file_name``, joined by "." — keeps
-    everything from the first (leftmost) supported extension on, exactly the
+    everything from the first (leftmost) supported extension on, the
     reference's rule (gdc.py:336 ``get_ext``): ``a.b.tsv.gz`` → ``tsv.gz``.
+
+    Deliberate deviation: when NO supported extension is present the
+    reference falls through and returns the last dot-token (``foo.bar`` →
+    ``bar``), which mislabels arbitrary suffixes as extensions; this
+    returns ``""`` so ``target_path`` lands the file as the bare UUID
+    instead of inventing an extension.
     """
     parts = file_name.split(".")
     for i, part in enumerate(parts):
@@ -85,6 +91,16 @@ def target_path(uuid: str, original_name: str, download_dir: str) -> str:
     ext = get_ext(original_name)
     name = f"{uuid}.{ext}" if ext else uuid
     return os.path.join(os.path.abspath(download_dir), name)
+
+
+def _unlink_quiet(path: str | None) -> None:
+    """Remove a partial download if it exists; never raise from cleanup."""
+    if path is None:
+        return
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 def md5_file(path: str, chunk_size: int = 1 << 20) -> str:
@@ -193,22 +209,38 @@ def download_files(
         for pdf in batches:
             rows = []
             for uuid, expected in zip(pdf["uuid"], pdf["__md5"]):
+                tmp = None
                 try:
-                    name, chunks = fetch(data_url(uuid))
-                    path = target_path(uuid, name or "", download_dir)
-                    h = hashlib.md5()
-                    n = 0
-                    tmp = path + ".part"
-                    with open(tmp, "wb") as f:
-                        for chunk in chunks:
-                            f.write(chunk)
-                            h.update(chunk)
-                            n += len(chunk)
+                    # retrying_fetcher only guards fetch ESTABLISHMENT; a
+                    # connection dropped mid-iter_content surfaces here, so
+                    # retry the whole fetch+stream once for retryable
+                    # failures instead of burning the file on one reset.
+                    for attempt in (0, 1):
+                        try:
+                            name, chunks = fetch(data_url(uuid))
+                            path = target_path(
+                                uuid, name or "", download_dir
+                            )
+                            h = hashlib.md5()
+                            n = 0
+                            tmp = path + ".part"
+                            with open(tmp, "wb") as f:
+                                for chunk in chunks:
+                                    f.write(chunk)
+                                    h.update(chunk)
+                                    n += len(chunk)
+                            break
+                        except RetryableFetchError:
+                            _unlink_quiet(tmp)
+                            tmp = None
+                            if attempt == 1:
+                                raise
                     os.replace(tmp, path)  # atomic: no truncated landings
                     digest = h.hexdigest()
                     ok = None if expected is None else digest == expected
                     rows.append((uuid, path, n, digest, ok, None))
                 except Exception as exc:  # noqa: BLE001 - per-file isolation
+                    _unlink_quiet(tmp)  # no orphaned .part accumulation
                     rows.append(
                         (uuid, None, None, None, None,
                          f"{type(exc).__name__}: {exc}"[:500])

@@ -65,7 +65,10 @@ def read_jsonl_corpus(
         ).alias("__r"),
         F.col("value"),
     )
-    bad = F.col(f"__r.{_CORRUPT}").isNotNull()
+    # Blank/whitespace-only lines parse to a NULL struct (not a struct with
+    # the corrupt field set), so the corrupt-field test alone would admit
+    # them as all-null rows; a null struct is equally quarantine-worthy.
+    bad = F.col(f"__r.{_CORRUPT}").isNotNull() | F.col("__r").isNull()
     valid = parsed.filter(~bad).select("__r.*").drop(_CORRUPT)
     quarantine = parsed.filter(bad).select(F.col("value").alias("raw_line"))
     return valid, quarantine
