@@ -21,13 +21,28 @@ def create_parser() -> argparse.ArgumentParser:
     )
     sub = parser.add_subparsers(dest="subcomm", required=True)
 
-    etl = sub.add_parser("etl", help="build a Xena matrix from long-format parquet")
-    etl.add_argument("--source", required=True, help="parquet path of long raw data")
+    etl = sub.add_parser(
+        "etl",
+        help="build a Xena matrix from long-format parquet, or download-"
+        "then-transform from a UUID manifest (reference etl flow)",
+    )
+    etl.add_argument("--source", default=None, help="parquet path of long raw data")
     etl.add_argument("--dtype", required=True, help="xena dtype (see gdc_pipelines)")
     etl.add_argument("--sample-col", default="sample")
     etl.add_argument("--feature-col", default="feature")
     etl.add_argument("--value-col", default="value")
-    etl.add_argument("--out", required=True, help="output matrix TSV directory")
+    etl.add_argument("--out", default=None, help="output matrix TSV directory")
+    etl.add_argument(
+        "--manifest",
+        default=None,
+        help="parquet manifest (uuid, sample[, md5]) to download and "
+        "transform instead of --source",
+    )
+    etl.add_argument("--download-dir", default=None)
+    etl.add_argument("--project", default=None, help="project id (manifest mode)")
+    etl.add_argument("--root-dir", default=".")
+    etl.add_argument("--md5-col", default=None)
+    etl.add_argument("--release", default="")
 
     pheno = sub.add_parser(
         "etl-pheno", help="build a phenotype matrix (clinical ⋈ biospecimen)"
@@ -52,6 +67,22 @@ def create_parser() -> argparse.ArgumentParser:
     surv.add_argument("--project", required=True)
     surv.add_argument("--root-dir", default=".")
     surv.add_argument("--release", default="")
+
+    batch = sub.add_parser(
+        "gdc2xena",
+        help="batch-import projects × dtypes; per-dataset failures are "
+        "logged and skipped (reference gdc2xena driver)",
+    )
+    batch.add_argument("-r", "--root-dir", required=True)
+    batch.add_argument("-p", "--projects", nargs="+", required=True)
+    batch.add_argument("-t", "--datatypes", nargs="+", required=True)
+    batch.add_argument("--release", default="")
+    batch.add_argument(
+        "-D",
+        "--delete-raw-data",
+        action="store_true",
+        help="remove each dataset's Raw_Data after its matrix lands",
+    )
 
     eql = sub.add_parser("xena-eql", help="check equality of two matrices")
     eql.add_argument("df1")
@@ -109,6 +140,33 @@ def main(argv: list[str] | None = None) -> int:
         from xena_gdc_etl_spark.gdc_pipelines import transform_matrix_dtype
         from xena_gdc_etl_spark.sources.xena_tsv import write_xena_tsv
 
+        if options.manifest:
+            # reference main.py:19 etl → download THEN transform
+            if not (options.download_dir and options.project):
+                print(
+                    "--manifest needs --download-dir and --project",
+                    file=sys.stderr,
+                )
+                return 2
+            from xena_gdc_etl_spark.gdc2xena import etl_download_transform
+
+            out, _status = etl_download_transform(
+                spark,
+                spark.read.parquet(options.manifest),
+                download_dir=options.download_dir,
+                dtype=options.dtype,
+                project=options.project,
+                root_dir=options.root_dir,
+                feature_col=options.feature_col,
+                value_col=options.value_col,
+                md5_col=options.md5_col,
+                gdc_release=options.release,
+            )
+            print(f"Xena matrix is saved at {out}.")
+            return 0
+        if not (options.source and options.out):
+            print("etl needs --source and --out (or --manifest)", file=sys.stderr)
+            return 2
         raw = spark.read.parquet(options.source)
         matrix = transform_matrix_dtype(
             raw,
@@ -119,6 +177,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_xena_tsv(matrix, options.out)
         print(f"Xena matrix is saved at {options.out}.")
+        return 0
+
+    if options.subcomm == "gdc2xena":
+        from xena_gdc_etl_spark.gdc2xena import gdc2xena
+
+        gdc2xena(
+            spark,
+            options.root_dir,
+            options.projects,
+            options.datatypes,
+            gdc_release=options.release,
+            delete_raw_data=options.delete_raw_data,
+        )
+        # like the reference driver: failures are logged, not fatal
         return 0
 
     if options.subcomm == "etl-pheno":
