@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 from xena_gdc_etl_spark.filters import FilterSpec
 from xena_gdc_etl_spark.operators import dedup as dd
 from xena_gdc_etl_spark.operators.sampling import (
+    rebalance_groups,
     sample_by_group,
     split_assign,
     stratified_sample,
+    weighted_sample,
 )
 from xena_gdc_etl_spark.sources.parquet_sink import write_partitioned
 
@@ -49,6 +51,38 @@ def test_sample_by_group_rates(spark):
     counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert counts["rare"] == 1000
     assert counts.get("common", 0) < 250
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    # weight 0 drops all, weight 1 keeps all, out-of-range weights clamp
+    assert weighted_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(1.0)).count() == 4000
+    assert weighted_sample(df, "k", F.lit(7.5)).count() == 4000
+    assert weighted_sample(df, "k", F.lit(-3.0)).count() == 0
+    n = weighted_sample(df, "k", F.lit(0.3)).count()
+    assert 0.25 * 4000 < n < 0.35 * 4000
+    # deterministic: a row's fate is a pure function of (key, seed)
+    a = weighted_sample(df, "k", F.lit(0.3)).collect()
+    b = weighted_sample(df.repartition(13), "k", F.lit(0.3)).collect()
+    assert sorted(r.k for r in a) == sorted(r.k for r in b)
+
+
+def test_rebalance_groups_uniform_and_target(spark):
+    rows = [(i, "big" if i < 3000 else ("mid" if i < 3900 else "small"))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    # uniform: every group downsamples toward the smallest (100 rows)
+    out = rebalance_groups(df, "g", "k")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 100  # smallest group keeps everything
+    for g in ("big", "mid"):
+        assert 50 < counts[g] < 160, counts
+    # explicit target: 'big' should dominate the kept mixture
+    out2 = rebalance_groups(df, "g", "k", target={"big": 0.9, "mid": 0.05, "small": 0.05})
+    c2 = {r.g: r.n for r in out2.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert c2["big"] == 3000  # target share above natural share -> keep all
+    assert c2["mid"] < 400 and c2["small"] == 100
 
 
 def test_write_partitioned_layout_roundtrip(spark):

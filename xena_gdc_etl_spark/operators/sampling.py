@@ -67,6 +67,79 @@ def stratified_sample(
     return df.filter(_bucket(F.col(key_col), seed) < int(round(fraction * _BUCKETS)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    seed: str = "",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability = its weight in
+    [0, 1], deterministically (same key + seed → same decision on any
+    engine/cluster layout). The training-data-mixing primitive: weight by
+    quality score to keep good documents at a higher rate than boilerplate
+    without a global sort or RNG state.
+
+    Pure projection+filter — no shuffle, composes with any upstream plan
+    and pushes into the scan when the weight is a column expression.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    bucket = _bucket(F.col(key_col), seed)
+    # clamp into [0,1] so an out-of-range score can't silently keep/drop all
+    thresh = (
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * _BUCKETS
+    ).cast("bigint")
+    return df.filter(bucket < thresh)
+
+
+def rebalance_groups(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target: Mapping[str, float] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Rebalance a corpus toward a target group mixture by downsampling
+    over-represented groups (never upsampling): with no ``target``, every
+    group is cut to the size of the smallest (uniform mixture); with
+    ``target`` proportions, each group keeps
+    ``min(1, target_g · N_total / n_g)`` of its rows.
+
+    Plan shape: one partial-aggregated count per group (tiny — one row per
+    group), broadcast back onto the corpus, then the same deterministic
+    hash filter as ``stratified_sample``. The corpus itself never
+    shuffles, so this survives a 100 TB input with a per-group count as
+    the only aggregate state.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # one row per group + one scalar row — broadcast-joined, never shuffled
+    totals = counts.agg(
+        F.min("__n").alias("__min_n"), F.sum("__n").alias("__total_n")
+    )
+    counts = counts.crossJoin(F.broadcast(totals))
+    if target is None:
+        frac = F.col("__min_n") / F.col("__n")
+    else:
+        expr = None
+        for value, share in target.items():
+            cond = F.col(group_col) == value
+            expr = (
+                F.when(cond, float(share))
+                if expr is None
+                else expr.when(cond, float(share))
+            )
+        tgt = expr.otherwise(F.lit(0.0))
+        frac = tgt * F.col("__total_n") / F.col("__n")
+    rates = counts.select(
+        group_col, F.least(F.lit(1.0), frac).alias("__keep_frac")
+    )
+    bucket = _bucket(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < (F.col("__keep_frac") * _BUCKETS).cast("bigint"))
+        .drop("__keep_frac")
+    )
+
+
 def sample_by_group(
     df: DataFrame,
     group_col: str,

@@ -1370,6 +1370,70 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 35b. Importance sampling: keep each document with probability equal to a
+#      quality weight in [0,1], decided by portable key-hash — the
+#      deterministic data-mixing primitive (no RNG state, no shuffle).
+#      Casts are floor-identical on both engines: Spark's double→bigint cast
+#      truncates, the oracle floors explicitly.
+# --------------------------------------------------------------------------
+@query(
+    "weighted_sample",
+    """
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket,
+               least(greatest(n_chars / 400.0, 0.0), 1.0) AS keep_w
+        FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM w
+    WHERE bucket < CAST(floor(keep_w * 10000) AS BIGINT)
+    GROUP BY source
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.sampling import weighted_sample as ws
+
+    docs = Catalog(spark, sf_dir).documents
+    kept = ws(docs, "doc_id", F.col("n_chars") / 400.0)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 35c. Mixture rebalancing: downsample over-represented sources so the kept
+#      corpus approaches a uniform source mixture — per-group counts are the
+#      only aggregate state (one tiny broadcast), the corpus never shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "rebalance_sources",
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+         t AS (SELECT min(n) AS min_n FROM c),
+         r AS (SELECT c.source, least(1.0, t.min_n / c.n) AS keep_frac
+               FROM c CROSS JOIN t),
+         k AS (
+            SELECT d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE ('0x'||substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+                  < CAST(floor(r.keep_frac * 10000) AS BIGINT))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+    FROM k GROUP BY source
+    """,
+)
+def rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.sampling import rebalance_groups
+
+    docs = Catalog(spark, sf_dir).documents
+    kept = rebalance_groups(docs, "source", "doc_id")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --------------------------------------------------------------------------
 # 34. Nested normalization: parse the serialized props JSON into a struct and
 #     star-expand it to flat columns — the reference's get_samples_clinical /
 #     json_normalize flattening (gdc.py:462) as a pure Catalyst projection.
@@ -2030,6 +2094,9 @@ _PROMOTED = [
     "sequence_pack",
     "incremental_dedup",
     "event_funnel",
+    # round-3 additions — promoted so their first driver row lands now
+    "weighted_sample",
+    "rebalance_sources",
 ]
 
 
