@@ -6,6 +6,8 @@ the engine's operators, as one lazy-until-write Spark job.
       → dedup: exact hash       (drop byte-identical copies)
       → dedup: MinHash clusters (near-dups → keep longest per cluster)
       → contamination guard     (drop docs overlapping the held-out set)
+      → mixture rebalance       (downsample over-represented sources)
+      → quality-weighted sample (importance sampling by quality score)
       → sequence_pack           (concat-and-chunk pack layout)
       → partitioned parquet     (hive-partitioned by source)
 
@@ -84,7 +86,30 @@ def curate(
     clean_ids = contam.filter(F.col("contam_frac") < 0.2).select("doc_id")
     docs = docs.join(clean_ids, "doc_id", "left_semi")
 
-    # 5. pack layout: chunk index + offset under concat-and-chunk
+    # 5. data mixing: cap over-represented sources at 2× the smallest
+    #    source's share, then keep long-enough documents at a rate
+    #    proportional to a simple quality weight (deterministic hash
+    #    sampling both times — reproducible on any engine/cluster layout)
+    from xena_gdc_etl_spark.operators.sampling import (
+        rebalance_groups,
+        weighted_sample,
+    )
+
+    n_sources = docs.select("source").distinct().count()
+    docs = rebalance_groups(
+        docs,
+        "source",
+        "doc_id",
+        target={
+            r.source: 2.0 / max(n_sources, 2)
+            for r in docs.select("source").distinct().collect()
+        },
+    )
+    docs = weighted_sample(
+        docs, "doc_id", F.least(F.length("text") / 200.0, F.lit(1.0))
+    )
+
+    # 6. pack layout: chunk index + offset under concat-and-chunk
     toks = docs.select(
         "doc_id",
         "source",

@@ -363,6 +363,44 @@ def test_pq_topk_finds_group_neighbours(spark):
         assert same_group >= 4, (qid, matches)
 
 
+def test_ivf_pq_topk_recall_and_determinism(spark):
+    vecs = _pq_vectors(spark, n=48, dim=8, seed_groups=4)
+    queries = vecs.filter(F.col("vec_id") < 4)
+    out = sim.ivf_pq_topk(
+        vecs, queries, n_cells=4, m=4, k_codebook=8, k=5, nprobe=2
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.match_id)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, matches in by_q.items():
+        assert len(matches) == 5
+        # neighbours of a group-g query are overwhelmingly group-g
+        same = sum(1 for m_ in matches if m_ % 4 == qid % 4)
+        assert same >= 4, (qid, matches)
+    # deterministic + partition-invariant (hash/window tiebreaks only)
+    again = sim.ivf_pq_topk(
+        vecs.repartition(7), queries, n_cells=4, m=4, k_codebook=8, k=5, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_pq_probe_widening_recovers_pq_topk(spark):
+    # with nprobe = n_cells the IVF restriction vanishes: results must
+    # equal plain pq_topk over the full corpus (same codebooks/k)
+    vecs = _pq_vectors(spark, n=40, dim=8, seed_groups=4)
+    queries = vecs.filter(F.col("vec_id") < 3)
+    full = sim.ivf_pq_topk(
+        vecs, queries, n_cells=4, m=4, k_codebook=8, k=4, nprobe=4
+    ).collect()
+    books = sim.pq_train(vecs, m=4, k=8, iterations=3)
+    plain = sim.pq_topk(
+        sim.pq_encode(vecs, books), queries, books, k=4
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+
 def test_pq_respects_custom_id_column(spark):
     vecs = _pq_vectors(spark).withColumnRenamed("vec_id", "item_id")
     books = sim.pq_train(vecs, m=4, k=4, iterations=2, id_col="item_id")

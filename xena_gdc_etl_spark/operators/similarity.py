@@ -641,3 +641,155 @@ def pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codebook: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full billion-vector ANN layout (Jégou et al., TPAMI
+    2011) — IVF restricts WHICH vectors a query scores (``nprobe`` nearest
+    cells out of ``n_cells``), PQ restricts WHAT is scored (m uint8 codes
+    per vector via ADC tables, never raw floats).
+
+    Scale anatomy, piece by piece:
+    - driver state: k×d centroid floats + m codebooks (kilobytes) — the
+      only ANN state that lives driver-side, by design;
+    - corpus: one assignment matmul + one encode pass, landing as the
+      compressed inverted file (cell, id, m codes) — m bytes + a cell id
+      per vector, the thing that actually fits 10^9 vectors in RAM;
+    - query time: probes (query, cell) pairs join the inverted file ON THE
+      CELL KEY — candidate pruning happens in the join, the corpus never
+      shuffles — then batch-local ADC top-k and one cheap global window
+      over ≤ partitions×k rows per query.
+
+    Exact-recall caveats are PQ's own: ADC distances are approximate, so
+    recall is a function of (m, k_codebook, nprobe) — measured in
+    tests/test_dedup_similarity.py, not promised.
+    """
+    spark = vectors.sparkSession
+    books = pq_train(
+        vectors, m=m, k=k_codebook, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    # ---- driver-side probe planning. Centroids are collected ONCE and
+    # re-localized as a literal frame: every downstream action would
+    # otherwise re-execute the whole Lloyd's lineage (k-means is a
+    # multi-job plan, not a cached table), and the trained state is
+    # kilobytes — exactly the thing that belongs driver-side. ----
+    crows = _collect_bounded(
+        ivf_train(
+            vectors, k=n_cells, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        ).select("centroid_id", vec_col),
+        "the centroid side of ivf_pq_topk",
+        DEFAULT_MAX_BROADCAST_ROWS,
+    )
+    crows.sort(key=lambda r: r.centroid_id)
+    centroids_local = spark.createDataFrame(
+        [(int(r.centroid_id), list(map(float, r[1]))) for r in crows],
+        f"centroid_id long, {vec_col} array<double>",
+    )
+    inverted = ivf_assign(vectors, centroids_local, id_col, vec_col).select(
+        id_col, "centroid_id"
+    ).join(pq_encode(vectors, books, id_col, vec_col), id_col)
+    c_ids = np.array([r.centroid_id for r in crows], dtype=np.int64)
+    cm = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = cm / _safe_norms(cm)
+    qrows = _collect_bounded(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "the query side of ivf_pq_topk",
+        DEFAULT_MAX_BROADCAST_ROWS,
+    )
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.qv for r in qrows], dtype=np.float64)
+    qn = qm / _safe_norms(qm)
+    sims = np.round(qn @ cn.T, 6)
+    order = np.lexsort(
+        (np.broadcast_to(c_ids, sims.shape), -sims), axis=1
+    )[:, : min(nprobe, len(c_ids))]
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(c_ids[ci]))
+            for qi in range(len(q_ids))
+            for ci in order[qi]
+        ],
+        f"query_id long, centroid_id long",
+    )
+
+    # ADC tables: (n_query, m, k_codebook) squared subdistances
+    sub = books[0].shape[1]
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((qm[:, j * sub : (j + 1) * sub][:, None, :]
+                      - books[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+        ]
+    )[0]
+    qidx = {int(q): i for i, q in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((qidx, tables))
+
+    cand = inverted.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", F.col(id_col), F.col("codes")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("match_id", LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, tabs = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            cm_ = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qrow = np.array([idx[int(q)] for q in qids])
+            d = np.round(
+                tabs[qrow[:, None], np.arange(m)[None, :], cm_].sum(axis=1), 9
+            )
+            out_q, out_m, out_d = [], [], []
+            for q in np.unique(qids):
+                msk = (qids == q) & (vids != q)
+                cand_ids, cand_d = vids[msk], d[msk]
+                sel = np.lexsort((cand_ids, cand_d))[:k]
+                out_q.extend([q] * len(sel))
+                out_m.extend(cand_ids[sel])
+                out_d.extend(cand_d[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "match_id": out_m, "adc_dist": out_d}
+            )
+
+    local = cand.mapInPandas(_local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("match_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            "adc_dist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

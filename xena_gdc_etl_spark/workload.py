@@ -2074,6 +2074,30 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 56. IVF-PQ: the composed billion-vector ANN layout (IVF cell pruning ×
+#     PQ/ADC compression). Deterministic (smallest-id k-means init, fixed
+#     iterations, integer tiebreaks) but built on trained centroids +
+#     codebooks, which ANSI SQL cannot reproduce — registered rows-only;
+#     exact equivalences are pinned by unit tests instead
+#     (tests/test_dedup_similarity.py: nprobe=n_cells == plain pq_topk).
+# --------------------------------------------------------------------------
+@query("ann_ivf_pq")
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 5)
+    # iterations=1: centroid/codebook TRAINING is an offline step in a real
+    # deployment (state is kilobytes, reused across queries); one Lloyd's
+    # round here keeps the registered query honest about query-time cost
+    # while still exercising the full train→encode→probe→ADC pipeline.
+    return sim.ivf_pq_topk(
+        emb, queries, n_cells=8, m=4, k_codebook=8, k=5, nprobe=2,
+        iterations=1,
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the first 50
 # entries of ``queries()`` in dict order, which up to round 2 was decorator
 # order — so the last-registered 11 queries never received a driver oracle
