@@ -427,3 +427,47 @@ def test_asof_join_tolerance_nulls_far_matches(spark):
     ).collect()}
     # no right row at-or-after either left ts -> both null
     assert fwd[1].asof_event_id is None and fwd[2].asof_event_id is None
+
+
+def test_unigram_logprob_scores_exact(spark):
+    from math import log
+
+    from xena_gdc_etl_spark.operators.text import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a c"),
+        ],
+        ["doc_id", "text"],
+    )
+    # corpus: a=3, b=1, c=1, N=5
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    exp1 = (2 * (log(5) - log(3)) + (log(5) - log(1))) / 3
+    exp2 = ((log(5) - log(3)) + (log(5) - log(1))) / 2
+    assert abs(out[1]["lm_score"] - round(exp1, 6)) < 1e-9
+    assert abs(out[2]["lm_score"] - round(exp2, 6)) < 1e-9
+    # the doc made of rarer tokens scores HIGHER (less in-distribution)
+    assert out[2]["lm_score"] > out[1]["lm_score"]
+
+
+def test_commonness_buckets_deterministic_split(spark):
+    from xena_gdc_etl_spark.operators.text import commonness_buckets
+
+    # six docs, one language: commonness ranks 1..6 -> head/head/middle/
+    # middle/tail/tail. "x"-docs share a common token; unique-token docs
+    # sink to the tail.
+    rows = [
+        (1, "x x x x", "en"),
+        (2, "x x x", "en"),
+        (3, "x x", "en"),
+        (4, "x q", "en"),
+        (5, "q r", "en"),
+        (6, "s t", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r["bucket"] for r in commonness_buckets(docs).collect()}
+    assert out[1] == "head" and out[2] == "head"
+    assert out[3] == "middle" and out[4] == "middle"
+    assert out[5] == "tail" and out[6] == "tail"

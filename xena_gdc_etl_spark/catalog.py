@@ -39,10 +39,12 @@ class Catalog:
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"{name}.parquet")
 
-    # Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
-    # (see session.py nanosAsLong). Converted to µs-precision timestamps here
-    # with integer division (never float math — ns-since-epoch overflows the
-    # double mantissa).
+    # Columns that may be stored as parquet TIMESTAMP(NANOS), which Spark
+    # reads as long (see session.py nanosAsLong). Converted to µs-precision
+    # timestamps here with integer division (never float math —
+    # ns-since-epoch overflows the double mantissa). Testdata generations
+    # have varied (nanos in rounds 1-2, plain µs since), so the handling is
+    # conditional on the OBSERVED dtype, not the generation.
     _NANOS_TS_COLS = {"events": ("ts",)}
 
     # DataFrames are immutable logical plans, so resolving a table once per
@@ -71,6 +73,16 @@ class Catalog:
         for col in self._NANOS_TS_COLS.get(name, ()):
             if col in df.columns and dict(df.dtypes)[col] == "bigint":
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # Parquet timestamps written without isAdjustedToUTC read as
+        # TIMESTAMP_NTZ under Spark's NTZ inference, which breaks
+        # instant-based expressions (unix_micros, F.window) and diverges
+        # from the LTZ behavior the operators and oracles were validated
+        # under. Normalize: NTZ → TIMESTAMP is wall-clock-preserving on
+        # collect (render round-trips through the session zone), so the
+        # canonicalized comparison is unaffected by the host timezone.
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         per_session[path] = df
         return df
 

@@ -311,6 +311,102 @@ def fingerprints(
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def _doc_term_freqs(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document term frequencies (id, tok, tf) — the shared first stage
+    of the unigram-LM scorers. One explode + one (id, tok) groupBy; the
+    pre-explode repartition spreads the tokenize work past scan parallelism
+    (document tables are compact on disk).
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = spread.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style fluency proxy: score each document by the mean negative
+    log-probability of its tokens under the corpus's own unigram model,
+    lm_score = Σ tf·(ln N − ln c) / Σ tf (lower = more "in-distribution").
+
+    Plan: the (id, tok, tf) stage collapses the corpus to per-doc distinct
+    tokens BEFORE any join, so the vocabulary join never touches the raw
+    token stream; the vocab (tok → corpus count c) derives from the same
+    tf frame (no second scan of the text), and the corpus total N joins in
+    as a broadcast 1-row aggregate. At web scale the tok-keyed join falls
+    back from broadcast to shuffle — both sides are already tok-keyed
+    aggregates, orders of magnitude smaller than the exploded stream.
+    """
+    tf = _doc_term_freqs(docs, id_col, text_col)
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("__n"))
+    nll = F.col("tf") * (F.log(F.col("__n")) - F.log(F.col("c")))
+    return (
+        tf.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(nll) / F.sum("tf"), 6).alias("lm_score"),
+        )
+    )
+
+
+def commonness_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing, integer-deterministic.
+
+    Documents are ranked per language by "commonness" = Σ tf·c (c = corpus
+    count of the token) — an integer surrogate for unigram likelihood, so
+    the ntile ordering is exact and engine-portable (no float comparisons
+    anywhere in the ranking; ties broken by doc id). ntile(3) descending:
+    bucket 1 = head (most in-distribution), 3 = tail.
+
+    Plan: reuses the (id, tok, tf) stage; commonness is one tok-keyed join
+    + one groupBy; the ntile is a single window over the language partition
+    (languages are few → one small shuffle; the heavy lifting happened in
+    the token aggs).
+    """
+    from pyspark.sql import Window
+
+    names = ["head", "middle", "tail"]
+    if n_buckets != len(names):
+        names = [f"b{i + 1}" for i in range(n_buckets)]
+    tf = _doc_term_freqs(docs, id_col, text_col)
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    comm = (
+        tf.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("c")).cast("bigint").alias("commonness"))
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("commonness").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(id_col, lang_col)
+        .join(comm, id_col)
+        .withColumn("bucket_idx", F.ntile(n_buckets).over(w))
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            "commonness",
+            F.get(
+                F.array(*[F.lit(n) for n in names]), F.col("bucket_idx") - 1
+            ).alias("bucket"),
+        )
+    )
+
+
 # Redaction patterns for common PII shapes in web-scraped corpora. Order
 # matters: emails before bare domains would, e.g., double-redact.
 PII_PATTERNS = (

@@ -2098,6 +2098,75 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 57. Unigram-LM fluency score (CCNet-style perplexity proxy): mean negative
+#     log-probability of each doc's tokens under the corpus's own unigram
+#     model. The per-doc tf stage collapses the token stream before any
+#     join; vocab and total derive from it without rescanning text.
+# --------------------------------------------------------------------------
+@query(
+    "lm_score",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, tok),
+    vocab AS (
+        SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+    total AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab)
+    SELECT tf.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(round(sum(tf * (ln(n) - ln(c))) / sum(tf), 6) AS DOUBLE)
+               AS lm_score
+    FROM tf JOIN vocab USING (tok) CROSS JOIN total
+    GROUP BY tf.doc_id
+    """,
+)
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.unigram_logprob_scores(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 58. CCNet-style head/middle/tail quality buckets per language. Ranking is
+#     integer-only (commonness = Σ tf·c, ties by doc_id) so the ntile split
+#     is exact in any engine.
+# --------------------------------------------------------------------------
+@query(
+    "quality_buckets",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, tok),
+    vocab AS (
+        SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+    comm AS (
+        SELECT tf.doc_id, CAST(sum(tf * c) AS BIGINT) AS commonness
+        FROM tf JOIN vocab USING (tok) GROUP BY tf.doc_id)
+    SELECT d.doc_id, d.lang, commonness,
+           (['head','middle','tail'])[
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY commonness DESC, d.doc_id)] AS bucket
+    FROM documents d JOIN comm ON d.doc_id = comm.doc_id
+    """,
+)
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.commonness_buckets(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the first 50
 # entries of ``queries()`` in dict order, which up to round 2 was decorator
 # order — so the last-registered 11 queries never received a driver oracle
@@ -2121,6 +2190,8 @@ _PROMOTED = [
     # round-3 additions — promoted so their first driver row lands now
     "weighted_sample",
     "rebalance_sources",
+    "lm_score",
+    "quality_buckets",
 ]
 
 
