@@ -157,13 +157,32 @@ def test_dedup_keep_best_reads_two_doc_columns(spark, sf_dir):
     assert python_udf_count(df) == 0
 
 
-def test_sequence_pack_single_shuffle_no_udf(spark, sf_dir):
-    from xena_gdc_etl_spark.plans import shuffle_count
+def test_sequence_pack_sharded_prefix_no_udf(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import window_specs
 
     df = QUERIES["sequence_pack"](spark, sf_dir)
-    # one exchange for the per-source window; nothing else
-    assert shuffle_count(df) == 1
     assert python_udf_count(df) == 0
+    # every window that orders by doc_id (i.e. runs over the full document
+    # stream) must also partition by the shard id — a bare
+    # PARTITION BY source window would pull a whole source into one task
+    doc_windows = [s for s in window_specs(df) if "doc_id" in s]
+    assert doc_windows, "expected a sharded prefix window in the plan"
+    assert all("__shard" in s for s in doc_windows)
+
+
+def test_quality_buckets_sharded_rank_no_udf(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import window_specs
+
+    df = QUERIES["quality_buckets"](spark, sf_dir)
+    assert python_udf_count(df) == 0
+    plan = formatted_plan(df)
+    assert "ntile" not in plan  # replaced by rank arithmetic
+    # the rank window over the big frame (ordered by commonness, doc_id)
+    # must be sharded; lang-only windows are allowed solely on the tiny
+    # offsets frame, which never carries the commonness ordering
+    ranked = [s for s in window_specs(df) if "commonness" in s and "doc_id" in s]
+    assert ranked, "expected a sharded rank window in the plan"
+    assert all("__shard" in s for s in ranked)
 
 
 def test_event_funnel_one_window_exchange(spark, sf_dir):

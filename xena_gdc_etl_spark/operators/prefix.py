@@ -1,0 +1,133 @@
+"""Scale-safe per-group prefix aggregation (distributed two-pass scan).
+
+A plain ``sum(v) OVER (PARTITION BY g ORDER BY k ROWS UNBOUNDED PRECEDING)``
+funnels every row of a group through ONE window task. At 100 TB a hot group
+(one source, one language) can be half the corpus, and that task dies. The
+classic fix is the two-pass parallel prefix scan:
+
+1. **Range-shard** each group's rows across ``num_shards`` partitions in
+   sort order (``repartitionByRange`` on ``(group, order)``). The partition
+   count is explicit so AQE never coalesces this exchange — it must be read
+   byte-identically by both consumers below.
+2. **Local pass**: windowed prefix within each ``(shard, group)`` slice.
+   Task size is bounded by the shard width (``~rows / num_shards``), never
+   by the group.
+3. **Offsets**: per-(shard, group) subtotals form a tiny frame
+   (``shards × groups`` rows). An exclusive running sum over it, ordered by
+   shard id, gives each slice's starting offset, broadcast-joined back.
+   ``global prefix = offset + local prefix``.
+
+Both consumers of the sharded frame reference the SAME DataFrame node, so
+Catalyst's exchange reuse materializes the range shuffle once and
+``spark_partition_id()`` is evaluated over the same physical partitions in
+both subtrees — the standard DataFrame ``zipWithIndex`` construction. The
+final values depend only on each row's global sort position within its
+group, so results are independent of where the sampled range boundaries
+happen to land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["group_prefix_sum", "group_row_number"]
+
+_SHARD = "__shard"
+_LOCAL = "__local_prefix"
+_SUB = "__shard_subtotal"
+_OFF = "__shard_offset"
+
+
+def group_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    value: Column | str,
+    out_col: str,
+    *,
+    total_col: str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Inclusive per-group running sum of ``value`` in ``order_cols`` order,
+    with every task bounded by the shard size instead of the group size.
+
+    ``order_cols`` may carry sort direction (``F.col("x").desc()``); the
+    combined (group, order) key must be a total order within each group for
+    the prefix to be well-defined. If ``total_col`` is given, the per-group
+    grand total is attached as an extra column (free — it falls out of the
+    offsets frame).
+    """
+    spark = df.sparkSession
+    if num_shards is None:
+        num_shards = spark.sparkContext.defaultParallelism
+    value = F.col(value) if isinstance(value, str) else value
+    gcols = [F.col(c) for c in group_cols]
+
+    sharded = df.repartitionByRange(num_shards, *gcols, *order_cols)
+    staged = sharded.withColumn(_SHARD, F.spark_partition_id())
+
+    local_w = (
+        Window.partitionBy(_SHARD, *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    subtotals = staged.groupBy(_SHARD, *group_cols).agg(
+        F.sum(value).cast("bigint").alias(_SUB)
+    )
+    # The offsets windows run over a shards×groups frame — bounded by the
+    # shard count, not the data — so partitioning them by group is safe.
+    off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_SHARD)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [
+        F.coalesce(F.sum(_SUB).over(off_w), F.lit(0))
+        .cast("bigint")
+        .alias(_OFF)
+    ]
+    if total_col is not None:
+        off_cols.append(
+            F.sum(_SUB)
+            .over(Window.partitionBy(*group_cols))
+            .cast("bigint")
+            .alias(total_col)
+        )
+    offsets = subtotals.select(_SHARD, *group_cols, *off_cols)
+
+    return (
+        staged.withColumn(_LOCAL, F.sum(value).over(local_w))
+        .join(F.broadcast(offsets), [_SHARD, *group_cols])
+        .withColumn(
+            out_col, (F.col(_OFF) + F.col(_LOCAL)).cast("bigint")
+        )
+        .drop(_SHARD, _LOCAL, _OFF)
+    )
+
+
+def group_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    out_col: str,
+    *,
+    total_col: str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based rank in ``order_cols`` order (``row_number``
+    semantics — ``order_cols`` must totally order each group, e.g. with an
+    id tiebreak), built as a prefix sum of 1 so no single task ever sees a
+    whole group. ``total_col`` optionally attaches the group size.
+    """
+    one = "__one"
+    out = group_prefix_sum(
+        df.withColumn(one, F.lit(1).cast("bigint")),
+        group_cols,
+        order_cols,
+        one,
+        out_col,
+        total_col=total_col,
+        num_shards=num_shards,
+    )
+    return out.drop(one)

@@ -368,16 +368,23 @@ def commonness_buckets(
 
     Documents are ranked per language by "commonness" = Σ tf·c (c = corpus
     count of the token) — an integer surrogate for unigram likelihood, so
-    the ntile ordering is exact and engine-portable (no float comparisons
-    anywhere in the ranking; ties broken by doc id). ntile(3) descending:
-    bucket 1 = head (most in-distribution), 3 = tail.
+    the split is exact and engine-portable (no float comparisons anywhere
+    in the ranking; ties broken by doc id). Bucket 1 = head (most
+    in-distribution), 3 = tail; assignments match ``ntile(n)`` exactly.
 
     Plan: reuses the (id, tok, tf) stage; commonness is one tok-keyed join
-    + one groupBy; the ntile is a single window over the language partition
-    (languages are few → one small shuffle; the heavy lifting happened in
-    the token aggs).
+    + one groupBy. The per-language rank is the scale-sensitive part — a
+    plain ``ntile(n) OVER (PARTITION BY lang)`` would pull every document
+    of a language through ONE window task (at web scale English is half
+    the corpus), so the rank is computed with the two-pass sharded prefix
+    scan (operators/prefix.py: range-shard → local window → broadcast
+    offsets; every task bounded by the shard, never the language) and the
+    ntile bucket derived arithmetically from (rank, group size): with
+    q = n div k and r0 = n mod k, the first r0 buckets get q+1 rows, so
+    bucket(r) = ceil(r/(q+1)) for r ≤ r0·(q+1), else r0 + ceil((r−thr)/q).
+    Integer-exact: doubles below 2^53 only.
     """
-    from pyspark.sql import Window
+    from xena_gdc_etl_spark.operators.prefix import group_row_number
 
     names = ["head", "middle", "tail"]
     if n_buckets != len(names):
@@ -389,21 +396,31 @@ def commonness_buckets(
         .groupBy(id_col)
         .agg(F.sum(F.col("tf") * F.col("c")).cast("bigint").alias("commonness"))
     )
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("commonness").desc(), F.col(id_col).asc()
+    ranked = group_row_number(
+        docs.select(id_col, lang_col).join(comm, id_col),
+        [lang_col],
+        [F.col("commonness").desc(), F.col(id_col).asc()],
+        "__rank",
+        total_col="__n",
     )
-    return (
-        docs.select(id_col, lang_col)
-        .join(comm, id_col)
-        .withColumn("bucket_idx", F.ntile(n_buckets).over(w))
-        .select(
-            F.col(id_col),
-            F.col(lang_col),
-            "commonness",
-            F.get(
-                F.array(*[F.lit(n) for n in names]), F.col("bucket_idx") - 1
-            ).alias("bucket"),
-        )
+
+    def idiv(a, b):  # exact for |values| < 2^53 — ranks/counts always are
+        return F.floor(a / b).cast("bigint")
+
+    k = F.lit(n_buckets).cast("bigint")
+    r, n = F.col("__rank"), F.col("__n")
+    q = idiv(n, k)
+    r0 = n % k
+    thr = r0 * (q + F.lit(1))
+    bucket_idx = F.when(r <= thr, idiv(r + q, q + F.lit(1))).otherwise(
+        r0 + idiv(r - thr + q - F.lit(1), F.greatest(q, F.lit(1)))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "commonness",
+        F.get(F.array(*[F.lit(nm) for nm in names]), (bucket_idx - 1).cast("int"))
+        .alias("bucket"),
     )
 
 

@@ -48,6 +48,17 @@ def python_udf_count(df: DataFrame) -> int:
     return formatted_plan(df).count("BatchEvalPython")
 
 
+def window_specs(df: DataFrame) -> list[str]:
+    """Raw ``windowspecdefinition(...)`` fragments from the physical plan —
+    lets tests assert window partitioning shapes (e.g. "every window that
+    orders the big table also partitions by the shard id, so no task holds
+    a whole group").
+    """
+    import re
+
+    return re.findall(r"windowspecdefinition\([^)]*\)", formatted_plan(df))
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle Exchange nodes in the physical plan (broadcast
     exchanges excluded — they ship a dim table, not the fact stream).

@@ -1920,8 +1920,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 51. Sequence packing (concat-and-chunk): assign every document the index
 #     of the fixed-size token chunk its first token lands in when the
 #     corpus is concatenated per source in doc_id order — the GPT-style
-#     pretraining packing layout. Pure window arithmetic: one shuffle per
-#     source partition, no UDFs, deterministic.
+#     pretraining packing layout. The per-source running total uses the
+#     two-pass sharded prefix scan (operators/prefix.py) so no task ever
+#     holds a whole source; no UDFs, deterministic.
 # --------------------------------------------------------------------------
 @query(
     "sequence_pack",
@@ -1943,7 +1944,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from xena_gdc_etl_spark.operators.prefix import group_prefix_sum
 
     docs = Catalog(spark, sf_dir).documents
     budget = 256
@@ -1954,13 +1955,14 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Running token total per source via the two-pass sharded prefix scan
+    # (operators/prefix.py) — a plain per-source window would serialize a
+    # whole source (at 100 TB: most of the corpus) through one task.
+    cum = group_prefix_sum(
+        toks, ["source"], [F.col("doc_id").asc()], "n_tokens", "__cum"
     )
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
-    return toks.select("doc_id", "source", "n_tokens", start).select(
+    start = (F.col("__cum") - F.col("n_tokens")).alias("start_tok")
+    return cum.select("doc_id", "source", "n_tokens", start).select(
         "doc_id",
         "source",
         "n_tokens",
@@ -2134,8 +2136,10 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # 58. CCNet-style head/middle/tail quality buckets per language. Ranking is
-#     integer-only (commonness = Σ tf·c, ties by doc_id) so the ntile split
-#     is exact in any engine.
+#     integer-only (commonness = Σ tf·c, ties by doc_id) so the split is
+#     exact in any engine; the per-language rank comes from the two-pass
+#     sharded prefix scan (no single-task per-language window — the oracle
+#     keeps ntile, which is the same assignment by construction).
 # --------------------------------------------------------------------------
 @query(
     "quality_buckets",
