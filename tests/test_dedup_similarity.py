@@ -100,6 +100,15 @@ def test_cosine_dup_pairs_threshold(spark):
     assert pairs == {(0, 1), (0, 4), (1, 4), (2, 3)}
 
 
+def test_embed_cosine_dup_query_not_vacuous(spark, sf_dir):
+    # the registered query must EMIT pairs on the fixture — the driver's
+    # hash gate passed three rounds on 0-vs-0 rows before τ was tuned to
+    # the random-embedding cosine spread (σ ≈ 1/√64)
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    assert QUERIES["embed_cosine_dup"](spark, sf_dir).count() > 0
+
+
 def test_token_counts_exact(spark):
     df = docs_df(spark, ["ab cd  ef", "hi!"])
     out = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in tx.token_counts(df).collect()}

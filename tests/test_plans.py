@@ -170,6 +170,18 @@ def test_sequence_pack_sharded_prefix_no_udf(spark, sf_dir):
     assert all("__shard" in s for s in doc_windows)
 
 
+def test_top_docs_per_source_partial_topk(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import window_specs
+
+    df = QUERIES["top_docs_per_source"](spark, sf_dir)
+    specs = window_specs(df)
+    # two-stage top-k: a sharded local window prunes to shards×k rows
+    # before the per-source window — a lone per-source window would sort a
+    # whole (possibly corpus-sized) source in one task
+    assert any("__shard" in s for s in specs)
+    assert len(specs) == 2
+
+
 def test_quality_buckets_sharded_rank_no_udf(spark, sf_dir):
     from xena_gdc_etl_spark.plans import window_specs
 

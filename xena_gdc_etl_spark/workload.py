@@ -1081,7 +1081,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 27. Embedding near-duplicate pairs within IVF cells.
+# 27. Embedding near-duplicate pairs within IVF cells. τ=0.3 is tuned to
+#     the synthetic fixture's random embeddings (cosine σ≈1/√64): it emits
+#     a few hundred pairs at sf0.01 so the oracle hash-gate verifies actual
+#     pair values — at τ≥0.5 the gate passed vacuously on 0 rows.
 # --------------------------------------------------------------------------
 @query(
     "embed_cosine_dup",
@@ -1100,7 +1103,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS sim
     FROM assigned x JOIN assigned y ON x.centroid_id = y.centroid_id
     WHERE x.vec_id < y.vec_id
-      AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.5
+      AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.3
     """,
 )
 def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,7 +1114,7 @@ def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     assigned = sim.ivf_assign(emb, centroids)
-    return sim.cosine_dup_pairs(assigned, threshold=0.5)
+    return sim.cosine_dup_pairs(assigned, threshold=0.3)
 
 
 # --------------------------------------------------------------------------
@@ -1700,8 +1703,11 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # 45. Grouped top-k: the 2 longest docs per source (window row_number with
-#     an integer-deterministic tiebreak). The rank filter prunes before any
-#     wide columns are carried.
+#     an integer-deterministic tiebreak). Two-stage partial top-k (the
+#     cosine_topk pattern, similarity.py): a deterministic doc_id-hash
+#     sub-shard bounds the first window's partitions, so the final
+#     per-source window only ever sees shards×k survivors — a giant source
+#     never sorts in one task.
 # --------------------------------------------------------------------------
 @query(
     "top_docs_per_source",
@@ -1718,14 +1724,25 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    k, n_shards = 2, 64
     docs = Catalog(spark, sf_dir).documents
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+    slim = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("__shard"),
     )
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    local_w = Window.partitionBy("source", "__shard").orderBy(*order)
+    survivors = (
+        slim.withColumn("__lrnk", F.row_number().over(local_w))
+        .filter(F.col("__lrnk") <= k)  # ≤ shards×k rows per source remain
+        .drop("__shard", "__lrnk")
+    )
+    final_w = Window.partitionBy("source").orderBy(*order)
     return (
-        docs.select("source", "doc_id", "n_chars")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 2)
+        survivors.withColumn("rnk", F.row_number().over(final_w))
+        .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("bigint"))
     )
 
