@@ -643,6 +643,66 @@ def pq_topk(
     )
 
 
+def ivf_pq_encode(
+    vectors: DataFrame,
+    c_ids: np.ndarray,
+    c_norm: np.ndarray,
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused inverted-file build: ONE corpus scan computes both the IVF
+    cell assignment and the PQ codes — both need only broadcast state
+    (normalized centroid matrix + codebooks), so splitting them into
+    separate ``ivf_assign`` and ``pq_encode`` scans re-joined on the id
+    (the pre-round-4 shape) paid a second full corpus scan plus a
+    corpus-wide shuffle for nothing. Semantics are bit-identical to the
+    two-pass form: assignment = argmax of rounded cosine over id-sorted
+    centroids (first-max ⇒ smallest-id tiebreak), codes = per-subspace
+    argmin of rounded squared distance.
+    """
+    spark = vectors.sparkSession
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    bc = spark.sparkContext.broadcast((c_ids, c_norm, codebooks))
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("centroid_id", LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cmat, books = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = vm / _safe_norms(vm)
+            nearest = ids[np.argmax(np.round(vn @ cmat.T, 6), axis=1)]
+            codes = np.zeros((len(vm), m), dtype=np.int32)
+            for j in range(m):
+                sv = vm[:, j * sub : (j + 1) * sub]
+                d2 = ((sv[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "centroid_id": nearest,
+                    "codes": list(codes),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        vectors.select(id_col, vec_col)
+        .repartition(par)
+        .mapInPandas(_assign_encode, schema=out_schema)
+    )
+
+
 def ivf_pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -695,16 +755,11 @@ def ivf_pq_topk(
         DEFAULT_MAX_BROADCAST_ROWS,
     )
     crows.sort(key=lambda r: r.centroid_id)
-    centroids_local = spark.createDataFrame(
-        [(int(r.centroid_id), list(map(float, r[1]))) for r in crows],
-        f"centroid_id long, {vec_col} array<double>",
-    )
-    inverted = ivf_assign(vectors, centroids_local, id_col, vec_col).select(
-        id_col, "centroid_id"
-    ).join(pq_encode(vectors, books, id_col, vec_col), id_col)
     c_ids = np.array([r.centroid_id for r in crows], dtype=np.int64)
     cm = np.array([r[1] for r in crows], dtype=np.float64)
     cn = cm / _safe_norms(cm)
+    # fused single-scan inverted file (assignment + codes in one pass)
+    inverted = ivf_pq_encode(vectors, c_ids, cn, books, id_col, vec_col)
     qrows = _collect_bounded(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "the query side of ivf_pq_topk",
