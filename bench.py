@@ -21,6 +21,12 @@ from xena_gdc_etl_spark.workload import QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Per-query trials; the reported time is the MIN. One-shot timing charges
+# whole-stage-codegen compilation (seconds of javac/JIT for the biggest
+# plans) to whichever query compiles it first — min-of-N measures the
+# steady-state plan cost, which is what regressions against BASELINE.md
+# are judged on. BASELINE.md has always been per-query best-of-N.
+TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "2")))
 
 
 def infer_sf(sf_dir: str) -> float:
@@ -71,6 +77,7 @@ def main() -> None:
         F.regexp_count("t", F.lit(r"[A-Za-z]+|[0-9]")).alias("c"),
         F.md5("t").alias("h"),
         F.sha2("t", 256).alias("s"),
+        F.xxhash64("t", "id").alias("x"),
         F.aggregate(
             F.filter(F.split("t", r"\s+"), lambda x: x != ""),
             F.lit(0).cast("bigint"),
@@ -88,12 +95,26 @@ def main() -> None:
     _shared_signatures(spark, SF_DIR).count()
     timings["shared_signatures_warm"] = round(time.perf_counter() - start, 4)
 
+    def consume(df) -> int:
+        """Full-row consumer: xxhash64 over EVERY column, folded to one
+        row. A bare count() lets Catalyst prune unused projections, so
+        projection-heavy queries (scrub_pii, doc_fingerprint, snv_vaf)
+        timed as near no-ops; the driver's gate hashes every value, and
+        the bench should cost what the driver costs.
+        """
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        row = df.select(h.alias("__h")).agg(
+            F.count("__h").alias("n"), F.bit_xor("__h")  # xor: no overflow
+        ).collect()[0]
+        return row["n"]
+
     for name, fn in QUERIES.items():
-        start = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        _ = n
+        best = float("inf")
+        for _ in range(TRIALS):
+            start = time.perf_counter()
+            consume(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

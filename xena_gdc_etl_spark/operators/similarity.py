@@ -643,6 +643,142 @@ def pq_topk(
     )
 
 
+def ivf_pq_train(
+    vectors: DataFrame,
+    n_cells: int,
+    m: int,
+    k_codebook: int,
+    iterations: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Train IVF centroids AND the m PQ codebooks in ONE corpus scan per
+    round. Run separately (``ivf_train`` + ``pq_train``) each round costs
+    two full passes plus their driver collects; both trainers need only
+    per-group (sum, count) partials, so a single Arrow pass can emit the
+    IVF per-cell sums (as m subspace segments — a cell mean is the
+    concatenation of its segment means) alongside the PQ per-subcentroid
+    sums, halving the jobs the registered ann_ivf_pq query schedules.
+
+    Determinism contract matches the standalone trainers: init = smallest
+    ``max(n_cells, k_codebook)`` ids (one collect covers both), cosine
+    assignment with round-6 + smallest-id tiebreak for IVF, round-9 L2
+    argmin for PQ, empty groups keep their previous centroid. The PQ half
+    reproduces ``pq_train`` bit-for-bit (same batch accumulation, same
+    partial-fold shape) — pinned by the probe-widening equivalence test.
+    Returns (cell centroid matrix (n_cells, d), list of m codebooks).
+    """
+    spark = vectors.sparkSession
+    n_init = max(n_cells, k_codebook)
+    init_rows = (
+        vectors.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(n_init)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError(
+            f"ivf_pq_train needs at least one non-null '{vec_col}' vector"
+        )
+    if len(init_rows) < n_init:
+        raise ValueError(
+            f"need at least {n_init} vectors, got {len(init_rows)}"
+        )
+    dim = len(init_rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = np.array([r[1] for r in init_rows[:n_cells]], dtype=np.float64)
+    books = [
+        np.array([r[1][j * sub : (j + 1) * sub] for r in init_rows[:k_codebook]])
+        for j in range(m)
+    ]
+
+    agg_schema = StructType(
+        [
+            StructField("kind", LongType()),  # 0 = ivf segment, 1 = pq
+            StructField("subspace", LongType()),
+            StructField("centroid", LongType()),
+            StructField("n", LongType()),
+            *[StructField(f"s{i}", DoubleType()) for i in range(sub)],
+        ]
+    )
+    cols = ["kind", "subspace", "centroid", "n"] + [f"s{i}" for i in range(sub)]
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(
+            (cents / _safe_norms(cents), [b.copy() for b in books])
+        )
+
+        def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cn, codebooks = bc.value
+            k_c = len(cn)
+            ivf_sums = np.zeros((m, k_c, sub))
+            ivf_counts = np.zeros(k_c, dtype=np.int64)
+            pq_sums = np.zeros((m, k_codebook, sub))
+            pq_counts = np.zeros((m, k_codebook), dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vn = vm / _safe_norms(vm)
+                nearest_cell = np.argmax(np.round(vn @ cn.T, 6), axis=1)
+                for c in range(k_c):
+                    mask = nearest_cell == c
+                    if mask.any():
+                        ivf_counts[c] += int(mask.sum())
+                        for j in range(m):
+                            ivf_sums[j, c] += (
+                                vm[mask, j * sub : (j + 1) * sub].sum(axis=0)
+                            )
+                for j in range(m):
+                    sv = vm[:, j * sub : (j + 1) * sub]
+                    d2 = ((sv[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    nearest = np.argmin(np.round(d2, 9), axis=1)
+                    for c in range(k_codebook):
+                        mask = nearest == c
+                        if mask.any():
+                            pq_sums[j, c] += sv[mask].sum(axis=0)
+                            pq_counts[j, c] += int(mask.sum())
+            rows = []
+            for j in range(m):
+                for c in range(k_c):
+                    rows.append(
+                        (0, j, c, int(ivf_counts[c]), *ivf_sums[j, c].tolist())
+                    )
+            for j in range(m):
+                for c in range(k_codebook):
+                    rows.append(
+                        (1, j, c, int(pq_counts[j, c]), *pq_sums[j, c].tolist())
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+        partials = (
+            vectors.select(id_col, vec_col)
+            .mapInPandas(_partial, schema=agg_schema)
+            .groupBy("kind", "subspace", "centroid")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(sub)],
+            )
+            .collect()
+        )
+        for r in partials:
+            j, c, n = r["subspace"], r["centroid"], r["n"]
+            if n <= 0:
+                continue  # empty groups keep their previous centroid
+            seg = np.array([r[f"s{i}"] for i in range(sub)]) / n
+            if r["kind"] == 0:
+                cents[c, j * sub : (j + 1) * sub] = seg
+            else:
+                books[j][c] = seg
+        bc.destroy()
+    return cents, books
+
+
 def ivf_pq_encode(
     vectors: DataFrame,
     c_ids: np.ndarray,
@@ -736,27 +872,16 @@ def ivf_pq_topk(
     tests/test_dedup_similarity.py, not promised.
     """
     spark = vectors.sparkSession
-    books = pq_train(
-        vectors, m=m, k=k_codebook, iterations=iterations,
-        id_col=id_col, vec_col=vec_col,
+    # ---- fused training: IVF centroids + PQ codebooks from ONE corpus
+    # scan per round (see ivf_pq_train). The trained state is kilobytes
+    # and lives driver-side by design — in a real deployment it is
+    # offline state reused across queries; training here keeps the
+    # registered query honest about end-to-end cost. ----
+    cm, books = ivf_pq_train(
+        vectors, n_cells=n_cells, m=m, k_codebook=k_codebook,
+        iterations=iterations, id_col=id_col, vec_col=vec_col,
     )
-
-    # ---- driver-side probe planning. Centroids are collected ONCE and
-    # re-localized as a literal frame: every downstream action would
-    # otherwise re-execute the whole Lloyd's lineage (k-means is a
-    # multi-job plan, not a cached table), and the trained state is
-    # kilobytes — exactly the thing that belongs driver-side. ----
-    crows = _collect_bounded(
-        ivf_train(
-            vectors, k=n_cells, iterations=iterations,
-            id_col=id_col, vec_col=vec_col,
-        ).select("centroid_id", vec_col),
-        "the centroid side of ivf_pq_topk",
-        DEFAULT_MAX_BROADCAST_ROWS,
-    )
-    crows.sort(key=lambda r: r.centroid_id)
-    c_ids = np.array([r.centroid_id for r in crows], dtype=np.int64)
-    cm = np.array([r[1] for r in crows], dtype=np.float64)
+    c_ids = np.arange(n_cells, dtype=np.int64)
     cn = cm / _safe_norms(cm)
     # fused single-scan inverted file (assignment + codes in one pass)
     inverted = ivf_pq_encode(vectors, c_ids, cn, books, id_col, vec_col)

@@ -227,11 +227,21 @@ def repetition_scores(
     filters): duplicate-word fraction and duplicate-bigram fraction. Pure
     higher-order Column expressions — whole-stage codegen, no explode, no
     shuffle; the filter decision is computable in the scan stage.
+
+    The token and bigram arrays are STAGED in an intermediate projection:
+    lambda-bearing expressions are opaque to Spark's subexpression
+    elimination, so inlining them re-tokenized every document once per
+    consumer (~6× the work — measured 22× slower end-to-end at sf0.1).
+    CollapseProject leaves the staging in place because the aliases are
+    non-cheap and multiply referenced.
     """
-    toks = _tokens(F.col(text_col))
-    bigrams = word_ngrams(toks, 2)
-    n_words = F.size(toks)
-    n_bigrams = F.size(bigrams)
+    staged = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col, "__toks", word_ngrams(F.col("__toks"), 2).alias("__bigrams")
+    )
+    n_words = F.size("__toks")
+    n_bigrams = F.size("__bigrams")
 
     def dup_frac(arr: Column, n: Column) -> Column:
         # guarded: empty docs yield NULL (engines disagree on 0/0)
@@ -239,11 +249,11 @@ def repetition_scores(
             n > 0, F.round(1 - F.size(F.array_distinct(arr)) / n, 6)
         )
 
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
-        dup_frac(toks, n_words).alias("dup_word_frac"),
-        dup_frac(bigrams, n_bigrams).alias("dup_bigram_frac"),
+        dup_frac(F.col("__toks"), n_words).alias("dup_word_frac"),
+        dup_frac(F.col("__bigrams"), n_bigrams).alias("dup_bigram_frac"),
     )
 
 

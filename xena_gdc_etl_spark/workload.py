@@ -1507,9 +1507,13 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
     from xena_gdc_etl_spark.operators.text import repetition_scores
 
-    return repetition_scores(Catalog(spark, sf_dir).documents)
+    # _spread: tokenize+distinct is the expensive part; compact doc files
+    # scan as one task locally, so spread past scan parallelism (at real
+    # scale the scan has parallelism and the operator itself is shuffleless)
+    return repetition_scores(dd._spread(Catalog(spark, sf_dir).documents))
 
 
 # --------------------------------------------------------------------------
