@@ -2201,22 +2201,32 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration order moves.
 # --------------------------------------------------------------------------
 _PROMOTED = [
-    "value_histogram",
-    "corpus_stats",
-    "top_docs_per_source",
-    "sample_by_group",
-    "range_join",
-    "rolling_avg",
-    "pivot_event_counts",
-    "cohort_retention",
-    "sequence_pack",
-    "incremental_dedup",
-    "event_funnel",
-    # round-3 additions — promoted so their first driver row lands now
-    "weighted_sample",
-    "rebalance_sources",
-    "lm_score",
+    # round 4: the 15 rows the round-3 rotation displaced out of the
+    # window (each green in r02 and in the local parity suite) rotate
+    # back in, so the union of r03+r04 driver rows covers every
+    # oracle-backed query
+    "flatten_props",
+    "json_props_agg",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_features",
+    "train_split",
+    "scrub_pii",
+    "vocab_topk",
+    "doc_repetition",
+    "contamination",
+    "tfidf_topk",
+    "asof_join",
+    "group_percentiles",
+    # queries whose PLAN changed this round — their fresh driver row must
+    # land in r04, not ride an old green
     "quality_buckets",
+    "sequence_pack",
+    "top_docs_per_source",
+    "embed_cosine_dup",
+    "ann_ivf_pq",
 ]
 
 
