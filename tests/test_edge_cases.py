@@ -114,3 +114,23 @@ def test_samples_clinical_no_samples_field(spark):
     out = samples_clinical(cases)
     assert out.count() == 1
     assert "primary_site" in out.columns
+
+
+def test_tokenizer_ws_class_cross_engine_identical(spark):
+    """The explicit [ \\t\\n\\r\\f]+ split must behave identically in Spark
+    (Java regex) and DuckDB (RE2) — a bare \\s would split \\x0B in Java
+    only. Pin both engines on text exercising every class member plus the
+    two deliberate non-members (\\x0B, NBSP).
+    """
+    import duckdb
+
+    text = "a b\tc\nd\re\ff\x0bg h\xa0i"
+    sdf = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    stoks = sdf.select(tx._tokens(F.col("text")).alias("t")).collect()[0].t
+    con = duckdb.connect()
+    dtoks = con.execute(
+        "SELECT list_filter(string_split_regex(?, '[ \\t\\n\\r\\f]+'), "
+        "x -> x <> '')",
+        [text],
+    ).fetchone()[0]
+    assert stoks == dtoks == ["a", "b", "c", "d", "e", "f\x0bg", "h\xa0i"]

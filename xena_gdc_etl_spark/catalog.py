@@ -63,6 +63,12 @@ class Catalog:
         cached = per_session.get(path)
         if cached is not None:
             return cached
+        # Pin the session timezone at the read site, not just in
+        # session.py: externally-built sessions (the correctness harness)
+        # inherit the HOST zone, under which instant-based expressions
+        # (F.window boundaries, unix_micros) on the NTZ→TIMESTAMP-cast
+        # columns below would diverge from the UTC-pinned DuckDB oracles.
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         if name in self._NANOS_TS_COLS:
             # The events parquet stores ts as TIMESTAMP(NANOS), which Spark
             # refuses to read (PARQUET_TYPE_ILLEGAL) unless this runtime SQL
@@ -77,9 +83,10 @@ class Catalog:
         # TIMESTAMP_NTZ under Spark's NTZ inference, which breaks
         # instant-based expressions (unix_micros, F.window) and diverges
         # from the LTZ behavior the operators and oracles were validated
-        # under. Normalize: NTZ → TIMESTAMP is wall-clock-preserving on
-        # collect (render round-trips through the session zone), so the
-        # canonicalized comparison is unaffected by the host timezone.
+        # under. Normalize: NTZ → TIMESTAMP is wall-clock-preserving
+        # through the session zone, which the conf.set above pins to UTC
+        # even for externally-built sessions — the precondition for the
+        # canonicalized oracle comparison to be host-timezone-independent.
         for col, dtype in df.dtypes:
             if dtype == "timestamp_ntz":
                 df = df.withColumn(col, F.col(col).cast("timestamp"))

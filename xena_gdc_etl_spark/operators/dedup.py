@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xena_gdc_etl_spark.functions import md5_hash60
+from xena_gdc_etl_spark.operators.text import WS_CLASS, WS_RE
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -282,8 +283,8 @@ def normalize_text(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, rf"[^a-z0-9{WS_CLASS}]", "")
+    c = F.regexp_replace(c, WS_RE, " ")
     return F.trim(c)
 
 
@@ -371,7 +372,8 @@ def simhash(
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64]; got {bits}")
     tokens = _spread(docs).select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), WS_RE)).alias("tok"),
     ).filter(F.col("tok") != "")
     # md5_hash60 yields only 60 usable bits; beyond that the top fingerprint
     # bits would be constant-zero (sum of -1s), shrinking the effective

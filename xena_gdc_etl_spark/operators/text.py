@@ -18,15 +18,23 @@ STOPWORDS = {
     "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
 }
 
+# Whitespace spelled as an explicit class, shared by the Spark operators
+# (Java regex) and the DuckDB oracles (RE2): Java's \s includes \x0B where
+# RE2's does not, so a bare \s would silently diverge on input containing
+# vertical tabs; non-ASCII whitespace (NBSP etc.) is split by neither
+# engine. Every tokenizing regex on either side must use this class.
+WS_CLASS = " \\t\\n\\r\\f"
+WS_RE = rf"[{WS_CLASS}]+"
+
 # BPE-ish token pattern: letter runs, single digits, single punctuation.
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+TOKEN_PATTERN = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS_CLASS}]"
 
 FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
 
 
 def _tokens(text_col: Column) -> Column:
-    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(text_col, WS_RE), lambda t: t != "")
 
 
 def token_counts(
@@ -51,7 +59,7 @@ def quality_scores(
     toks = _tokens(text)
     n_toks = F.size(toks)
     n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, rf"[^\w{WS_CLASS}]", ""))
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
     # score is computed from UNROUNDED ratios: rounding an intermediate and
     # then continuing float math is not engine-portable (the rounded decimal
@@ -278,7 +286,7 @@ def tfidf_keywords(
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = spread.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -332,7 +340,7 @@ def _doc_term_freqs(
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = spread.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
     ).filter(F.col("tok") != "")
     return toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
 
@@ -393,6 +401,14 @@ def commonness_buckets(
     q = n div k and r0 = n mod k, the first r0 buckets get q+1 rows, so
     bucket(r) = ceil(r/(q+1)) for r ≤ r0·(q+1), else r0 + ceil((r−thr)/q).
     Integer-exact: doubles below 2^53 only.
+
+    Scale bound: commonness = Σ tf·c accumulates in BIGINT, which holds
+    corpora up to ~10^18 token-occurrence products per document — ample
+    for ~10^12-token corpora with ~10^5-token documents, but a true
+    web-scale run (corpus counts ≥10^12 × long docs) can overflow int64,
+    which Spark's ANSI mode surfaces as a runtime error rather than a
+    silent wrap; switch the accumulator (and the oracle) to
+    DECIMAL(38,0) if inputs at that magnitude are expected.
     """
     from xena_gdc_etl_spark.operators.prefix import group_row_number
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xena_gdc_etl_spark.catalog import Catalog
+from xena_gdc_etl_spark.operators.text import WS_RE
 from xena_gdc_etl_spark.filters import search
 from xena_gdc_etl_spark.operators import events as ev
 from xena_gdc_etl_spark.operators import mapping as mp
@@ -802,7 +803,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_normalized",
     r"""
-    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g'))) AS content_hash,
            CAST(min(doc_id) AS BIGINT) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_dups
     FROM documents GROUP BY 1
@@ -861,7 +862,7 @@ def _simhash_sql(bits: int = 16) -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id, tok
-        FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS tok
               FROM documents)
         WHERE tok <> ''),
     h AS (SELECT doc_id, ('0x'||substr(md5('sim:'||tok),1,15))::BIGINT AS h FROM toks),
@@ -924,7 +925,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tk
         FROM documents),
     ch AS (
         SELECT DISTINCT doc_id,
@@ -958,7 +959,7 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS tk
         FROM documents),
     m AS (
         SELECT doc_id,
@@ -1124,8 +1125,8 @@ def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     r"""
     SELECT doc_id,
-           CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
-           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+           CAST(length(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]')) AS BIGINT) AS bpe_tokens
     FROM documents
     """,
 )
@@ -1146,12 +1147,12 @@ _EN_STOP_SQL = "['the','a','of','and','to','in','is','that','it','for']"
     WITH t AS (
         SELECT doc_id, text,
                length(text) AS n_chars_computed,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS toks
         FROM documents),
     m AS (
         SELECT doc_id, n_chars_computed,
                length(toks) AS n_tokens,
-               (n_chars_computed - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / n_chars_computed AS punct_ratio,
+               (n_chars_computed - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars_computed AS punct_ratio,
                length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio,
                list_sum(list_transform(toks, x -> length(x))) / length(toks) AS mean_word_len
         FROM t)
@@ -1192,7 +1193,7 @@ def _lang_sql() -> str:
     ) + " END"
     return rf"""
     WITH t AS (SELECT doc_id,
-                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                      list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS toks
                FROM documents),
     s AS (SELECT doc_id, {score_exprs} FROM t)
     SELECT doc_id, score_de, score_en, score_es, score_fr, {case} AS predicted_lang
@@ -1284,7 +1285,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_topk",
     r"""
     WITH toks AS (
-        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '')) AS tok
         FROM documents),
     df AS (
         SELECT tok, CAST(count(*) AS BIGINT) AS tf,
@@ -1299,7 +1300,7 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+            F.explode(F.split(F.lower(F.col("text")), WS_RE)).alias("tok"),
         )
         .filter(F.col("tok") != "")
     )
@@ -1488,7 +1489,7 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH w AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS words
         FROM documents),
     b AS (
         SELECT doc_id, words,
@@ -1527,7 +1528,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH w AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS words
         FROM documents),
     g AS (
         SELECT doc_id,
@@ -1564,7 +1565,7 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                                   x -> x <> '')) AS tok
         FROM documents),
     tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -1683,7 +1684,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT source, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+           CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                     x -> x <> ''))) AS BIGINT) AS total_tokens,
            CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
            round(1 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate,
@@ -1693,7 +1694,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.col("text"), WS_RE), lambda t: t != "")
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
@@ -1950,7 +1951,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
         SELECT doc_id, source,
-               length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+               length(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) AS n_tokens
         FROM documents),
     c AS (
         SELECT doc_id, source, n_tokens,
@@ -1972,7 +1973,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+        F.size(F.filter(F.split(F.col("text"), WS_RE), lambda t: t != ""))
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -2131,7 +2132,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                                   x -> x <> '')) AS tok
         FROM documents),
     tf AS (
@@ -2167,7 +2168,7 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                                   x -> x <> '')) AS tok
         FROM documents),
     tf AS (
