@@ -232,3 +232,58 @@ def test_samples_clinical_feeds_pheno_transform(spark):
     merged = {r["sample"]: r for r in ds.transform(clin, bio).collect()}
     assert merged["S1"]["year_of_birth"] == 1970
     assert merged["S2"]["primary_site"] == "Breast"
+
+
+def test_target_ccsk_recipe_end_to_end(spark, tmp_path):
+    """The per-cohort recipe (scripts/target_ccsk_phenotype_etl.py): USI
+    prefix repair + cases->samples mapping + per-sample export, offline."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "target_ccsk_phenotype_etl.py",
+    )
+    spec = importlib.util.spec_from_file_location("ccsk_etl", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # two clinical files with differing columns; one USI bare, one prefixed
+    clin_a = tmp_path / "clin_a.parquet"
+    clin_b = tmp_path / "clin_b.parquet"
+    spark.createDataFrame(
+        [("PARJLR", "Female")], ["TARGET USI", "gender"]
+    ).write.parquet(str(clin_a))
+    spark.createDataFrame(
+        [("TARGET-51-PARWAX", 42)], ["TARGET USI", "age_months"]
+    ).write.parquet(str(clin_b))
+    cases_json = tmp_path / "cases.json"
+    cases_json.write_text(json.dumps([
+        {"submitter_id": "TARGET-51-PARJLR",
+         "samples": [{"submitter_id": "S1"}, {"submitter_id": "S2"}]},
+        {"submitter_id": "TARGET-51-PARWAX",
+         "samples": [{"submitter_id": "S3"}]},
+        {"submitter_id": "TARGET-51-UNMATCHED", "samples": []},
+    ]))
+
+    matrix = mod.ccsk_phenotype_matrix(
+        spark, [str(clin_a), str(clin_b)], str(cases_json)
+    )
+    rows = {r["sample_id"]: r for r in matrix.collect()}
+    # inner join: only samples whose (repaired) USI matched; the bare
+    # PARJLR matched through the prefix repair
+    assert set(rows) == {"S1", "S2", "S3"}
+    assert rows["S1"]["gender"] == "Female"
+    assert rows["S3"]["age_months"] == 42
+
+    out = mod.main([
+        "--clinical", str(clin_a), str(clin_b),
+        "--cases-json", str(cases_json),
+        "--root-dir", str(tmp_path),
+    ])
+    assert os.path.exists(out)
+    meta = out + ".json"
+    assert os.path.exists(meta)

@@ -34,10 +34,15 @@ def read_xena_tsv(
         return wide
     first = id_col or wide.columns[0]
     value_cols = [c for c in wide.columns if c != first]
+    # Rename the id column BEFORE melting: Xena matrices commonly head
+    # their index column "sample", which would collide with the melted
+    # sample-name column and make every later reference ambiguous.
+    wide = wide.withColumnRenamed(first, "__feature_id")
     melted = melt_long(
-        wide, first, value_cols, feature_name="sample", value_name="value"
+        wide, "__feature_id", value_cols, feature_name="sample",
+        value_name="value",
     )
-    return melted.withColumnRenamed(first, "feature").select(
+    return melted.withColumnRenamed("__feature_id", "feature").select(
         "sample", "feature", "value"
     )
 
