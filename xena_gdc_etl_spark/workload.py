@@ -736,24 +736,29 @@ def _clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     clusters = _clusters_df(spark, sf_dir)
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", F.length("text").alias("n_chars")
     )
     joined = clusters.join(docs, "doc_id")
-    w = Window.partitionBy("cluster_id")
-    ranked = joined.withColumn(
-        "rn",
-        F.row_number().over(
-            w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-        ),
-    ).withColumn("n_members", F.count(F.lit(1)).over(w))
-    return ranked.filter(F.col("rn") == 1).select(
+    # Aggregate argmax, not a window: ROW_NUMBER() OVER (PARTITION BY
+    # cluster_id) pulls a whole cluster into one task, and real corpora
+    # have mega-clusters (boilerplate/empty docs) that would be a large
+    # fraction of a 100 TB input. max(struct) is lexicographic and
+    # map-side partial — (longest, then smallest id via negation) reduces
+    # inside every partition before the single shuffle.
+    best = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
         F.col("cluster_id"),
-        F.col("doc_id").alias("keep_id"),
-        F.col("n_chars").cast("bigint").alias("keep_chars"),
+        (-F.col("b.nid")).alias("keep_id"),
+        F.col("b.c").cast("bigint").alias("keep_chars"),
         F.col("n_members").cast("bigint").alias("n_members"),
     )
 
