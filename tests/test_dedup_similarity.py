@@ -451,3 +451,22 @@ def test_pq_clear_errors_on_bad_inputs(spark):
     mislabeled = sim.pq_encode(vecs, books).withColumnRenamed("codes", "cd")
     with pytest.raises(ValueError, match="codes_id_col/codes_col"):
         sim.pq_topk(mislabeled, vecs.limit(1), books)
+
+
+def test_semantic_dedup_clusters_and_keep(spark):
+    # cell A: vecs 0,1,4 mutually similar; cell B: 2,3 similar. With a high
+    # tau, transitive closure still merges 0-1-4 (0~1, 1~4 at least) and
+    # keeps only the smallest id of each cluster.
+    emb = _emb_df(spark)
+    centroids = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    out = {r.vec_id: (r.cluster_id, r.keep)
+           for r in sim.semantic_dedup(assigned, threshold=0.99).collect()}
+    assert out[0] == (0, 1) and out[1] == (0, 0) and out[4] == (0, 0)
+    assert out[2] == (2, 1) and out[3] == (2, 0)
+    # raising tau past every pairwise sim -> everything is a kept singleton
+    solo = {r.vec_id: (r.cluster_id, r.keep)
+            for r in sim.semantic_dedup(assigned, threshold=1.01).collect()}
+    assert all(c == v and k == 1 for v, (c, k) in solo.items())

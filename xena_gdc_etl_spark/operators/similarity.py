@@ -380,6 +380,50 @@ def cosine_dup_pairs(
     )
 
 
+def semantic_dedup(
+    assigned: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): vectors
+    whose embeddings are near-identical (cosine ≥ τ within an IVF cell)
+    form clusters; one representative per cluster survives.
+
+    Plan: candidate pairs come cell-bucketed from ``cosine_dup_pairs``
+    (never global O(n²)); clusters are connected components over the
+    pair graph, run through the bipartite propagation engine
+    (``connected_components_bipartite``, dedup.py) by treating every pair
+    as a 2-member bucket node — O(pairs) edges, aggregate-only driver
+    loop, the same 100 TB shape as the MinHash cluster path. The keep
+    decision (smallest id represents the cluster) is a projection off the
+    labels, not a per-cluster window.
+
+    Returns (id, cluster_id, keep ∈ {0,1}); singletons keep themselves.
+    """
+    from xena_gdc_etl_spark.operators.dedup import (
+        connected_components_bipartite,
+    )
+
+    pairs = cosine_dup_pairs(
+        assigned, id_col=id_col, vec_col=vec_col,
+        centroid_id=centroid_id, threshold=threshold,
+    )
+    bkey = F.concat_ws("_", F.col("a"), F.col("b")).alias("bkey")
+    edges = pairs.select(F.col("a").alias(id_col), bkey).unionByName(
+        pairs.select(F.col("b").alias(id_col), bkey)
+    )
+    labels = connected_components_bipartite(
+        assigned.select(id_col), edges, id_col=id_col
+    )
+    return labels.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.col("cluster_id") == F.col(id_col)).cast("bigint").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the memory side of the IVF-PQ layout that makes
 # billion-vector ANN feasible — each d-dim float vector compresses to m

@@ -1124,6 +1124,51 @@ def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 27b. Semantic dedup (SemDeDup): embedding near-dup pairs → connected
+#      components → keep one representative per cluster. The Spark side
+#      runs the bipartite min-label propagation engine (pair = 2-member
+#      bucket); the oracle closes the same pair graph with a recursive CTE.
+# --------------------------------------------------------------------------
+@query(
+    "semantic_dedup",
+    """
+    WITH RECURSIVE c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
+                      round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
+               FROM embeddings v, c),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+    pr AS (
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM assigned x JOIN assigned y ON x.centroid_id = y.centroid_id
+        WHERE x.vec_id < y.vec_id
+          AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.3),
+    ed AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN ed e ON e.src = r.node)
+    SELECT node AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN min(lab) = node THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM reach GROUP BY node
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    return sim.semantic_dedup(assigned, threshold=0.3)
+
+
+# --------------------------------------------------------------------------
 # 28. Token counting (whitespace + BPE-ish regex).
 # --------------------------------------------------------------------------
 @query(
@@ -2233,6 +2278,8 @@ _PROMOTED = [
     "top_docs_per_source",
     "embed_cosine_dup",
     "ann_ivf_pq",
+    # round-4 addition — first driver row lands now
+    "semantic_dedup",
 ]
 
 
