@@ -471,3 +471,25 @@ def test_commonness_buckets_deterministic_split(spark):
     assert out[1] == "head" and out[2] == "head"
     assert out[3] == "middle" and out[4] == "middle"
     assert out[5] == "tail" and out[6] == "tail"
+
+
+def test_bigram_lm_known_values(spark):
+    from xena_gdc_etl_spark.operators import text as tx
+    import math
+
+    # corpus: "a b a b c" and "a b". bigram counts: (a b)x3, (b a)x1, (b c)x1
+    # head counts: c1(a)=3, c1(b)=2
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in tx.bigram_logprob_scores(docs).collect()}
+    assert out[0].n_bigrams == 4 and out[1].n_bigrams == 1
+    # doc1: single bigram (a b): -ln(c2/c1) = ln(3) - ln(3)... c1(a)=3, c2=3
+    assert out[1].bigram_lm == 0.0
+    # doc0: 2*(ln3-ln3) + (ln2-ln1) + (ln2-ln1) over 4
+    exp = round((2 * math.log(2)) / 4, 6)
+    assert abs(out[0].bigram_lm - exp) < 1e-9
+
+    # docs with <2 tokens have no bigrams and drop out
+    short = spark.createDataFrame([(5, "solo")], ["doc_id", "text"])
+    assert tx.bigram_logprob_scores(short).count() == 0

@@ -375,6 +375,51 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM fluency score: mean negative conditional log-probability
+    of each document's bigrams under the corpus's own bigram model,
+    score = Σ tf₂·(ln c₁(w₁) − ln c₂(w₁w₂)) / Σ tf₂ — the KenLM-style
+    next-token-surprise proxy one rung above the unigram ``lm_score``
+    (no smoothing: every corpus bigram has c₂ ≥ 1 by construction).
+
+    Plan: one tokenize pass produces the per-doc bigram tf (the stream
+    collapses to per-doc DISTINCT bigrams before any join — same shape as
+    ``unigram_logprob_scores``); the bigram vocabulary c₂ derives from
+    that tf frame without re-reading text, the unigram context counts c₁
+    derive from c₂ by splitting the bigram key (cheaper than a second
+    token scan — every bigram occurrence is exactly one occurrence of its
+    head word, so summing c₂ over w₁ IS the head-word occurrence count
+    over docs with ≥2 tokens). Both joins are key-hash joins between
+    aggregate-sized frames. Documents with fewer than 2 tokens have no
+    bigrams and drop out — both engines agree by construction.
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    bigrams = spread.select(
+        F.col(id_col),
+        F.explode(
+            word_ngrams(_tokens(F.lower(F.col(text_col))), 2)
+        ).alias("bg"),
+    )
+    tf2 = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf2"))
+    c2 = tf2.groupBy("bg").agg(F.sum("tf2").alias("c2"))
+    c1 = (
+        c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    nll = F.col("tf2") * (F.log(F.col("c1")) - F.log(F.col("c2")))
+    return (
+        tf2.join(c2, "bg")
+        .join(c1, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf2").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(nll) / F.sum("tf2"), 6).alias("bigram_lm"),
+        )
+    )
+
+
 def commonness_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",

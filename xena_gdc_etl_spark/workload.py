@@ -2207,6 +2207,44 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 57b. Bigram-LM fluency (KenLM-style next-token surprise, no smoothing):
+#      mean −ln P(w₂|w₁) under the corpus's own bigram counts. Head-word
+#      context counts derive from the bigram vocabulary itself — one
+#      tokenize pass, aggregate-sized joins only.
+# --------------------------------------------------------------------------
+@query(
+    "bigram_lm_score",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                           x -> x <> '') AS words
+        FROM documents),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i+1])) AS bg
+        FROM w),
+    tf2 AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf2
+            FROM b GROUP BY doc_id, bg),
+    c2 AS (SELECT bg, CAST(sum(tf2) AS BIGINT) AS c2 FROM tf2 GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+           FROM c2 GROUP BY 1)
+    SELECT tf2.doc_id,
+           CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+           CAST(round(sum(tf2 * (ln(c1) - ln(c2))) / sum(tf2), 6) AS DOUBLE)
+               AS bigram_lm
+    FROM tf2 JOIN c2 USING (bg) JOIN c1 ON string_split(bg, ' ')[1] = c1.w1
+    GROUP BY tf2.doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    return tx.bigram_logprob_scores(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
 # 58. CCNet-style head/middle/tail quality buckets per language. Ranking is
 #     integer-only (commonness = Σ tf·c, ties by doc_id) so the split is
 #     exact in any engine; the per-language rank comes from the two-pass
@@ -2278,8 +2316,9 @@ _PROMOTED = [
     "top_docs_per_source",
     "embed_cosine_dup",
     "ann_ivf_pq",
-    # round-4 addition — first driver row lands now
+    # round-4 additions — first driver rows land now
     "semantic_dedup",
+    "bigram_lm_score",
 ]
 
 
