@@ -134,3 +134,17 @@ def test_tokenizer_ws_class_cross_engine_identical(spark):
         [text],
     ).fetchone()[0]
     assert stoks == dtoks == ["a", "b", "c", "d", "e", "f\x0bg", "h\xa0i"]
+
+
+def test_pack_stats_invariants(spark, sf_dir):
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    rows = QUERIES["pack_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_docs_started
+        assert 0 <= r.first_offset < 256
+        # a pack can't have more of its own 256 slots consumed than exist,
+        # plus whatever earlier docs spilled into it (tokens_in_pack counts
+        # only docs STARTING here, truncated at the pack boundary)
+        assert r.tokens_in_pack <= 256

@@ -2044,6 +2044,51 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 51b. Packing-efficiency stats: per (source, pack), how many documents
+#      START in the pack and how many of the pack's 256 token slots their
+#      leading tokens consume — the waste/fragmentation diagnostic a
+#      packing layout needs. Pure aggregate over the sequence_pack
+#      assignment (the prefix scan is the only ordered step; stats are
+#      map-side-partial groupBy).
+# --------------------------------------------------------------------------
+@query(
+    "pack_stats",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               length(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        FROM t),
+    p AS (
+        SELECT source, CAST(floor(start_tok / 256) AS BIGINT) AS pack_id,
+               n_tokens, CAST(start_tok % 256 AS BIGINT) AS pack_offset
+        FROM c)
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs_started,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+           CAST(min(pack_offset) AS BIGINT) AS first_offset,
+           CAST(sum(least(n_tokens, 256 - pack_offset)) AS BIGINT) AS tokens_in_pack
+    FROM p GROUP BY source, pack_id
+    """,
+)
+def pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = sequence_pack(spark, sf_dir)
+    budget = 256
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_started"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_started"),
+        F.min("pack_offset").cast("bigint").alias("first_offset"),
+        F.sum(F.least(F.col("n_tokens"), budget - F.col("pack_offset")))
+        .cast("bigint")
+        .alias("tokens_in_pack"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 52. Incremental dedup: probe NEW documents against an already-landed
 #     corpus by content hash — the "don't re-ingest what's landed" step of
 #     a continuously-fed pipeline. The landed side reduces to a (hash,
@@ -2319,6 +2364,7 @@ _PROMOTED = [
     # round-4 additions — first driver rows land now
     "semantic_dedup",
     "bigram_lm_score",
+    "pack_stats",
 ]
 
 
