@@ -2217,6 +2217,47 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 56b. Quality-classifier training (fastText-style lightweight filter,
+#      trained in-engine): logistic regression over the engine's own
+#      quality features, predicting the English-document signal. The whole
+#      gradient is a Catalyst ``avg`` aggregate (map-side partial, no
+#      Python workers); the driver holds d+1 floats. Rows-only like
+#      ann_ivf_pq: 20 rounds of float GD are not SQL-expressible — the
+#      trainer's numerics are pinned against a driver-side reference
+#      implementation in tests/test_logreg.py.
+# --------------------------------------------------------------------------
+@query("quality_logreg")
+def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import logreg
+    from xena_gdc_etl_spark.operators.text import quality_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    feats = quality_scores(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("double").alias("is_en")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "is_en",
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)).alias("f_len"),
+        "punct_ratio",
+        "stopword_ratio",
+    )
+    # materialize the slim feature frame once (4 doubles + id per doc —
+    # orders of magnitude under the text) so the 20 gradient rounds fold
+    # over the checkpoint instead of re-tokenizing the corpus per round
+    feats = feats.localCheckpoint(eager=True)
+    fcols = ["f_len", "punct_ratio", "stopword_ratio"]
+    w, b = logreg.logistic_train(
+        feats, fcols, "is_en", iterations=20, lr=1.0
+    )
+    return logreg.logistic_predict(feats, w, b, fcols, out_col="p_en").select(
+        "doc_id", F.col("is_en").cast("bigint").alias("is_en"), "p_en"
+    )
+
+
+# --------------------------------------------------------------------------
 # 57. Unigram-LM fluency score (CCNet-style perplexity proxy): mean negative
 #     log-probability of each doc's tokens under the corpus's own unigram
 #     model. The per-doc tf stage collapses the token stream before any
@@ -2365,6 +2406,7 @@ _PROMOTED = [
     "semantic_dedup",
     "bigram_lm_score",
     "pack_stats",
+    "quality_logreg",
 ]
 
 
