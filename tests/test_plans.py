@@ -228,3 +228,19 @@ def test_cohort_retention_shares_user_shuffle(spark, sf_dir):
     # first-seen agg, activity distinct, join, final agg — but never a
     # self-join of the raw events and never more than the agg exchanges
     assert shuffle_count(df) <= 4
+
+
+def test_round4_queries_no_python_no_cartesian(spark, sf_dir):
+    for name in ["bigram_lm_score", "pack_stats", "quality_buckets"]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert python_udf_count(df) == 0, name
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    # pair generation must stay cell-bucketed (applyInPandas per cell),
+    # never a global cross join
+    plan = formatted_plan(QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
