@@ -64,17 +64,21 @@ def curate(
         pairs, sig, num_hashes=8, threshold=0.75
     )
     clusters = dd.connected_components(strong.select("a", "b"), docs)
-    ranked = clusters.join(
-        docs.select("doc_id", F.length("text").alias("__len")), "doc_id"
-    ).withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy("cluster_id").orderBy(
-                F.col("__len").desc(), F.col("doc_id")
-            )
-        ),
+    # keep-longest via aggregate argmax (max over a lexicographic struct,
+    # map-side partial) — a per-cluster window would single-task a
+    # mega-cluster of boilerplate docs at scale
+    near_keep = (
+        clusters.join(
+            docs.select("doc_id", F.length("text").alias("__len")), "doc_id"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("__len"), (-F.col("doc_id")).alias("nid"))
+            ).alias("b")
+        )
+        .select((-F.col("b.nid")).alias("doc_id"))
     )
-    near_keep = ranked.filter(F.col("__rn") == 1).select("doc_id")
     docs = docs.join(near_keep, "doc_id", "left_semi")
 
     # 4. contamination guard: drop training docs sharing ≥20% of their
@@ -109,22 +113,24 @@ def curate(
         docs, "doc_id", F.least(F.length("text") / 200.0, F.lit(1.0))
     )
 
-    # 6. pack layout: chunk index + offset under concat-and-chunk
+    # 6. pack layout: chunk index + offset under concat-and-chunk, via the
+    #    two-pass sharded prefix scan (operators/prefix.py) so no task ever
+    #    holds a whole source
+    from xena_gdc_etl_spark.operators.prefix import group_prefix_sum
+    from xena_gdc_etl_spark.operators.text import WS_RE
+
     toks = docs.select(
         "doc_id",
         "source",
         "text",
-        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        F.size(F.filter(F.split("text", WS_RE), lambda t: t != ""))
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn(
-        "__start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = group_prefix_sum(
+        toks, ["source"], [F.col("doc_id").asc()], "n_tokens", "__cum"
+    ).withColumn(
+        "__start", F.col("__cum") - F.col("n_tokens")
     ).select(
         "doc_id",
         "source",
