@@ -169,3 +169,30 @@ def test_bucketed_tables_join_with_zero_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_write_manifest_detects_content_change(spark, tmp_path):
+    from xena_gdc_etl_spark.sources.parquet_sink import (
+        write_manifest,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["id", "g", "v"]
+    )
+    out = str(tmp_path / "ds")
+    write_partitioned(df, out, partition_by=["g"])
+    m = write_manifest(df, out, partition_by=["g"])
+    assert m["total_rows"] == 3
+    assert [p["g"] for p in m["partitions"]] == ["a", "b"]
+    # digest is order/partitioning-independent ...
+    m2 = write_manifest(df.repartition(5), out, partition_by=["g"])
+    assert m2 == m
+    # ... but any value change flips it
+    mutated = df.withColumn(
+        "v", F.when(F.col("id") == 1, 99.0).otherwise(F.col("v"))
+    )
+    m3 = write_manifest(mutated, out, partition_by=["g"])
+    assert m3["partitions"][0]["digest"] != m["partitions"][0]["digest"]
+    import json, os
+    assert json.load(open(os.path.join(out, "_manifest.json"))) == m3

@@ -40,6 +40,62 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def write_manifest(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+) -> dict:
+    """Dataset manifest (the training-data "dataset card" sidecar): per
+    partition-key tuple, the row count and an order-insensitive xxhash64
+    content digest, plus global totals — written as ``_manifest.json``
+    next to the data.
+
+    One aggregate job over the frame (map-side partial; the digest is a
+    bit-XOR fold of per-row hashes, so it is partition- and
+    order-independent). Re-running the manifest on a re-written dataset
+    is the cheap way to verify a 100 TB copy landed intact — no file
+    listing, no byte comparison.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    keys = list(partition_by)
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+    grouped = (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(row_hash).alias("digest"),
+        )
+        .collect()
+        if keys
+        else df.agg(
+            F.count(F.lit(1)).alias("rows"), F.bit_xor(row_hash).alias("digest")
+        ).collect()
+    )
+    parts = [
+        {
+            **{k: r[k] for k in keys},
+            "rows": r["rows"],
+            "digest": None if r["digest"] is None else int(r["digest"]),
+        }
+        for r in grouped
+    ]
+    parts.sort(key=lambda p: tuple(str(p[k]) for k in keys))
+    manifest = {
+        "columns": df.columns,
+        "partition_by": keys,
+        "total_rows": sum(p["rows"] for p in parts),
+        "partitions": parts,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
