@@ -114,3 +114,23 @@ def test_ngram_doc_freq_cut_drops_only_hot_grams(spark):
     # keeps all grams, numerator loses the hot ones)
     for pair, j in capped.items():
         assert j <= uncapped[pair] + 1e-9
+
+
+def test_cosine_dup_pairs_hot_cell_cap(spark):
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    # cell 0: four near-identical vectors (hot); cell 1: two
+    vecs = [(i, [1.0, 0.0], 0) for i in range(4)] + [
+        (10, [0.0, 1.0], 1),
+        (11, [0.0, 1.0], 1),
+    ]
+    assigned = spark.createDataFrame(
+        vecs, ["vec_id", "embedding", "centroid_id"]
+    )
+    full = sim.cosine_dup_pairs(assigned, threshold=0.9, max_cell_size=None)
+    assert full.count() == 7  # C(4,2) + 1
+    capped = sim.cosine_dup_pairs(assigned, threshold=0.9, max_cell_size=3)
+    # the hot cell is dropped BEFORE pairing; the small cell still pairs
+    assert {(r.a, r.b) for r in capped.collect()} == {(10, 11)}

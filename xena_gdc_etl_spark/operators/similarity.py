@@ -348,9 +348,18 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     threshold: float = 0.95,
+    max_cell_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, candidates limited
     to vectors sharing an IVF cell (bucketed, not global O(n²)).
+
+    ``max_cell_size`` is the hot-cell guard (same contract as the LSH
+    ``max_bucket_size`` cap, dedup.py): a degenerate cell — zero vectors,
+    boilerplate embeddings, an under-trained index — costs O(cell²) sims
+    in ONE task, so cells above the cap are dropped BEFORE pairing (their
+    members simply produce no pairs; re-train with more cells or raise
+    the cap deliberately). The size check is one aggregate-sized groupBy
+    + a broadcast-friendly semi-join; ``None`` disables it.
     """
     out_schema = StructType(
         [
@@ -373,10 +382,17 @@ def cosine_dup_pairs(
             {"a": ai[keep], "b": bi[keep], "sim": sims[iu, ju][keep]}
         )
 
-    return (
-        assigned.select(centroid_id, id_col, vec_col)
-        .groupBy(centroid_id)
-        .applyInPandas(_cell_pairs, schema=out_schema)
+    cells = assigned.select(centroid_id, id_col, vec_col)
+    if max_cell_size is not None:
+        ok = (
+            cells.groupBy(centroid_id)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cell_size)
+            .select(centroid_id)
+        )
+        cells = cells.join(F.broadcast(ok), centroid_id, "left_semi")
+    return cells.groupBy(centroid_id).applyInPandas(
+        _cell_pairs, schema=out_schema
     )
 
 
