@@ -231,58 +231,85 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     k: int = 5,
+    n_shards: int = 8,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing the query's cell.
     The join key is the centroid id — candidate pruning happens in the join
     itself, which is the whole point of IVF at scale.
+
+    Cells are additionally SUB-SHARDED (deterministic id-hash into
+    ``n_shards`` slices, cell queries replicated to every slice) so a hot
+    cell never lands in one task: local top-k per (cell, shard), then a
+    global window over ≤ shards×k rows per query. Exact w.r.t. the
+    unsharded form — same candidate set, same rounding, same
+    (sim desc, id) tiebreak — so results are shard-count-invariant.
     """
-    q_marked = queries_assigned.select(F.col(id_col).alias("__qid"))
-    cells = assigned.join(
-        F.broadcast(q_marked),
-        assigned[id_col] == F.col("__qid"),
-        "left",
-    ).select(
+    q_keyed = queries_assigned.select(
+        F.col(centroid_id), F.col(id_col).alias("__qid"), F.col(vec_col)
+    )
+    # members keep their own shard; cell queries replicate to every shard
+    members = assigned.select(
         F.col(centroid_id),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("__shard"),
         F.col(id_col),
         F.col(vec_col),
-        F.col("__qid").isNotNull().alias("is_query"),
+        F.lit(False).alias("is_query"),
     )
-
-    out_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("match_id", LongType()),
-            StructField("sim", DoubleType()),
-            StructField("rank", LongType()),
-        ]
+    replicas = q_keyed.withColumn(
+        "__shard", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1)))
+    ).select(
+        F.col(centroid_id),
+        F.col("__shard").cast("bigint"),
+        F.col("__qid").alias(id_col),
+        F.col(vec_col),
+        F.lit(True).alias("is_query"),
     )
+    cells = members.unionByName(replicas)
 
-    def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _slice_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qmask = pdf["is_query"].to_numpy()
+        if qmask.all() or not qmask.any():
+            return pd.DataFrame(columns=["query_id", "match_id", "sim"])
         vids = pdf[id_col].to_numpy(dtype=np.int64)
         vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         vm /= _safe_norms(vm)
-        qmask = pdf["is_query"].to_numpy()
-        if not qmask.any():
-            return pd.DataFrame(columns=["query_id", "match_id", "sim", "rank"])
         qids = vids[qmask]
-        sims = np.round(vm @ vm[qmask].T, 6)  # (n_cell, n_cell_queries)
-        out_q, out_m, out_s, out_r = [], [], [], []
+        cand_ids_all = vids[~qmask]
+        sims = np.round(vm[~qmask] @ vm[qmask].T, 6)  # (n_members, n_q)
+        out_q, out_m, out_s = [], [], []
         for j, qid in enumerate(qids):
-            mask = vids != qid
-            cand_ids = vids[mask]
+            mask = cand_ids_all != qid  # a query never matches itself
+            cand_ids = cand_ids_all[mask]
             cand = sims[mask, j]
             order = np.lexsort((cand_ids, -cand))[:k]
             out_q.extend([qid] * len(order))
             out_m.extend(cand_ids[order])
             out_s.extend(cand[order])
-            out_r.extend(range(1, len(order) + 1))
-        return pd.DataFrame(
-            {"query_id": out_q, "match_id": out_m, "sim": out_s, "rank": out_r}
-        )
+        return pd.DataFrame({"query_id": out_q, "match_id": out_m, "sim": out_s})
 
-    # A query's entire candidate set lives in its own cell, so per-cell
-    # top-k IS the global answer — no second stage.
-    return cells.groupBy(centroid_id).applyInPandas(_cell_topk, schema=out_schema)
+    local = (
+        cells.groupBy(centroid_id, "__shard")
+        .applyInPandas(
+            _slice_topk,
+            schema=StructType(
+                [
+                    StructField("query_id", LongType()),
+                    StructField("match_id", LongType()),
+                    StructField("sim", DoubleType()),
+                ]
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", "sim", F.col("rank").cast("bigint")
+        )
+    )
 
 
 def ivf_train(
