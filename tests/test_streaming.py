@@ -191,3 +191,40 @@ def test_streaming_time_bounded_join_matches_batch(spark, events_stream_dir):
     q.awaitTermination(300)
     got = sorted((r.p_id, r.c_id) for r in spark.table(out).collect())
     assert got == expected
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_incremental_dedup
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    new_dir = str(tmp_path / "new_docs")
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(new_dir)
+    landed = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").cast("bigint").alias("dup_of"))
+    )
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(new_dir)
+    )
+    out_name = "inc_dedup_sink"
+    q = (
+        streaming_incremental_dedup(stream, landed)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.dup_of) for r in spark.table(out_name).collect()
+    }
+    want = {
+        (r.doc_id, r.dup_of)
+        for r in QUERIES["incremental_dedup"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want

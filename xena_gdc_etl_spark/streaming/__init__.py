@@ -162,3 +162,26 @@ def streaming_time_bounded_join(
         )
     )
     return l.join(r, cond)
+
+
+def streaming_incremental_dedup(
+    new_docs: DataFrame,
+    landed_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the ``incremental_dedup`` query: every arriving
+    document probes the landed corpus's (content hash → keeper id) index
+    via a stream-static left join. The stream side carries only its
+    digest through the join; there is NO streaming state to evict — the
+    static index is the state, re-resolved per micro-batch (and
+    broadcast when it fits), so a continuously-fed pipeline can run this
+    indefinitely. Batch twin: workload.py ``incremental_dedup``.
+    """
+    hashed = new_docs.withColumn("__h", F.md5(F.col(text_col)))
+    index = landed_index.select(
+        F.col("h").alias("__h"), F.col("dup_of")
+    )
+    return hashed.join(index, "__h", "left").select(
+        F.col(id_col), F.col("dup_of")
+    )
