@@ -40,3 +40,31 @@ def test_corpus_curation_end_to_end(spark, sf_dir, tmp_path):
     assert parts
     back = spark.read.parquet(out_dir)
     assert back.count() == len(rows)
+
+
+def test_embedding_curation_example(spark, tmp_path):
+    import importlib.util
+    import json
+    import os
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "embedding_curation.py",
+    )
+    spec = importlib.util.spec_from_file_location("emb_cur", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "idx")
+    index = mod.curate_embeddings(
+        spark, "/root/testdata/sf0.001", out_dir=out, dup_threshold=0.3
+    )
+    rows = index.collect()
+    assert rows, "dedup must keep at least one representative"
+    # compressed layout: every vector carries its cell + m codes + int8 payload
+    for r in rows[:5]:
+        assert 0 <= r.centroid_id < 8 and len(r.codes) == 4
+        assert r.scale > 0 and len(r.q) == 64
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    assert m["total_rows"] == len(rows)

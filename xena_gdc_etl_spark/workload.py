@@ -1694,6 +1694,12 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT percentiles for oracle parity (quantile_cont interpolation is
+    # bit-reproducible across engines; percentile_approx's sketch is not).
+    # Scale note: exact percentile state is a per-group value-count map —
+    # bounded here (acctbal has ~1e6 distinct cents), but for unbounded-
+    # cardinality columns at 100 TB switch to percentile_approx and accept
+    # a weaker rows-only gate, or pre-bucket values to fixed precision.
     cust = Catalog(spark, sf_dir).customer
     return cust.groupBy("c_nationkey").agg(
         F.round(F.percentile("c_acctbal", 0.5), 6).alias("p50"),
