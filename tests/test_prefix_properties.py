@@ -81,3 +81,35 @@ def test_row_number_matches_window_form(spark, rows, shards):
         .collect()
     }
     assert got == want
+
+
+@_SLOW
+@given(rows=_rows, buckets=st.sampled_from([2, 3, 5]))
+def test_bucket_arithmetic_equals_ntile(spark, rows, buckets):
+    # commonness_buckets derives the ntile bucket from (rank, group size)
+    # arithmetically; the formula must equal F.ntile for ANY group sizes
+    from xena_gdc_etl_spark.operators.text import commonness_buckets  # noqa: F401  (formula under test lives there)
+
+    df = _df(spark, rows, 3)
+    ranked = group_row_number(
+        df, ["g"], [F.col("v").desc(), F.col("k").asc()], "r", total_col="n"
+    )
+
+    def idiv(a, b):
+        return F.floor(a / b).cast("bigint")
+
+    k = F.lit(buckets).cast("bigint")
+    r, n = F.col("r"), F.col("n")
+    q = idiv(n, k)
+    r0 = n % k
+    thr = r0 * (q + F.lit(1))
+    bucket = F.when(r <= thr, idiv(r + q, q + F.lit(1))).otherwise(
+        r0 + idiv(r - thr + q - F.lit(1), F.greatest(q, F.lit(1)))
+    )
+    got = {x.k: x.b for x in ranked.select("k", bucket.alias("b")).collect()}
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("k").asc())
+    want = {
+        x.k: x.b
+        for x in df.withColumn("b", F.ntile(buckets).over(w)).collect()
+    }
+    assert got == want
