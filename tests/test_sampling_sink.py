@@ -196,3 +196,13 @@ def test_write_manifest_detects_content_change(spark, tmp_path):
     assert m3["partitions"][0]["digest"] != m["partitions"][0]["digest"]
     import json, os
     assert json.load(open(os.path.join(out, "_manifest.json"))) == m3
+
+
+def test_write_manifest_rejects_wide_key(spark, tmp_path):
+    import pytest
+
+    from xena_gdc_etl_spark.sources.parquet_sink import write_manifest
+
+    df = spark.range(50).withColumn("v", F.col("id") * 2)
+    with pytest.raises(ValueError, match="not driver-sized"):
+        write_manifest(df, str(tmp_path), partition_by=["id"], max_partitions=10)

@@ -44,6 +44,7 @@ def write_manifest(
     df: DataFrame,
     path: str,
     partition_by: Sequence[str] = (),
+    max_partitions: int = 100_000,
 ) -> dict:
     """Dataset manifest (the training-data "dataset card" sidecar): per
     partition-key tuple, the row count and an order-insensitive xxhash64
@@ -62,6 +63,17 @@ def write_manifest(
     from pyspark.sql import functions as F
 
     keys = list(partition_by)
+    if keys:
+        # the manifest is driver-sized by construction ONLY if the
+        # partition key space is — fail loudly instead of OOMing the
+        # driver when someone passes a high-cardinality key
+        n_parts = df.select(*keys).distinct().limit(max_partitions + 1).count()
+        if n_parts > max_partitions:
+            raise ValueError(
+                f"write_manifest: >{max_partitions} distinct partition-key "
+                "tuples; a manifest this wide is not driver-sized — "
+                "partition on a coarser key or raise max_partitions"
+            )
     row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
     grouped = (
         df.groupBy(*keys)
