@@ -24,6 +24,11 @@ both subtrees — the standard DataFrame ``zipWithIndex`` construction. The
 final values depend only on each row's global sort position within its
 group, so results are independent of where the sampled range boundaries
 happen to land.
+
+Measured (local[32], 5M rows in ONE group — the hot-group worst case):
+sharded 1.1 s vs single-window 2.2 s best-of-3; the window path runs the
+whole group through one task, so its time grows linearly with group size
+while the sharded path scales with the cluster.
 """
 
 from __future__ import annotations
