@@ -128,7 +128,7 @@ def curate(
         .alias("n_tokens"),
     )
     packed = group_prefix_sum(
-        toks, ["source"], [F.col("doc_id").asc()], "n_tokens", "__cum"
+        toks, ["source"], ["doc_id"], "n_tokens", "__cum"
     ).withColumn(
         "__start", F.col("__cum") - F.col("n_tokens")
     ).select(

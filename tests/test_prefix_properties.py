@@ -1,10 +1,13 @@
 """Property-based invariants for the two-pass sharded prefix scan
 (operators/prefix.py): for ANY input it must equal the plain
-single-window prefix — independent of shard count and input partitioning.
+single-window prefix — independent of shard count, input partitioning,
+and (since the shard id became a pure function of row values) of whether
+Catalyst exchange reuse fires at all.
 """
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
@@ -52,7 +55,7 @@ def test_prefix_sum_equals_single_window(spark, rows, shards, parts):
     got = {
         r.k: r.ps
         for r in group_prefix_sum(
-            df, ["g"], [F.col("k").asc()], "v", "ps", num_shards=shards
+            df, ["g"], ["k"], "v", "ps", num_shards=shards
         ).collect()
     }
     assert got == _reference(rows)
@@ -67,7 +70,7 @@ def test_row_number_matches_window_form(spark, rows, shards):
         for r in group_row_number(
             df,
             ["g"],
-            [F.col("v").desc(), F.col("k").asc()],
+            [("v", "desc"), "k"],
             "rn",
             total_col="n",
             num_shards=shards,
@@ -83,6 +86,71 @@ def test_row_number_matches_window_form(spark, rows, shards):
     assert got == want
 
 
+def test_prefix_correct_with_exchange_reuse_disabled(spark):
+    """The round-4 fragility: the old construction was only correct while
+    Catalyst reused the range exchange so spark_partition_id() agreed
+    between subtrees. The shard id is now a pure function of row values,
+    so the scan must stay exact with exchange reuse OFF."""
+    rows = [("a", i % 7) for i in range(40)] + [("b", i % 5) for i in range(23)]
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = _df(spark, rows, 6)
+        got = {
+            r.k: r.ps
+            for r in group_prefix_sum(
+                df, ["g"], ["k"], "v", "ps", num_shards=8
+            ).collect()
+        }
+        assert got == _reference(rows)
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+
+
+def test_fractional_values_not_truncated(spark):
+    """A double value column must carry its own type end-to-end (the old
+    unconditional bigint cast silently truncated fractional sums)."""
+    rows = [("a", 0.5), ("a", 0.25), ("a", 0.25), ("b", 1.5)]
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], ["k", "g", "v"]
+    )
+    out = group_prefix_sum(df, ["g"], ["k"], "v", "ps", num_shards=3)
+    assert dict(out.dtypes)["ps"] == "double"
+    got = {r.k: r.ps for r in out.collect()}
+    assert got == {0: 0.5, 1: 0.75, 2: 1.0, 3: 1.5}
+
+
+def test_sort_expression_rejected(spark):
+    df = spark.createDataFrame([(1, "a", 1)], ["k", "g", "v"])
+    with pytest.raises(ValueError, match="desc"):
+        group_prefix_sum(df, ["g"], [F.col("k").desc()], "v", "ps")
+
+
+def test_null_order_keys_match_window(spark):
+    """Null order-key values must shard consistently with Spark's
+    nulls-first (asc) / nulls-last (desc) window ordering."""
+    data = [(i, "g", v, 1) for i, v in enumerate([None, 3, None, 1, 2, None, 0])]
+    df = spark.createDataFrame(data, ["k", "g", "v", "one"])
+    for direction in ("asc", "desc"):
+        got = {
+            r.k: r.rn
+            for r in group_row_number(
+                df, ["g"], [("v", direction), "k"], "rn", num_shards=4
+            ).collect()
+        }
+        order = (
+            [F.col("v").asc(), F.col("k").asc()]
+            if direction == "asc"
+            else [F.col("v").desc(), F.col("k").asc()]
+        )
+        w = Window.partitionBy("g").orderBy(*order)
+        want = {
+            r.k: r.rn
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        assert got == want, direction
+
+
 @_SLOW
 @given(rows=_rows, buckets=st.sampled_from([2, 3, 5]))
 def test_bucket_arithmetic_equals_ntile(spark, rows, buckets):
@@ -92,7 +160,7 @@ def test_bucket_arithmetic_equals_ntile(spark, rows, buckets):
 
     df = _df(spark, rows, 3)
     ranked = group_row_number(
-        df, ["g"], [F.col("v").desc(), F.col("k").asc()], "r", total_col="n"
+        df, ["g"], [("v", "desc"), "k"], "r", total_col="n"
     )
 
     def idiv(a, b):

@@ -470,7 +470,7 @@ def commonness_buckets(
     ranked = group_row_number(
         docs.select(id_col, lang_col).join(comm, id_col),
         [lang_col],
-        [F.col("commonness").desc(), F.col(id_col).asc()],
+        [("commonness", "desc"), id_col],
         "__rank",
         total_col="__n",
     )

@@ -2037,7 +2037,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/prefix.py) — a plain per-source window would serialize a
     # whole source (at 100 TB: most of the corpus) through one task.
     cum = group_prefix_sum(
-        toks, ["source"], [F.col("doc_id").asc()], "n_tokens", "__cum"
+        toks, ["source"], ["doc_id"], "n_tokens", "__cum"
     )
     start = (F.col("__cum") - F.col("n_tokens")).alias("start_tok")
     return cum.select("doc_id", "source", "n_tokens", start).select(
