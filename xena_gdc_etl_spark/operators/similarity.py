@@ -634,6 +634,7 @@ def pq_topk(
     k: int = 5,
     codes_id_col: str | None = None,
     codes_col: str = "codes",
+    round_digits: int = 9,
 ) -> DataFrame:
     """Approximate top-k by ADC: per query, an m×k_codebook table of
     squared subdistances to every subcentroid; a candidate's distance is m
@@ -643,7 +644,10 @@ def pq_topk(
 
     ``id_col``/``vec_col`` name the QUERY side; the codes side follows
     ``pq_encode``'s output (``id_col``/"codes") unless overridden with
-    ``codes_id_col``/``codes_col``.
+    ``codes_id_col``/``codes_col``. ``round_digits`` rounds the summed ADC
+    distance (ranking uses the rounded value, then the id tiebreak) — the
+    oracle-gated scorer uses 6 so a cross-engine ulp in the m-term sum
+    can't flip a digit the hash compare sees.
     """
     codes_id_col = codes_id_col if codes_id_col is not None else id_col
     missing = [c for c in (codes_id_col, codes_col) if c not in codes.columns]
@@ -701,7 +705,8 @@ def pq_topk(
             for qi, qid in enumerate(ids):
                 # dist[v] = sum_j tabs[qi, j, cm[v, j]]
                 d = np.round(
-                    tabs[qi, np.arange(m)[None, :], cm].sum(axis=1), 9
+                    tabs[qi, np.arange(m)[None, :], cm].sum(axis=1),
+                    round_digits,
                 )
                 mask = vids != qid
                 cand_ids = vids[mask]

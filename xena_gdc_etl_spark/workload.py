@@ -2223,6 +2223,86 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 56c. PQ-ADC scorer with FROZEN codebooks — the oracle-gated half of the
+#      IVF-PQ split (the trainer above stays rows-only: iterated k-means
+#      floats are not SQL-expressible, but QUERY-TIME scoring under fixed
+#      state is plain arithmetic any engine can replay). Codebooks are
+#      equal-norm ±0.125 sign patterns (literal-exact binary fractions;
+#      equal norms put all the discrimination in the direction term, so
+#      codes vary across the corpus — 219 distinct code tuples at sf0.01).
+#      Encode = per-subspace argmin of squared distance (round-9 tiebreak
+#      by centroid id, matching pq_encode); ADC distance = m table lookups
+#      summed, rounded at 6 so a cross-engine ulp in the 4-term sum cannot
+#      flip a hashed digit; top-k ordered by (rounded dist, match_id).
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 4
+
+
+def _pq_frozen_codebooks() -> list[list[list[float]]]:
+    return [
+        [
+            [
+                0.125 * (1 if ((i + 3 * c + j) % 4) < 2 else -1)
+                for i in range(_PQ_SUB)
+            ]
+            for c in range(_PQ_K)
+        ]
+        for j in range(_PQ_M)
+    ]
+
+
+def _pq_adc_sql() -> str:
+    books = _pq_frozen_codebooks()
+    vals = ",\n           ".join(
+        f"({j}, {c}, [{', '.join(repr(v) for v in books[j][c])}])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    return rf"""
+    WITH cb(j, c, cv) AS (VALUES {vals}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    d AS (
+        SELECT v.vec_id, cb.j, cb.c,
+               list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                   i -> (e[CAST(cb.j * {_PQ_SUB} + i AS INT)] - cv[CAST(i AS INT)])
+                      * (e[CAST(cb.j * {_PQ_SUB} + i AS INT)] - cv[CAST(i AS INT)]))) AS d2
+        FROM v CROSS JOIN cb),
+    codes AS (
+        SELECT vec_id, j, c AS code
+        FROM (SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY round(d2, 9), c) AS rn
+              FROM d)
+        WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, j, c, d2 FROM d WHERE vec_id % 50 = 0),
+    dist AS (
+        SELECT qd.query_id, codes.vec_id AS match_id,
+               round(sum(qd.d2), 6) AS adc_dist
+        FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.c
+        WHERE codes.vec_id <> qd.query_id
+        GROUP BY qd.query_id, codes.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, match_id) AS rn
+          FROM dist)
+    SELECT query_id, match_id, adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10
+    """
+
+
+@query("pq_adc_score", _pq_adc_sql())
+def pq_adc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    books = [np.array(b) for b in _pq_frozen_codebooks()]
+    emb = Catalog(spark, sf_dir).embeddings
+    codes = sim.pq_encode(emb, books)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.pq_topk(codes, queries_df, books, k=10, round_digits=6)
+
+
+# --------------------------------------------------------------------------
 # 56b. Quality-classifier training (fastText-style lightweight filter,
 #      trained in-engine): logistic regression over the engine's own
 #      quality features, predicting the English-document signal. The whole
@@ -2230,7 +2310,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      Python workers); the driver holds d+1 floats. Rows-only like
 #      ann_ivf_pq: 20 rounds of float GD are not SQL-expressible — the
 #      trainer's numerics are pinned against a driver-side reference
-#      implementation in tests/test_logreg.py.
+#      implementation in tests/test_logreg.py. The SCORING half is
+#      oracle-gated separately (logreg_score below).
 # --------------------------------------------------------------------------
 @query("quality_logreg")
 def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2261,6 +2342,68 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg.logistic_predict(feats, w, b, fcols, out_col="p_en").select(
         "doc_id", F.col("is_en").cast("bigint").alias("is_en"), "p_en"
     )
+
+
+# --------------------------------------------------------------------------
+# 56d. Logistic scorer with FROZEN weights — the oracle-gated half of the
+#      quality_logreg split: sigmoid of a literal dot product over the
+#      engine's quality features is plain arithmetic an oracle can replay
+#      (the 20-round GD trainer above stays rows-only / unit-pinned).
+#      Weights are exact binary fractions so the literals round-trip
+#      bit-identically through both engines; z accumulates left-to-right
+#      in both (matching logreg._dot), and the only cross-engine hazard —
+#      a possible 1-ulp difference in exp() — is absorbed by the round-6
+#      output (the same bound tests/test_logreg.py pins for the trainer).
+# --------------------------------------------------------------------------
+_LOGREG_W = (1.25, -2.5, 3.0)
+_LOGREG_B = -0.75
+
+
+def _logreg_score_sql() -> str:
+    w1, w2, w3 = _LOGREG_W
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, lang, text, length(text) AS n_chars,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS toks
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(lang = 'en' AS BIGINT) AS is_en,
+               least(length(toks) / 100.0, 1.0) AS f_len,
+               round((n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars, 6) AS punct_ratio,
+               round(length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks), 6) AS stopword_ratio
+        FROM t)
+    SELECT doc_id, is_en,
+           round(1.0 / (1.0 + exp(-({_LOGREG_B!r} + {w1!r} * f_len + {w2!r} * punct_ratio + {w3!r} * stopword_ratio))), 6) AS p_en
+    FROM f
+    """
+
+
+@query("logreg_score", _logreg_score_sql())
+def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import logreg
+    from xena_gdc_etl_spark.operators.text import quality_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    feats = quality_scores(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("bigint").alias("is_en")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "is_en",
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)).alias("f_len"),
+        "punct_ratio",
+        "stopword_ratio",
+    )
+    return logreg.logistic_predict(
+        feats,
+        list(_LOGREG_W),
+        _LOGREG_B,
+        ["f_len", "punct_ratio", "stopword_ratio"],
+        out_col="p_en",
+    ).select("doc_id", "is_en", "p_en")
 
 
 # --------------------------------------------------------------------------
@@ -2382,37 +2525,41 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration order moves.
 # --------------------------------------------------------------------------
 _PROMOTED = [
-    # round 4: the 15 rows the round-3 rotation displaced out of the
-    # window (each green in r02 and in the local parity suite) rotate
-    # back in, so the union of r03+r04 driver rows covers every
+    # round 5: the 20 rows the round-4 rotation displaced out of the
+    # window (each green in r03 and in the local parity suite) rotate
+    # back in, so the union of r04+r05 driver rows covers every
     # oracle-backed query
-    "flatten_props",
-    "json_props_agg",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "multimodal_features",
-    "train_split",
-    "scrub_pii",
-    "vocab_topk",
-    "doc_repetition",
-    "contamination",
-    "tfidf_topk",
-    "asof_join",
-    "group_percentiles",
-    # queries whose PLAN changed this round — their fresh driver row must
-    # land in r04, not ride an old green
+    "dedup_simhash",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "cosine_topk",
+    "embed_quantize",
+    "ann_ivf",
+    "quality_filter",
+    "passage_dedup",
+    "value_histogram",
+    "corpus_stats",
+    "sample_by_group",
+    "range_join",
+    "rolling_avg",
+    "pivot_event_counts",
+    "event_funnel",
+    "cohort_retention",
+    "incremental_dedup",
+    "weighted_sample",
+    "rebalance_sources",
+    "lm_score",
+    # round-5 additions (the oracle-gated scorer halves of the two
+    # rows-only queries) — first driver rows land now
+    "pq_adc_score",
+    "logreg_score",
+    # queries whose PLAN changed this round (value-derived prefix shards;
+    # shared IVF assignment cache) — fresh driver rows must land in r05
     "quality_buckets",
     "sequence_pack",
-    "top_docs_per_source",
-    "embed_cosine_dup",
-    "ann_ivf_pq",
-    # round-4 additions — first driver rows land now
-    "semantic_dedup",
-    "bigram_lm_score",
     "pack_stats",
-    "quality_logreg",
+    "embed_cosine_dup",
+    "semantic_dedup",
 ]
 
 
