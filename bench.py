@@ -89,11 +89,20 @@ def main() -> None:
     # as its own line: four family queries start from it, and whichever ran
     # first used to absorb the whole build cost — making per-query numbers
     # incomparable across rounds (the attribution drift flagged in round 2).
-    from xena_gdc_etl_spark.workload import _shared_signatures
+    from xena_gdc_etl_spark.workload import (
+        _shared_ivf_assigned,
+        _shared_signatures,
+    )
 
     start = time.perf_counter()
     _shared_signatures(spark, SF_DIR).count()
     timings["shared_signatures_warm"] = round(time.perf_counter() - start, 4)
+    # Same attribution story for the embedding family (ann_ivf,
+    # embed_cosine_dup, semantic_dedup): the shared IVF assignment is
+    # materialized once per session; report its build as its own line.
+    start = time.perf_counter()
+    _shared_ivf_assigned(spark, SF_DIR).count()
+    timings["shared_ivf_warm"] = round(time.perf_counter() - start, 4)
 
     def consume(df) -> int:
         """Full-row consumer: xxhash64 over EVERY column, folded to one
