@@ -134,3 +134,31 @@ def test_cosine_dup_pairs_hot_cell_cap(spark):
     capped = sim.cosine_dup_pairs(assigned, threshold=0.9, max_cell_size=3)
     # the hot cell is dropped BEFORE pairing; the small cell still pairs
     assert {(r.a, r.b) for r in capped.collect()} == {(10, 11)}
+
+
+def test_cosine_dup_pairs_block_sharding_exact(spark):
+    """Hot-cell sub-sharding must reproduce the single-block pair set
+    exactly (same pairs, same rounded sims) for any block size."""
+    import math
+
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    vecs = [
+        (i, [math.cos(i * 0.07), math.sin(i * 0.07)], i % 2) for i in range(40)
+    ]
+    assigned = spark.createDataFrame(
+        vecs, ["vec_id", "embedding", "centroid_id"]
+    )
+
+    def rows(block_size):
+        return sorted(
+            (r.a, r.b, r.sim)
+            for r in sim.cosine_dup_pairs(
+                assigned, threshold=0.9, block_size=block_size
+            ).collect()
+        )
+
+    want = rows(10_000)  # single block per cell
+    assert want  # non-vacuous: nearby angles pass the threshold
+    for bs in (3, 7, 19):
+        assert rows(bs) == want, bs

@@ -375,18 +375,28 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     threshold: float = 0.95,
-    max_cell_size: int | None = 100_000,
+    max_cell_size: int | None = None,
+    block_size: int = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, candidates limited
     to vectors sharing an IVF cell (bucketed, not global O(n²)).
 
-    ``max_cell_size`` is the hot-cell guard (same contract as the LSH
-    ``max_bucket_size`` cap, dedup.py): a degenerate cell — zero vectors,
-    boilerplate embeddings, an under-trained index — costs O(cell²) sims
-    in ONE task, so cells above the cap are dropped BEFORE pairing (their
-    members simply produce no pairs; re-train with more cells or raise
-    the cap deliberately). The size check is one aggregate-sized groupBy
-    + a broadcast-friendly semi-join; ``None`` disables it.
+    Hot cells are SUB-SHARDED, not dropped: a cell with n > ``block_size``
+    members splits into ``nb = ceil(n/block_size)`` deterministic id-hash
+    blocks and each (block_i ≤ block_j) pair becomes its own task —
+    triangle tasks for i == j, cross tasks otherwise — so every task
+    scores at most ~2·block_size vectors while the PAIR SET stays exactly
+    the uncapped one (near-duplicates concentrate in hot cells, which is
+    precisely where a fail-open drop would un-deduplicate). The total
+    O(n²/…) sim count is inherent to exact pairing — for degenerate
+    mega-cells re-train a finer index rather than raising block counts.
+
+    ``max_cell_size`` is an optional TOTAL cap for deliberate cost
+    ceilings: cells above it are excluded before pairing, and — per the
+    no-silent-caps convention — the number of dropped cells is logged at
+    WARNING (callers that need the count can pre-aggregate sizes). With
+    the default ``None`` the operator is exact and matches a caps-free
+    oracle regardless of cell-size distribution.
     """
     out_schema = StructType(
         [
@@ -396,30 +406,63 @@ def cosine_dup_pairs(
         ]
     )
 
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[1]), int(key[2])
         vids = pdf[id_col].to_numpy(dtype=np.int64)
         vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         vm /= _safe_norms(vm)
-        sims = np.round(vm @ vm.T, 6)
-        iu, ju = np.triu_indices(len(vids), k=1)
+        if bi == bj:
+            sims = np.round(vm @ vm.T, 6)
+            iu, ju = np.triu_indices(len(vids), k=1)
+            li, ri = vids[iu], vids[ju]
+            vals = sims[iu, ju]
+        else:
+            left = pdf["__b"].to_numpy() == bi
+            sims = np.round(vm[left] @ vm[~left].T, 6)
+            iu, ju = np.nonzero(np.ones_like(sims, dtype=bool))
+            li, ri = vids[left][iu], vids[~left][ju]
+            vals = sims[iu, ju]
         # canonical (a < b) orientation regardless of row order in the cell
-        ai, bi = np.minimum(vids[iu], vids[ju]), np.maximum(vids[iu], vids[ju])
-        keep = sims[iu, ju] >= threshold
-        return pd.DataFrame(
-            {"a": ai[keep], "b": bi[keep], "sim": sims[iu, ju][keep]}
-        )
+        ai, bi_ = np.minimum(li, ri), np.maximum(li, ri)
+        keep = vals >= threshold
+        return pd.DataFrame({"a": ai[keep], "b": bi_[keep], "sim": vals[keep]})
 
     cells = assigned.select(centroid_id, id_col, vec_col)
+    sizes = cells.groupBy(centroid_id).agg(F.count(F.lit(1)).alias("__n"))
     if max_cell_size is not None:
-        ok = (
-            cells.groupBy(centroid_id)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_cell_size)
-            .select(centroid_id)
+        n_dropped = sizes.filter(F.col("__n") > max_cell_size).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_dup_pairs: excluding %d cell(s) over "
+                "max_cell_size=%d from pairing — their members produce NO "
+                "pairs (fail-open for dedup); retrain a finer index or "
+                "raise the cap deliberately",
+                n_dropped,
+                max_cell_size,
+            )
+        sizes = sizes.filter(F.col("__n") <= max_cell_size)
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(block_size))
+    ).cast("int")
+    sized = cells.join(
+        F.broadcast(sizes.select(centroid_id, nb.alias("__nb"))), centroid_id
+    )
+    blocked = sized.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int")
+    )
+    # replicate each vector to every (its block, partner block) task key;
+    # replication factor = nb per vector, 1 when the cell fits one block
+    tasks = (
+        blocked.withColumn(
+            "__t", F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
         )
-        cells = cells.join(F.broadcast(ok), centroid_id, "left_semi")
-    return cells.groupBy(centroid_id).applyInPandas(
-        _cell_pairs, schema=out_schema
+        .withColumn("__bi", F.least("__b", "__t"))
+        .withColumn("__bj", F.greatest("__b", "__t"))
+    )
+    return tasks.groupBy(centroid_id, "__bi", "__bj").applyInPandas(
+        _block_pairs, schema=out_schema
     )
 
 
@@ -435,7 +478,9 @@ def semantic_dedup(
     form clusters; one representative per cluster survives.
 
     Plan: candidate pairs come cell-bucketed from ``cosine_dup_pairs``
-    (never global O(n²)); clusters are connected components over the
+    (never global O(n²); hot cells sub-shard into block-pair tasks, so
+    the pair set is exact and matches a caps-free oracle); clusters are
+    connected components over the
     pair graph, run through the bipartite propagation engine
     (``connected_components_bipartite``, dedup.py) by treating every pair
     as a 2-member bucket node — O(pairs) edges, aggregate-only driver
