@@ -198,3 +198,22 @@ def test_xena_dataset_spark_rejects_unknown_dtype(tmp_path):
 
     with pytest.raises(ValueError):
         XenaDatasetSpark(projects="P", xena_dtype="nope", root_dir=str(tmp_path))
+
+
+def test_write_xena_tsv_rejects_overwide_pivot(spark, tmp_path):
+    """The distinct-sample collect is bounded: an over-wide pivot fails
+    with an actionable error instead of OOMing the driver."""
+    import pytest
+
+    long_df = (
+        spark.range(20)
+        .selectExpr(
+            "concat('S', id) AS sample",
+            "'f1' AS feature",
+            "CAST(id AS DOUBLE) AS value",
+        )
+    )
+    with pytest.raises(ValueError, match="distinct 'sample'"):
+        write_xena_tsv(long_df, str(tmp_path / "m"), max_samples=10)
+    # at the limit it still writes
+    write_xena_tsv(long_df, str(tmp_path / "m2"), max_samples=20)

@@ -148,3 +148,52 @@ def test_pack_stats_invariants(spark, sf_dir):
         # plus whatever earlier docs spilled into it (tokens_in_pack counts
         # only docs STARTING here, truncated at the pack boundary)
         assert r.tokens_in_pack <= 256
+
+
+def test_catalog_utc_contract(spark, sf_dir):
+    """Catalog pins UTC once at construction (documented contract), and
+    with pin_utc=False a non-UTC session is a loud error, never a silent
+    session-wide re-zone at table-access time."""
+    import pytest
+
+    from xena_gdc_etl_spark.catalog import Catalog
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="UTC"):
+            Catalog(spark, sf_dir, pin_utc=False)
+        # still untouched after the refusal
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        Catalog(spark, sf_dir)  # default pins, up front
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # a UTC session passes the strict form
+        Catalog(spark, sf_dir, pin_utc=False)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_commonness_dtype_boundary(spark):
+    """At the int64 boundary (tf·c > 2^63) the BIGINT accumulator fails
+    LOUDLY under ANSI mode while decimal(38,0) returns the exact value —
+    the contract the commonness_dtype flag documents. Boundary magnitudes
+    are injected via the (id, tok, tf) seam (real text at that mass would
+    be ~10^18 tokens)."""
+    import pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    k = 3_100_000_000  # c = k (one doc), tf·c = k^2 ≈ 9.61e18 > 2^63-1
+    tf = spark.createDataFrame([(1, "the", k)], "doc_id long, tok string, tf long")
+    exact = tx._commonness(tf, "doc_id", dtype="decimal(38,0)").collect()
+    assert int(exact[0].commonness) == k * k  # exact big-int arithmetic
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        tx._commonness(tf, "doc_id", dtype="bigint").collect()
+    # below the boundary the two dtypes agree exactly
+    small = spark.createDataFrame(
+        [(1, "a", 7), (1, "b", 3), (2, "a", 5)], "doc_id long, tok string, tf long"
+    )
+    big = {r.doc_id: int(r.commonness)
+           for r in tx._commonness(small, "doc_id", dtype="bigint").collect()}
+    dec = {r.doc_id: int(r.commonness)
+           for r in tx._commonness(small, "doc_id", dtype="decimal(38,0)").collect()}
+    assert big == dec == {1: 7 * 12 + 3 * 3, 2: 5 * 12}

@@ -203,13 +203,20 @@ def test_quality_buckets_sharded_rank_no_udf(spark, sf_dir):
     assert all("__shard" in s for s in ranked)
 
 
-def test_event_funnel_one_window_exchange(spark, sf_dir):
+def test_event_funnel_aggregate_only(spark, sf_dir):
     from xena_gdc_etl_spark.plans import shuffle_count
 
     df = QUERIES["event_funnel"](spark, sf_dir)
-    # three stacked window-mins share ONE user-partition exchange; the
-    # final single-row aggregate adds the only other one
-    assert shuffle_count(df) <= 2
+    plan = formatted_plan(df)
+    # skew-safe shape: conditional-min AGGREGATES chained by user-key
+    # joins — no per-user window anywhere (a degenerate bot user must
+    # never funnel through one window task), every min() map-side partial
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # u/c/p aggs + their joins + final single-row agg — every exchange is
+    # user-key-bounded (partial-agged or skew-splittable), unlike the one
+    # skew-fragile window exchange this replaced
+    assert shuffle_count(df) <= 10
     assert python_udf_count(df) == 0
 
 

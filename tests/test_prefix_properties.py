@@ -181,3 +181,113 @@ def test_bucket_arithmetic_equals_ntile(spark, rows, buckets):
         for x in df.withColumn("b", F.ntile(buckets).over(w)).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# group_rolling: sharded bounded-frame rolling aggregate
+# ---------------------------------------------------------------------------
+
+
+def _rolling_reference(rows, preceding, agg):
+    """Pure-python ROWS BETWEEN preceding PRECEDING AND CURRENT ROW."""
+    hist: dict[str, list[tuple[int, int]]] = {}
+    out = {}
+    for i, (g, v) in enumerate(rows):
+        hist.setdefault(g, []).append((i, v))
+        frame = [v2 for _, v2 in hist[g][-(preceding + 1):]]
+        if agg == "avg":
+            out[i] = sum(frame) / len(frame)
+        elif agg == "sum":
+            out[i] = sum(frame)
+        elif agg == "min":
+            out[i] = min(frame)
+        elif agg == "max":
+            out[i] = max(frame)
+        elif agg == "count":
+            out[i] = len(frame)
+    return out
+
+
+@_SLOW
+@given(
+    rows=_rows,
+    shards=st.sampled_from([1, 3, 16]),
+    parts=st.sampled_from([1, 5]),
+    preceding=st.sampled_from([0, 1, 3]),
+    agg=st.sampled_from(["avg", "sum", "min", "max", "count"]),
+)
+def test_rolling_matches_reference(spark, rows, shards, parts, preceding, agg):
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    df = _df(spark, rows, parts)
+    got = {
+        r.k: r.roll
+        for r in group_rolling(
+            df, ["g"], ["k"], "v", "roll",
+            agg=agg, preceding=preceding, num_shards=shards,
+        ).collect()
+    }
+    want = _rolling_reference(rows, preceding, agg)
+    assert got == want  # int sums/avg-of-int-sums are exact doubles
+
+
+def test_rolling_group_spanning_many_shards(spark):
+    """The carry-no-chaining argument: one group sliced into many shards,
+    each slice shorter than the frame in places — every frame must still
+    see its true predecessors even when they live 2+ shards back (tails
+    of ALL earlier slices are re-ranked per target, so a slice with 1 row
+    never truncates the carry)."""
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    rows = [("hot", v) for v in range(200)]
+    df = _df(spark, rows, 7)
+    got = {
+        r.k: r.roll
+        for r in group_rolling(
+            df, ["g"], ["k"], "v", "roll",
+            agg="sum", preceding=5, num_shards=64, sample_cap=64,
+        ).collect()
+    }
+    assert got == _rolling_reference(rows, 5, "sum")
+
+
+def test_rolling_matches_plain_window_on_events(spark, sf_dir):
+    """Bitwise parity with the single-window plan on real float data:
+    sliding frames recompute per row (no retraction), so identical frame
+    contents give identical doubles."""
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    want = {
+        r.event_id: r.roll
+        for r in ev.select(
+            "event_id", F.avg("value").over(w).alias("roll")
+        ).collect()
+    }
+    got = {
+        r.event_id: r.roll
+        for r in group_rolling(
+            ev, ["user_id"], ["ts", "event_id"], "value", "roll",
+            agg="avg", preceding=3, num_shards=16,
+        ).select("event_id", "roll").collect()
+    }
+    assert got == want
+
+
+def test_rolling_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    df = _df(spark, [("a", 1)], 1)
+    with _pytest.raises(ValueError, match="agg must be"):
+        group_rolling(df, ["g"], ["k"], "v", "o", agg="median")
+    with _pytest.raises(ValueError, match="preceding"):
+        group_rolling(df, ["g"], ["k"], "v", "o", preceding=-1)

@@ -206,3 +206,26 @@ def test_write_manifest_rejects_wide_key(spark, tmp_path):
     df = spark.range(50).withColumn("v", F.col("id") * 2)
     with pytest.raises(ValueError, match="not driver-sized"):
         write_manifest(df, str(tmp_path), partition_by=["id"], max_partitions=10)
+
+
+def test_write_manifest_digest_sees_paired_duplicate_swap(spark, tmp_path):
+    """The XOR fold this digest replaced cancelled paired duplicates:
+    {r1, r1} and {r2, r2} both XORed to 0 with equal counts. The wrapping
+    sum must tell them apart (and stay order/multiplicity-sensitive)."""
+    from xena_gdc_etl_spark.sources.parquet_sink import write_manifest
+
+    a = spark.createDataFrame([(1, "x"), (1, "x")], ["id", "v"])
+    b = spark.createDataFrame([(2, "y"), (2, "y")], ["id", "v"])
+    ma = write_manifest(a, str(tmp_path / "a"))
+    mb = write_manifest(b, str(tmp_path / "b"))
+    assert ma["total_rows"] == mb["total_rows"] == 2
+    da = ma["partitions"][0]["digest"]
+    db = mb["partitions"][0]["digest"]
+    assert da != db
+    # digests are canonicalized into [0, 2^64)
+    assert 0 <= da < 1 << 64 and 0 <= db < 1 << 64
+    # tripling a duplicate row changes the digest too (multiplicity-aware)
+    mc = write_manifest(
+        spark.createDataFrame([(1, "x")] * 3, ["id", "v"]), str(tmp_path / "c")
+    )
+    assert mc["partitions"][0]["digest"] != da

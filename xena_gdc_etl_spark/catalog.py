@@ -30,11 +30,33 @@ TPCH_TABLES = (
 
 
 class Catalog:
-    """Resolve table names under a base directory (``<base>/<name>.parquet``)."""
+    """Resolve table names under a base directory (``<base>/<name>.parquet``).
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    Catalog timestamp semantics REQUIRE a UTC session: the NTZ→TIMESTAMP
+    normalization in :meth:`table` is wall-clock-preserving through the
+    session zone, and every instant-based expression the operators run
+    (``F.window`` boundaries, ``unix_micros``) was validated — and is
+    oracle-compared — under UTC. With the default ``pin_utc=True`` the
+    constructor sets ``spark.sql.session.timeZone=UTC`` ONCE, up front,
+    as a documented contract (externally-built sessions, e.g. the
+    correctness harness's, inherit the host zone otherwise). Pass
+    ``pin_utc=False`` to forbid the mutation — then a non-UTC session is
+    an immediate error rather than a silently re-zoned one.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str, pin_utc: bool = True):
         self.spark = spark
         self.base_dir = base_dir
+        tz = spark.conf.get("spark.sql.session.timeZone", None)
+        if tz != "UTC":
+            if not pin_utc:
+                raise ValueError(
+                    "Catalog requires a UTC session (timestamp normalization "
+                    f"and oracle parity are UTC-defined); session zone is "
+                    f"{tz!r}. Set spark.sql.session.timeZone=UTC or construct "
+                    "with pin_utc=True."
+                )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"{name}.parquet")
@@ -63,12 +85,8 @@ class Catalog:
         cached = per_session.get(path)
         if cached is not None:
             return cached
-        # Pin the session timezone at the read site, not just in
-        # session.py: externally-built sessions (the correctness harness)
-        # inherit the HOST zone, under which instant-based expressions
-        # (F.window boundaries, unix_micros) on the NTZ→TIMESTAMP-cast
-        # columns below would diverge from the UTC-pinned DuckDB oracles.
-        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Session timezone is pinned to UTC in __init__ (see class
+        # docstring) — reads here assume it.
         if name in self._NANOS_TS_COLS:
             # The events parquet stores ts as TIMESTAMP(NANOS), which Spark
             # refuses to read (PARQUET_TYPE_ILLEGAL) unless this runtime SQL
@@ -84,8 +102,8 @@ class Catalog:
         # instant-based expressions (unix_micros, F.window) and diverges
         # from the LTZ behavior the operators and oracles were validated
         # under. Normalize: NTZ → TIMESTAMP is wall-clock-preserving
-        # through the session zone, which the conf.set above pins to UTC
-        # even for externally-built sessions — the precondition for the
+        # through the session zone, which __init__ pins to UTC even for
+        # externally-built sessions — the precondition for the
         # canonicalized oracle comparison to be host-timezone-independent.
         for col, dtype in df.dtypes:
             if dtype == "timestamp_ntz":

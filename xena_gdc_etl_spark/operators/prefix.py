@@ -51,7 +51,7 @@ from pyspark.sql.types import (
     ShortType,
 )
 
-__all__ = ["group_prefix_sum", "group_row_number"]
+__all__ = ["group_prefix_sum", "group_row_number", "group_rolling"]
 
 _SHARD = "__shard"
 _LOCAL = "__local_prefix"
@@ -303,3 +303,141 @@ def group_row_number(
         num_shards=num_shards,
     )
     return out.drop(one)
+
+
+_ROLLING_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def group_rolling(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    value: Column | str,
+    out_col: str,
+    *,
+    agg: str = "avg",
+    preceding: int = 3,
+    num_shards: int | None = None,
+    sample_cap: int = _DEFAULT_SAMPLE_CAP,
+) -> DataFrame:
+    """Per-group rolling aggregate over ``ROWS BETWEEN preceding PRECEDING
+    AND CURRENT ROW`` — without ever running a whole group through one
+    window task.
+
+    A plain ``avg(v) OVER (PARTITION BY g ORDER BY k ROWS 3 PRECEDING)``
+    is fine while groups are human-sized, but a degenerate hot key (a bot
+    user, a null-ish id) funnels its entire history through ONE task at
+    web scale. Because the frame is BOUNDED, the fix is cheaper than the
+    prefix scan's offsets pass: range-shard the (group, order) key exactly
+    as :func:`group_prefix_sum` does (shard id = pure function of row
+    values), then carry each (shard, group) slice's last ``preceding``
+    rows forward as read-only CONTEXT rows for the slices after it. Any
+    row's frame spans at most ``preceding`` predecessors, all of which
+    are either in its own slice or among some earlier slice's tail — and
+    a tail row not in its own slice's last-``preceding`` has ≥
+    ``preceding`` same-group successors inside that slice, so it can
+    never be needed downstream (the carry never has to chain).
+
+    Pipeline (every task bounded by the shard width, never the group):
+    tails = last-``preceding`` per (shard, group) → for each later shard
+    of the group, re-rank the union of earlier tails and keep the global
+    last ``preceding`` → union as flagged context rows → ONE window over
+    ``(shard, group)`` → drop context outputs.
+
+    ``order_cols`` must totally order each group (id tiebreak), as in all
+    prefix ops. ``agg`` ∈ avg|sum|min|max|count (count counts non-null
+    ``value``, SQL-style). Sliding frames recompute per row in Spark (no
+    retraction), so results are bitwise-identical to the single-window
+    plan — the frames contain the same rows in the same order.
+    """
+    if preceding < 0:
+        raise ValueError(f"preceding must be >= 0, got {preceding}")
+    try:
+        agg_fn = _ROLLING_AGGS[agg]
+    except KeyError:
+        raise ValueError(
+            f"agg must be one of {sorted(_ROLLING_AGGS)}, got {agg!r}"
+        ) from None
+    spark = df.sparkSession
+    if num_shards is None:
+        num_shards = spark.sparkContext.defaultParallelism
+    value = F.col(value) if isinstance(value, str) else value
+    specs = _normalize_order(order_cols)
+    gcols = [F.col(c) for c in group_cols]
+    key_cols = gcols + [c for c, _ in specs]
+    descs = [False] * len(gcols) + [d for _, d in specs]
+    boundaries = (
+        _sample_boundaries(df, key_cols, descs, num_shards, sample_cap)
+        if num_shards > 1
+        else []
+    )
+    onames = [f"__o{i}" for i in range(len(specs))]
+    staged = df.withColumn(_SHARD, _shard_expr(key_cols, descs, boundaries))
+    for n, (c, _) in zip(onames, specs):
+        staged = staged.withColumn(n, c)
+    staged = staged.withColumn("__val", value).withColumn("__ctx", F.lit(False))
+
+    odescs = [d for _, d in specs]
+    fwd = [F.col(n).desc() if d else F.col(n).asc() for n, d in zip(onames, odescs)]
+    rev = [F.col(n).asc() if d else F.col(n).desc() for n, d in zip(onames, odescs)]
+
+    slim = staged.select(_SHARD, *group_cols, *onames, "__val")
+    # last `preceding` rows of every (shard, group) slice — the only rows
+    # any later slice of the group can ever need
+    tail_w = Window.partitionBy(_SHARD, *group_cols).orderBy(*rev)
+    tails = (
+        slim.withColumn("__rr", F.row_number().over(tail_w))
+        .where(F.col("__rr") <= preceding)
+        .drop("__rr")
+    )
+    # (group, shard) slices that need context; per group this frame is its
+    # shard SPAN (a bot user spanning 1000 shards contributes 1000 rows
+    # here, not its event count)
+    targets = (
+        staged.select(F.col(_SHARD).alias("__tshard"), *group_cols)
+        .distinct()
+        .where(F.col("__tshard") > 0)
+    )
+    # within a group the order key is total and the shard id monotone in
+    # it, so ranking candidate tails by key order alone finds the global
+    # last `preceding` rows before each target slice
+    carry_w = Window.partitionBy("__tshard", *group_cols).orderBy(*rev)
+    ctx = (
+        tails.join(targets, list(group_cols))
+        .where(F.col(_SHARD) < F.col("__tshard"))
+        .withColumn("__rr", F.row_number().over(carry_w))
+        .where(F.col("__rr") <= preceding)
+        .select(
+            F.col("__tshard").alias(_SHARD),
+            *group_cols,
+            *onames,
+            "__val",
+            F.lit(True).alias("__ctx"),
+        )
+    )
+    ctx_cols = {_SHARD, *group_cols, *onames, "__val", "__ctx"}
+    pad = ctx.select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in staged.schema.fields
+            if f.name not in ctx_cols
+        ],
+    )
+    final_w = (
+        Window.partitionBy(_SHARD, *group_cols)
+        .orderBy(*fwd)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return (
+        staged.unionByName(pad)
+        .withColumn(out_col, agg_fn(F.col("__val")).over(final_w))
+        .where(~F.col("__ctx"))
+        .drop(_SHARD, "__val", "__ctx", *onames)
+    )

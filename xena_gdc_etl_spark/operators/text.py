@@ -420,12 +420,34 @@ def bigram_logprob_scores(
     )
 
 
+def _commonness(tf: DataFrame, id_col: str, dtype: str = "bigint") -> DataFrame:
+    """Per-document commonness = Σ tf·c over a (id, tok, tf) frame, where
+    c = corpus count of the token. ``dtype`` is the accumulator type for
+    BOTH the tf·c product and its sum: the default BIGINT holds ~10^18 of
+    token-occurrence product mass per document (ample for ~10^12-token
+    corpora); pass ``"decimal(38,0)"`` for true web-scale inputs where
+    tf·c can cross 2^63 — under ANSI mode the BIGINT path surfaces that
+    as a runtime error rather than a silent wrap, so the switch is never
+    guesswork. An oracle replaying this must cast identically (DuckDB:
+    ``CAST(... AS BIGINT)`` vs ``CAST(... AS HUGEINT)``/DECIMAL(38,0)).
+    Boundary behavior is pinned by tests/test_edge_cases.py.
+    """
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    lhs = F.col("tf") if dtype == "bigint" else F.col("tf").cast(dtype)
+    return (
+        tf.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(F.sum(lhs * F.col("c")).cast(dtype).alias("commonness"))
+    )
+
+
 def commonness_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
     n_buckets: int = 3,
+    commonness_dtype: str = "bigint",
 ) -> DataFrame:
     """CCNet-style head/middle/tail bucketing, integer-deterministic.
 
@@ -447,13 +469,10 @@ def commonness_buckets(
     bucket(r) = ceil(r/(q+1)) for r ≤ r0·(q+1), else r0 + ceil((r−thr)/q).
     Integer-exact: doubles below 2^53 only.
 
-    Scale bound: commonness = Σ tf·c accumulates in BIGINT, which holds
-    corpora up to ~10^18 token-occurrence products per document — ample
-    for ~10^12-token corpora with ~10^5-token documents, but a true
-    web-scale run (corpus counts ≥10^12 × long docs) can overflow int64,
-    which Spark's ANSI mode surfaces as a runtime error rather than a
-    silent wrap; switch the accumulator (and the oracle) to
-    DECIMAL(38,0) if inputs at that magnitude are expected.
+    Scale bound: ``commonness_dtype`` picks the Σ tf·c accumulator — the
+    default BIGINT is ample below ~10^18 of product mass per document;
+    pass ``"decimal(38,0)"`` for web-scale corpora where it can overflow
+    (see :func:`_commonness` for the exact contract and oracle mirror).
     """
     from xena_gdc_etl_spark.operators.prefix import group_row_number
 
@@ -461,12 +480,7 @@ def commonness_buckets(
     if n_buckets != len(names):
         names = [f"b{i + 1}" for i in range(n_buckets)]
     tf = _doc_term_freqs(docs, id_col, text_col)
-    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
-    comm = (
-        tf.join(vocab, "tok")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("c")).cast("bigint").alias("commonness"))
-    )
+    comm = _commonness(tf, id_col, dtype=commonness_dtype)
     ranked = group_row_number(
         docs.select(id_col, lang_col).join(comm, id_col),
         [lang_col],

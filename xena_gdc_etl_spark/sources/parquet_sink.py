@@ -51,11 +51,19 @@ def write_manifest(
     content digest, plus global totals — written as ``_manifest.json``
     next to the data.
 
-    One aggregate job over the frame (map-side partial; the digest is a
-    bit-XOR fold of per-row hashes, so it is partition- and
-    order-independent). Re-running the manifest on a re-written dataset
-    is the cheap way to verify a 100 TB copy landed intact — no file
-    listing, no byte comparison.
+    One aggregate job over the frame (map-side partial; the digest folds
+    per-row hashes with a WRAPPING SUM — ``sum(hash) mod 2^64``,
+    accumulated in DECIMAL(38,0) so partials never overflow — which is
+    partition- and order-independent but, unlike the bit-XOR fold it
+    replaced, sensitive to even multiplicities: XOR cancels paired
+    duplicates, so swapping two identical rows for two copies of a
+    different row left count AND digest unchanged — a real blind spot for
+    pre-dedup corpora. Residual collision model: multisets whose 64-bit
+    hash SUMS coincide mod 2^64 still collide (e.g. engineered
+    {h1+δ, h2−δ} swaps), i.e. this is an integrity check against
+    loss/truncation/corruption, not an adversarial MAC.) Re-running the
+    manifest on a re-written dataset is the cheap way to verify a 100 TB
+    copy landed intact — no file listing, no byte comparison.
     """
     import json
     import os
@@ -74,24 +82,20 @@ def write_manifest(
                 "tuples; a manifest this wide is not driver-sized — "
                 "partition on a coarser key or raise max_partitions"
             )
-    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+    # decimal(38,0) partial sums: |hash| ≤ 2^63 ≈ 9.2e18, so even 10^19
+    # rows stay under the 38-digit cap — no overflow at any real scale
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+    aggs = [F.count(F.lit(1)).alias("rows"), F.sum(row_hash).alias("digest")]
     grouped = (
-        df.groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(row_hash).alias("digest"),
-        )
-        .collect()
+        df.groupBy(*keys).agg(*aggs).collect()
         if keys
-        else df.agg(
-            F.count(F.lit(1)).alias("rows"), F.bit_xor(row_hash).alias("digest")
-        ).collect()
+        else df.agg(*aggs).collect()
     )
     parts = [
         {
             **{k: r[k] for k in keys},
             "rows": r["rows"],
-            "digest": None if r["digest"] is None else int(r["digest"]),
+            "digest": None if r["digest"] is None else int(r["digest"]) % (1 << 64),
         }
         for r in grouped
     ]

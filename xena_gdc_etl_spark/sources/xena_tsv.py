@@ -53,17 +53,28 @@ def write_xena_tsv(
     sample_col: str = "sample",
     feature_col: str = "feature",
     value_col: str = "value",
+    max_samples: int = 50_000,
 ) -> None:
     """Export a long matrix as a Xena-style TSV directory (features as the
     index column, one column per sample — the reference's matrix layout).
     Pivot width = number of samples; exporting is only sane for bounded
-    sample sets, which is exactly the reference's use case.
+    sample sets, which is exactly the reference's use case (TCGA cohorts
+    top out near 11k samples; pan-cancer ~12.6k). ``max_samples`` turns an
+    over-wide pivot — a driver-OOM-by-collect otherwise — into an
+    actionable error, checked with a ``limit(max+1)`` count so the guard
+    job itself is bounded.
     """
     from pyspark.sql import functions as F
 
+    distinct_samples = long_df.select(sample_col).distinct()
+    if distinct_samples.limit(max_samples + 1).count() > max_samples:
+        raise ValueError(
+            f"write_xena_tsv: >{max_samples} distinct {sample_col!r} values; "
+            "a pivot this wide is not driver-sized (and not a sane TSV) — "
+            "export a bounded cohort or raise max_samples"
+        )
     samples = [
-        r[0]
-        for r in long_df.select(sample_col).distinct().orderBy(sample_col).collect()
+        r[0] for r in distinct_samples.orderBy(sample_col).collect()
     ]
     wide = (
         long_df.groupBy(feature_col)

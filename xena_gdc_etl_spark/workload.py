@@ -1933,6 +1933,42 @@ def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 48b. The same rolling average through the sharded bounded-frame rolling
+#      operator (operators/prefix.py group_rolling): identical results —
+#      sliding frames recompute per row, so same frame contents ⇒ same
+#      doubles — but no per-user window task anywhere, so a degenerate hot
+#      key (bot user, null-ish id) slices across tasks instead of
+#      funneling through one. The plain-window form (48) stays registered
+#      as the human-keyed default; this is the web-scale path.
+# --------------------------------------------------------------------------
+@query(
+    "rolling_avg_sharded",
+    """
+    SELECT event_id, user_id,
+           CAST(round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+             AS rolling_avg
+    FROM events
+    """,
+)
+def rolling_avg_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    ev_df = Catalog(spark, sf_dir).events
+    rolled = group_rolling(
+        ev_df, ["user_id"], ["ts", "event_id"], "value", "__roll",
+        agg="avg", preceding=3,
+    )
+    return rolled.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("__roll"), 6).alias("rolling_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 49. Pivot with a FIXED value list (the reference's matrix pivot — wide
 #     sample×feature — in its scale-safe form: explicit columns, so the
 #     plan is a single groupBy with conditional aggregates, no
@@ -2145,10 +2181,14 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # 50. Ordered-sequence funnel over the event stream: users who viewed, then
-#     clicked AFTER the first view, then purchased AFTER that click. Three
-#     stacked window-mins over the same user partition — Catalyst plans ONE
-#     exchange for all three (same partitioning), then a global count; the
-#     ts-ordering constraint never needs a self-join or explode.
+#     clicked AFTER the first view, then purchased AFTER that click. Built
+#     from conditional-min AGGREGATES chained by user-key joins (the oracle's
+#     own shape) rather than stacked per-user windows: every min() is a
+#     map-side partial aggregate, so a degenerate hot key (a bot user owning
+#     1% of a web-scale stream) collapses inside each scan task instead of
+#     funneling all its rows through one window task, and the user-key joins
+#     are AQE-skew-splittable. Three bounded shuffles instead of one
+#     skew-fragile one — the right trade at 100 TB.
 # --------------------------------------------------------------------------
 @query(
     "event_funnel",
@@ -2174,43 +2214,36 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev_df = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
-    w = Window.partitionBy("user_id")
-    staged = (
-        ev_df.withColumn(
-            "t1",
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
-        )
-        .withColumn(
-            "t2",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click")
-                    & (F.col("ts") > F.col("t1")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t3",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t2")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
+    u = ev_df.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
     )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    # each stage re-scans only the candidate event type, joined against the
+    # (user, threshold) frame of the previous stage — the `ts > t_prev`
+    # predicate drops users whose threshold is null, exactly like the
+    # oracle's null-propagating WHERE
+    c = (
+        ev_df.where(F.col("event_type") == "click")
+        .join(u.where(F.col("t1").isNotNull()), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
     )
-    return per_user.agg(
-        F.count("t1").cast("bigint").alias("n_view"),
-        F.count("t2").cast("bigint").alias("n_view_click"),
-        F.count("t3").cast("bigint").alias("n_funnel"),
+    p = (
+        ev_df.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        u.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t1").cast("bigint").alias("n_view"),
+            F.count("t2").cast("bigint").alias("n_view_click"),
+            F.count("t3").cast("bigint").alias("n_funnel"),
+        )
     )
 
 
@@ -2566,9 +2599,11 @@ _PROMOTED = [
     "rebalance_sources",
     "lm_score",
     # round-5 additions (the oracle-gated scorer halves of the two
-    # rows-only queries) — first driver rows land now
+    # rows-only queries; the sharded bounded-frame rolling window) —
+    # first driver rows land now
     "pq_adc_score",
     "logreg_score",
+    "rolling_avg_sharded",
     # queries whose PLAN changed this round (value-derived prefix shards;
     # shared IVF assignment cache) — fresh driver rows must land in r05
     "quality_buckets",
