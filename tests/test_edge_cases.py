@@ -197,3 +197,57 @@ def test_commonness_dtype_boundary(spark):
     dec = {r.doc_id: int(r.commonness)
            for r in tx._commonness(small, "doc_id", dtype="decimal(38,0)").collect()}
     assert big == dec == {1: 7 * 12 + 3 * 3, 2: 5 * 12}
+
+
+def test_gopher_rules_edges(spark):
+    """Empty text and a clean passing doc: empty → zero metrics, all
+    length-dependent rules fail, no NaN/NULL ratios (safe_n guard)."""
+    from xena_gdc_etl_spark.operators.text import gopher_rules
+
+    good = " ".join(["the quick brown fox and the lazy dog for it is that"] * 6)
+    docs = spark.createDataFrame(
+        [(1, ""), (2, good), (3, "### ... ###")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert rows[1].n_words == 0
+    assert rows[1].mean_word_len == 0.0  # guarded, not NULL
+    assert not rows[1].keep
+    assert rows[2].n_words == 72 and rows[2].keep
+    assert not rows[3].pass_symbol and not rows[3].pass_alpha
+
+
+def test_mixture_plan_arithmetic(spark):
+    """Uniform target over two skewed sources: the small source upsamples
+    (epochs > 1, capped), the big one downsamples (rate < 1)."""
+    from xena_gdc_etl_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "source string, n_tokens long"
+    )
+    rows = {r.source: r for r in mixture_plan(docs, max_epochs=4.0).collect()}
+    assert rows["big"].sample_rate == round(500 / 900, 6)
+    assert rows["big"].planned_tokens == 500
+    assert rows["small"].epochs == 4.0  # capped below the 5.0 ratio
+    assert rows["small"].planned_tokens == 400
+    assert rows["big"].token_share == 0.9
+
+
+def test_dup_span_stats_cap_accounting(spark):
+    """A gram shared by 3 docs is counted in n_dup_spans uncapped, and in
+    n_capped (not n_dup_spans) with max_doc_freq=2 — dropped hot grams are
+    reported, never silent. Docs shorter than n are absent."""
+    from xena_gdc_etl_spark.operators.dedup import dup_span_stats
+
+    shared = "a b c d e f g h"  # exactly one 8-gram, in all three docs
+    docs = spark.createDataFrame(
+        [(1, shared + " x1"), (2, shared + " x2"), (3, shared + " x3"),
+         (4, "too short")],
+        "doc_id long, text string",
+    )
+    un = {r.doc_id: r for r in dup_span_stats(docs, n=8).collect()}
+    assert set(un) == {1, 2, 3}  # doc 4 has < 8 words
+    assert un[1].n_spans == 2 and un[1].n_dup_spans == 1
+    assert un[1].n_capped == 0 and un[1].dup_span_frac == 0.5
+    capped = {r.doc_id: r
+              for r in dup_span_stats(docs, n=8, max_doc_freq=2).collect()}
+    assert capped[1].n_dup_spans == 0 and capped[1].n_capped == 1

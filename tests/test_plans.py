@@ -251,3 +251,27 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     plan = formatted_plan(QUERIES["semantic_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_queries_no_python_no_cartesian(spark, sf_dir):
+    # mixture_plan's 1-row totals cross join is the one sanctioned
+    # BroadcastNestedLoopJoin (bounded side is a single aggregate row)
+    for name in ["gopher_quality", "oov_rate", "dup_spans"]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert python_udf_count(df) == 0, name
+    assert python_udf_count(QUERIES["mixture_plan"](spark, sf_dir)) == 0
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir):
+    # the top-K vocabulary probe must be a map-side broadcast hash join —
+    # the corpus-sized token stream never shuffles for it
+    assert uses_broadcast_join(QUERIES["oov_rate"](spark, sf_dir))
+
+
+def test_gopher_quality_scan_stage_only(spark, sf_dir):
+    plan = formatted_plan(QUERIES["gopher_quality"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert python_udf_count(QUERIES["gopher_quality"](spark, sf_dir)) == 0

@@ -599,3 +599,79 @@ def ngram_contamination(
             F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contam_frac"),
         )
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplication marking (the detection half of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" — public method; span removal is a trivial follow-on filter):
+    for each doc, how many of its distinct word ``n``-grams appear in at
+    least one OTHER document, and the duplicated-span fraction.
+
+    Plan (suffix arrays don't distribute; posting lists do): explode each
+    doc to distinct n-grams ONCE; the posting aggregation keeps, per gram,
+    the distinct-doc count and the min/max doc id — a gram is cross-doc
+    duplicated iff ``n_docs >= 2``, and joining (min_id, max_id) back lets
+    each doc test "some OTHER doc has it" without a second corpus pass.
+    Two shuffles total, both on the gram key, both with map-side partials.
+    ``max_doc_freq`` drops over-hot grams (boilerplate) BEFORE the join,
+    the house pre-expansion hot-key cap — dropped grams still count in
+    ``n_spans`` but are reported in ``n_capped`` (no silent caps).
+
+    Docs with fewer than ``n`` tokens yield no grams and are absent,
+    matching the oracle.
+    """
+    from xena_gdc_etl_spark.operators.text import _tokens, word_ngrams
+
+    grams = _spread(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                word_ngrams(_tokens(F.lower(F.col(text_col))), n)
+            )
+        ).alias("gram"),
+    )
+    posting = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.min(id_col).alias("__min_id"),
+        F.max(id_col).alias("__max_id"),
+    )
+    dup = posting.filter(F.col("__n_docs") >= 2)
+    capped = F.lit(False)
+    if max_doc_freq is not None:
+        capped = F.col("__n_docs") > max_doc_freq
+        dup = dup.withColumn("__capped", capped)
+    else:
+        dup = dup.withColumn("__capped", capped)
+    joined = grams.join(dup, "gram", "left")
+    # "some OTHER doc has this gram": with n_docs >= 2 that is always true;
+    # the min/max carry makes the predicate explicit and null-safe.
+    is_dup = F.col("__n_docs").isNotNull() & ~F.col("__capped") & (
+        (F.col("__min_id") != F.col(id_col))
+        | (F.col("__max_id") != F.col(id_col))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(is_dup.cast("int")).alias("n_dup_spans"),
+            F.sum((F.col("__capped")).cast("int")).alias("n_capped"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.col("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+            F.coalesce(F.col("n_capped"), F.lit(0))
+            .cast("bigint")
+            .alias("n_capped"),
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )

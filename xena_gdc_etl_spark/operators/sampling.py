@@ -159,3 +159,52 @@ def sample_by_group(
             .otherwise(thresh)
         )
     return df.filter(bucket < thresh)
+
+
+def mixture_plan(
+    docs: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Per-source mixture plan toward a UNIFORM target: for each group,
+    its token share, the sampling rate that would downsample it to the
+    uniform share, the number of epochs (>1 = upsampling) capped at
+    ``max_epochs``, and the planned token budget — the data-mixing
+    arithmetic behind Pile-style corpus assembly (public method; epoch
+    caps per Gao et al. 2020).
+
+    Plan: one map-side-partial groupBy collapses the corpus to one row
+    per group; the grand total is a 1-row aggregate cross-joined back
+    (broadcast by construction). The corpus itself is scanned once and
+    never joined — at 100 TB the whole plan's shuffle traffic is
+    O(groups). Divisions happen after exact integer sums, so the floats
+    are IEEE-identical across engines; displayed ratios are rounded.
+    """
+    per_group = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(weight_col).cast("bigint").alias("group_tokens"),
+    )
+    totals = per_group.agg(
+        F.sum("group_tokens").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_groups"),
+    )
+    target = F.col("__total") / F.col("__n_groups")
+    ratio = target / F.col("group_tokens")
+    epochs = F.least(ratio, F.lit(float(max_epochs)))
+    return (
+        per_group.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(group_col),
+            "n_docs",
+            "group_tokens",
+            F.round(F.col("group_tokens") / F.col("__total"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.least(ratio, F.lit(1.0)), 6).alias("sample_rate"),
+            F.round(epochs, 6).alias("epochs"),
+            F.floor(F.col("group_tokens") * epochs)
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+    )

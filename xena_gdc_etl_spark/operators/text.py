@@ -540,3 +540,123 @@ def scrub_pii(
     return docs.select(
         F.col(id_col), *count_cols, scrubbed.alias("scrubbed_text")
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality rule profile (Rae et al. 2021, "Scaling
+    Language Models", App. A1.1 — public method): per-document metrics,
+    one boolean per rule, and the conjunctive ``keep`` decision. Unlike
+    :func:`quality_filter` (which drops failing rows), this keeps every
+    row so the rule-level rejection mix is inspectable — the shape used
+    to calibrate thresholds before committing to a filter.
+
+    Rules: word-count band, mean-word-length band, fraction of words
+    containing an alphabetic character, symbol-to-word ratio (``#`` and
+    ``...`` occurrences per word), and a minimum stopword-hit count.
+
+    Scale: all metrics are scan-stage Column expressions over one staged
+    token array (no explode, no shuffle, no Python) — a single pass at
+    100 TB. Flags compare UNROUNDED values (int/int division is
+    IEEE-identical across engines); displayed ratios are rounded.
+    """
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_n
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / safe_n
+    )
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    )
+    symbol_ratio = n_symbols / safe_n
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"]))
+    )
+    pass_words = (n_words >= min_words) & (n_words <= max_words)
+    pass_word_len = (mean_wlen >= min_mean_word_len) & (
+        mean_wlen <= max_mean_word_len
+    )
+    pass_alpha = alpha_frac >= min_alpha_word_frac
+    pass_symbol = symbol_ratio <= max_symbol_word_ratio
+    pass_stop = n_stop >= min_stop_hits
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        n_stop.cast("bigint").alias("n_stop_hits"),
+        pass_words.alias("pass_words"),
+        pass_word_len.alias("pass_word_len"),
+        pass_alpha.alias("pass_alpha"),
+        pass_symbol.alias("pass_symbol"),
+        pass_stop.alias("pass_stop"),
+        (pass_words & pass_word_len & pass_alpha & pass_symbol & pass_stop)
+        .alias("keep"),
+    )
+
+
+def oov_rates(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own top-K
+    tokens by term frequency (ties broken lexically for determinism) —
+    the coverage diagnostic run before fixing a tokenizer vocabulary.
+
+    Plan: one explode feeds BOTH the vocabulary aggregation and the
+    per-doc probe; the vocabulary (≤ ``vocab_size`` rows by construction)
+    broadcasts, so the probe join is map-side — the corpus-sized token
+    stream shuffles once (the per-doc groupBy), never for the join. Docs
+    with zero tokens produce no explode rows and are absent, matching the
+    oracle.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("__in_vocab")).alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -2565,6 +2565,170 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 59. Gopher quality-rule profile: per-doc metrics, one flag per rule, and
+#     the conjunctive keep decision (Rae et al. 2021 App. A1.1 — public
+#     method). Non-filtering twin of quality_filter so the rule-level
+#     rejection mix is inspectable. Scan-stage Column math, zero shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "gopher_quality",
+    r"""
+    WITH w AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS words
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                   / greatest(len(words), 1) AS mean_wlen,
+               len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(words), 1) AS alpha_frac,
+               (len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\.\.\.')))
+                   / greatest(len(words), 1) AS symbol_ratio,
+               len(list_filter(words, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'],
+                   lower(x)))) AS n_stop
+        FROM w)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wlen, 6) AS mean_word_len,
+           round(alpha_frac, 6) AS alpha_word_frac,
+           round(symbol_ratio, 6) AS symbol_word_ratio,
+           CAST(n_stop AS BIGINT) AS n_stop_hits,
+           n_words >= 50 AND n_words <= 100000 AS pass_words,
+           mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS pass_word_len,
+           alpha_frac >= 0.8 AS pass_alpha,
+           symbol_ratio <= 0.1 AS pass_symbol,
+           n_stop >= 2 AS pass_stop,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+             AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+             AND n_stop >= 2 AS keep
+    FROM m
+    """,
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import gopher_rules
+
+    return gopher_rules(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
+# 60. Out-of-vocabulary rate vs the corpus's own top-100 tokens — the
+#     tokenizer-coverage diagnostic. The vocabulary (≤100 rows by
+#     construction) broadcasts; the token stream shuffles once (per-doc
+#     groupBy), never for the probe join.
+# --------------------------------------------------------------------------
+@query(
+    "oov_rate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    vocab AS (
+        SELECT tok FROM toks GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 100),
+    j AS (
+        SELECT t.doc_id, v.tok AS vtok
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) - count(vtok) AS BIGINT) AS n_oov,
+           round((count(*) - count(vtok)) / count(*), 6) AS oov_rate
+    FROM j GROUP BY doc_id
+    """,
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import oov_rates
+
+    return oov_rates(Catalog(spark, sf_dir).documents, vocab_size=100)
+
+
+# --------------------------------------------------------------------------
+# 61. Mixture plan toward a uniform source target: token share, sampling
+#     rate, epoch count (capped), planned token budget per source — the
+#     Pile-style data-mixing arithmetic (Gao et al. 2020 — public method).
+#     Corpus scanned once; shuffle traffic is O(sources).
+# --------------------------------------------------------------------------
+@query(
+    "mixture_plan",
+    r"""
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                               x -> x <> '')) AS n_toks
+        FROM documents),
+    g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS group_tokens
+        FROM t GROUP BY source),
+    tot AS (
+        SELECT CAST(sum(group_tokens) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM g)
+    SELECT source, n_docs, group_tokens,
+           round(group_tokens / total, 6) AS token_share,
+           round(least((total / n_groups) / group_tokens, 1.0), 6) AS sample_rate,
+           round(least((total / n_groups) / group_tokens, 4.0), 6) AS epochs,
+           CAST(floor(group_tokens * least((total / n_groups) / group_tokens, 4.0))
+                AS BIGINT) AS planned_tokens
+    FROM g CROSS JOIN tot
+    """,
+)
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.sampling import mixture_plan
+    from xena_gdc_etl_spark.operators.text import _tokens
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return mixture_plan(docs, "source", "n_tokens", max_epochs=4.0)
+
+
+# --------------------------------------------------------------------------
+# 62. Exact-substring duplication marking (Lee et al. 2022 — the posting-
+#     list form that distributes where suffix arrays don't): per doc, the
+#     count and fraction of its distinct word 8-grams that appear in at
+#     least one other document. Two gram-key shuffles, map-side partials.
+# --------------------------------------------------------------------------
+@query(
+    "dup_spans",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                           x -> x <> '') AS words
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(words) - 6),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                     || words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' '
+                     || words[i+6] || ' ' || words[i+7]))) AS gram
+        FROM w),
+    p AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+    j AS (SELECT g.doc_id, p.n_docs FROM g JOIN p USING (gram))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(0 AS BIGINT) AS n_capped,
+           round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+               AS dup_span_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(Catalog(spark, sf_dir).documents, n=8)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the first 50
 # entries of ``queries()`` in dict order, which up to round 2 was decorator
 # order — so the last-registered 11 queries never received a driver oracle
@@ -2604,6 +2768,10 @@ _PROMOTED = [
     "pq_adc_score",
     "logreg_score",
     "rolling_avg_sharded",
+    "gopher_quality",
+    "oov_rate",
+    "mixture_plan",
+    "dup_spans",
     # queries whose PLAN changed this round (value-derived prefix shards;
     # shared IVF assignment cache) — fresh driver rows must land in r05
     "quality_buckets",
