@@ -275,3 +275,31 @@ def test_gopher_quality_scan_stage_only(spark, sf_dir):
     plan = formatted_plan(QUERIES["gopher_quality"](spark, sf_dir))
     assert "Exchange" not in plan
     assert python_udf_count(QUERIES["gopher_quality"](spark, sf_dir)) == 0
+
+
+def test_winnow_and_chunks_zero_shuffle(spark, sf_dir):
+    # both are pure Column programs over one scan: no Exchange anywhere,
+    # no Python, so they run at scan speed at any scale
+    for name in ["winnow_fingerprint", "chunk_documents"]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, name
+        assert python_udf_count(df) == 0, name
+
+
+def test_vocab_overlap_broadcasts_after_rank(spark, sf_dir):
+    # everything downstream of the top-k rank filter is broadcast-sized;
+    # the pair and domain joins must not shuffle the corpus again
+    df = QUERIES["vocab_overlap"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+    assert python_udf_count(df) == 0
+
+
+def test_heavy_hitters_partial_topk(spark, sf_dir):
+    # orderBy().limit(k) must plan as TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a global Sort
+    df = QUERIES["heavy_hitters"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert python_udf_count(df) == 0

@@ -43,3 +43,29 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn(_SALT, F.col(_SALT).cast("bigint"))
     return salted_big.join(salted_small, [*on, _SALT], how).drop(_SALT)
+
+
+def heavy_hitters(
+    df: DataFrame, key_cols: Sequence[str], k: int = 20
+) -> DataFrame:
+    """Exact top-``k`` heaviest keys with their share of total rows — the
+    skew PROFILE that decides whether :func:`salted_join` (or a
+    ``max_group_size`` cap) is needed before a key becomes a hot
+    partition. Run it on a join/groupBy key before shipping the job.
+
+    Scale shape: one map-side-partial groupBy collapses the table to one
+    row per distinct key; the top-k is ``orderBy().limit(k)``, which Spark
+    plans as TakeOrderedAndProject — per-partition top-k heaps merged on
+    the driver, NO global sort shuffle; the denominator is a 1-row
+    aggregate broadcast-joined on. Ties at rank ``k`` break by key
+    ascending (deterministic, oracle-mirrored).
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    topk = counts.orderBy(F.col("cnt").desc(), *key_cols).limit(k)
+    return topk.join(F.broadcast(total)).select(
+        *key_cols,
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+    )

@@ -660,3 +660,253 @@ def oov_rates(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+# Winnowing constants: gram fold and digest fold use distinct small bases so
+# the three folds (char→token, token→gram, fingerprint→digest) never alias.
+# All arithmetic stays < MOD*BASE + MOD ≈ 1.4e11 — far inside bigint.
+WINNOW_GRAM_BASE = 131
+WINNOW_DIGEST_BASE = 137
+
+
+def _char_fold(tok: Column) -> Column:
+    """Polynomial char fold of one token — the same fold as
+    :func:`fingerprints` so the oracle mirror is shared."""
+    return F.aggregate(
+        F.filter(F.split(tok, ""), lambda c: c != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    fingerprint selector; public method).
+
+    Per document: hash every word ``k``-gram (polynomial fold over the
+    tokens' char folds), slide a window of ``w`` consecutive gram hashes,
+    select each window's minimum, and keep the distinct selected hashes.
+    Winnowing guarantees any shared substring of ≥ ``k+w-1`` tokens yields
+    at least one shared fingerprint, while storing ~``2/(w+1)`` of the
+    grams — the density/recall trade plagiarism and near-dup detectors use.
+
+    Shape note (the reference's closest feature is the whole-document
+    rolling hash, ``fingerprints`` above — winnowing is its
+    substring-robust big sibling): everything here is a scan-stage Column
+    program — tokenize, two nested higher-order folds, a sliding
+    ``array_min`` — so the operator is embarrassingly parallel with ZERO
+    shuffles; at 100 TB it runs at scan speed and the output (one row per
+    doc) feeds the usual hash-join dedup machinery.
+
+    Fewer than ``k`` tokens → no grams → empty fingerprint set (digest 0,
+    ``min_fp`` null); fewer than ``w`` grams → the single global minimum
+    (the standard boundary convention, mirrored in the oracle).
+
+    Evaluation-shape constraint (why the sliding min is a zip_with chain
+    and not ``transform(sequence(...), j -> array_min(slice(grams, j, w)))``):
+    a free-variable ARRAY EXPRESSION inside a higher-order-function lambda
+    is re-evaluated once per element, so the nested form evaluates the
+    whole O(m·k) gram pipeline g more times — O(m²k) per document, a
+    ~100× slowdown measured at 500 tiny docs. In the chain form every
+    intermediate array is only ever the direct INPUT of the next
+    ``zip_with``/``slice``, each evaluated once per row; duplication is
+    bounded by the small constants k and w.
+    """
+    empty = F.array().cast("array<bigint>")
+
+    def shifted_fold(base: Column, length: Column, n: int,
+                     fold_base: int) -> Column:
+        """acc over n consecutive elements: chain of n-1 zip_withs, each
+        input an explicit slice — no free arrays inside any lambda."""
+        acc = F.slice(base, 1, length - (n - 1))
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(base, j + 1, length - (n - 1)),
+                lambda a, b: (a * fold_base + b) % FINGERPRINT_MOD,
+            )
+        return acc
+
+    toks = _tokens(F.lower(F.col(text_col)))
+    staged = docs.select(
+        F.col(id_col), F.transform(toks, _char_fold).alias("__th")
+    )
+    th, m = F.col("__th"), F.size(F.col("__th"))
+    grams = F.when(
+        m >= k, shifted_fold(th, m, k, WINNOW_GRAM_BASE)
+    ).otherwise(empty)
+    staged = staged.select(F.col(id_col), grams.alias("__g"))
+    gr, g = F.col("__g"), F.size(F.col("__g"))
+    # sliding window-min of width w via a min-chain (same shape: every
+    # input is an explicit slice of the materialized gram column)
+    mn = F.slice(gr, 1, g - (w - 1))
+    for j in range(1, w):
+        mn = F.zip_with(
+            mn, F.slice(gr, j + 1, g - (w - 1)), lambda a, b: F.least(a, b)
+        )
+    mins = (
+        F.when(g >= w, mn)
+        .when(g > 0, F.array(F.array_min(gr)))
+        .otherwise(empty)
+    )
+    staged = staged.select(
+        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("__fps")
+    )
+    fps = F.col("__fps")
+    digest = F.aggregate(
+        fps,
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * WINNOW_DIGEST_BASE + x) % FINGERPRINT_MOD,
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+        F.get(fps, 0).alias("min_fp"),
+        digest.alias("fp_digest"),
+    )
+
+
+def token_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token windowing with overlap — the "split long documents
+    into training samples" step of an LLM data pipeline (stride < size
+    gives the overlapping-context form; stride == size gives disjoint
+    chunks).
+
+    Chunk ``j`` (1-based) covers tokens ``[(j-1)*stride + 1,
+    (j-1)*stride + chunk_size]``; the last chunk may be short; the chunk
+    count ``1 + ceil(max(m - chunk_size, 0) / stride)`` is the smallest
+    that covers every token. Zero-token docs emit nothing.
+
+    Scale shape: one generate-explode per document — a narrow,
+    shuffle-free cardinality expansion that AQE splits across tasks at
+    scan granularity, never keyed by anything hot. The per-chunk content
+    hash (char fold → token fold, same constants as the winnowing family)
+    lets downstream exact-dedup run on chunks without re-reading text.
+    """
+    toks = _tokens(F.col(text_col))
+    m = F.size(toks)
+    n_chunks = F.when(m <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.lit(1)
+        + F.ceil((F.greatest(m - chunk_size, F.lit(0))) / F.lit(stride)).cast(
+            "bigint"
+        )
+    )
+    starts = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks.cast("int")),
+            lambda j: (j - 1) * stride + 1,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
+        F.col(id_col),
+        F.transform(toks, _char_fold).alias("__tok_h"),
+        F.posexplode(starts).alias("__pos", "start_tok"),
+    )
+    chunk = F.slice(F.col("__tok_h"), F.col("start_tok"), chunk_size)
+    chunk_hash = F.aggregate(
+        chunk,
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * WINNOW_GRAM_BASE + x) % FINGERPRINT_MOD,
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__pos") + 1).cast("bigint").alias("chunk_id"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        chunk_hash.alias("chunk_hash"),
+    )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab_k: int = 100,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard similarity of
+    each source's top-``vocab_k`` tokens by term frequency (deterministic
+    tf-desc, token-asc tiebreak) — the quick "are these two crawls the
+    same distribution?" diagnostic used when planning training mixtures.
+
+    Scale shape: the corpus is tokenized ONCE into per-(source, token)
+    counts; the per-source top-k uses the house two-stage sharded top-k
+    (hash-shard each source's vocab, local rank within (source, shard),
+    final rank over the ≤ shards×k survivors), so a source owning half
+    the corpus's vocabulary never funnels through one window task.
+    Everything after the rank filter is ≤ ``vocab_k × n_sources`` rows —
+    broadcast territory — and the pair frame is the n_sources² cross of a
+    tiny aggregate, so no operator downstream of the rank touches
+    corpus-scale data.
+    """
+    from pyspark.sql import Window
+
+    n_shards = 64
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    toks = spread.select(
+        F.col(source_col).alias("source"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    order = [F.col("tf").desc(), F.col("tok").asc()]
+    local_w = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("tok"), F.lit(n_shards))
+    ).orderBy(*order)
+    survivors = (
+        tf.withColumn("__lrnk", F.row_number().over(local_w))
+        .filter(F.col("__lrnk") <= vocab_k)
+        .drop("__lrnk")
+    )
+    final_w = Window.partitionBy("source").orderBy(*order)
+    top = (
+        survivors.withColumn("__rank", F.row_number().over(final_w))
+        .filter(F.col("__rank") <= vocab_k)
+        .select("source", "tok")
+    )
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = top.alias("a"), top.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    domain = sa.join(
+        F.broadcast(sb), F.col("sa.source") < F.col("sb.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.col("sa.__n").alias("__na"),
+        F.col("sb.__n").alias("__nb"),
+    )
+    common = F.coalesce(F.col("__common"), F.lit(0))
+    return (
+        domain.join(F.broadcast(pairs), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            common.cast("bigint").alias("n_common"),
+            F.round(
+                common / (F.col("__na") + F.col("__nb") - common), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -2729,6 +2729,180 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 63. Winnowing fingerprints (Schleimer 2003, the MOSS selector): k-gram
+#     hashes → sliding window-min → distinct selected prints. Pure Column
+#     program — zero shuffles, runs at scan speed at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "winnow_fingerprint",
+    r"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                               t -> t <> ''),
+                   t -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_transform(
+                                    list_filter(string_split(t, ''), c -> c <> ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                            (a, b) -> (a * 31 + b) % 1000000007)) AS h
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= 5 THEN
+                   list_transform(range(1, len(h) - 5 + 2),
+                       i -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT), h[i:i+4]),
+                                (a, b) -> (a * 131 + b) % 1000000007))
+               ELSE CAST([] AS BIGINT[]) END AS gh
+        FROM th),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN len(gh) >= 4 THEN
+                        list_sort(list_distinct(
+                            list_transform(range(1, len(gh) - 4 + 2),
+                                           j -> list_min(gh[j:j+3]))))
+                    WHEN len(gh) > 0 THEN [list_min(gh)]
+                    ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM g)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           fps[1] AS min_fp,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                       (a, b) -> (a * 137 + b) % 1000000007) AS fp_digest
+    FROM m
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(Catalog(spark, sf_dir).documents, k=5, w=4)
+
+
+# --------------------------------------------------------------------------
+# 64. Token chunking with overlap: split docs into fixed-size training
+#     windows (size 64, stride 48) with a per-chunk content hash. One
+#     generate-explode, shuffle-free.
+# --------------------------------------------------------------------------
+@query(
+    "chunk_documents",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                               x -> x <> ''),
+                   tk -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_transform(
+                                    list_filter(string_split(tk, ''), c -> c <> ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                            (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        FROM documents),
+    n AS (
+        SELECT doc_id, th,
+               CASE WHEN len(th) <= 0 THEN 0
+                    ELSE 1 + CAST(ceil(greatest(len(th) - 64, 0) / 48.0) AS BIGINT)
+               END AS n_chunks
+        FROM t),
+    e AS (
+        SELECT doc_id, th,
+               unnest(range(1, n_chunks + 1)) AS chunk_id
+        FROM n),
+    c AS (
+        SELECT doc_id, chunk_id,
+               (chunk_id - 1) * 48 + 1 AS start_tok,
+               th[((chunk_id - 1) * 48 + 1):((chunk_id - 1) * 48 + 64)] AS ch
+        FROM e)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(ch) AS BIGINT) AS chunk_len,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), ch),
+                       (a, b) -> (a * 131 + b) % 1000000007) AS chunk_hash
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import token_chunks
+
+    return token_chunks(
+        Catalog(spark, sf_dir).documents, chunk_size=64, stride=48
+    )
+
+
+# --------------------------------------------------------------------------
+# 65. Source vocabulary overlap: pairwise Jaccard of each source's top-100
+#     tokens — the "are these two crawls the same distribution?" mixture-
+#     planning diagnostic. Sharded per-source rank; everything after the
+#     rank filter is broadcast-sized.
+# --------------------------------------------------------------------------
+@query(
+    "vocab_overlap",
+    r"""
+    WITH tf AS (
+        SELECT source, tok, count(*) AS tf
+        FROM (SELECT source,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '')) AS tok
+              FROM documents)
+        GROUP BY source, tok),
+    top AS (
+        SELECT source, tok FROM (
+            SELECT source, tok,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY tf DESC, tok) AS r
+            FROM tf)
+        WHERE r <= 100),
+    sz AS (SELECT source, count(*) AS n FROM top GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT sa.source AS source_a,
+           sb.source AS source_b,
+           CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+           round(COALESCE(p.n_common, 0)
+                 / (sa.n + sb.n - COALESCE(p.n_common, 0)), 6) AS jaccard
+    FROM sz sa
+    JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN pairs p ON p.source_a = sa.source AND p.source_b = sb.source
+    """,
+)
+def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import source_vocab_overlap
+
+    return source_vocab_overlap(
+        Catalog(spark, sf_dir).documents, vocab_k=100
+    )
+
+
+# --------------------------------------------------------------------------
+# 66. Heavy-hitter key profile: exact top-20 user_ids by event count with
+#     share of total — the skew diagnostic run on a join/groupBy key before
+#     shipping the job (pairs with operators/skew.py salted_join). Top-k is
+#     TakeOrderedAndProject (per-partition heaps, no global sort shuffle).
+# --------------------------------------------------------------------------
+@query(
+    "heavy_hitters",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    t AS (SELECT sum(cnt) AS total FROM c)
+    SELECT user_id, CAST(cnt AS BIGINT) AS cnt, round(cnt / total, 6) AS share
+    FROM c, t
+    ORDER BY cnt DESC, user_id
+    LIMIT 20
+    """,
+)
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.skew import heavy_hitters
+
+    return heavy_hitters(Catalog(spark, sf_dir).events, ["user_id"], k=20)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the first 50
 # entries of ``queries()`` in dict order, which up to round 2 was decorator
 # order — so the last-registered 11 queries never received a driver oracle
@@ -2779,6 +2953,12 @@ _PROMOTED = [
     "pack_stats",
     "embed_cosine_dup",
     "semantic_dedup",
+    # round-5 additions, second batch: winnowing, chunking, vocab overlap,
+    # heavy-hitter profile — first driver rows land now
+    "winnow_fingerprint",
+    "chunk_documents",
+    "vocab_overlap",
+    "heavy_hitters",
 ]
 
 
