@@ -333,3 +333,22 @@ def test_heavy_hitters_share_and_ties(spark):
     out = heavy_hitters(df, ["user_id"], k=2).collect()
     assert [(r.user_id, r.cnt) for r in out] == [(1, 5), (2, 3)]  # tie → 2<3
     assert out[0].share == round(5 / 12, 6)
+
+
+def test_quantile_band_filter_boundaries(spark):
+    """Discrete quantile convention: boundary = smallest value whose
+    cumulative count reaches ceil(p*n); values ON the boundary are kept;
+    a single-value group keeps everything."""
+    from xena_gdc_etl_spark.operators.sampling import quantile_band_filter
+
+    rows = [(i, "a", v) for i, v in enumerate([10] + list(range(1, 100)))]
+    rows += [(200 + j, "b", 7) for j in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = quantile_band_filter(df, "n_chars", ["source"], 0.05, 0.95).collect()
+    a = sorted(r.n_chars for r in out if r.source == "a")
+    # group a: 100 values sorted = 1..9,10,10,11..99 → ceil(.05*100)=5th
+    # value = 5; ceil(.95*100)=95th value = 94
+    assert a[0] == 5 and a[-1] == 94
+    assert all(r.lo == 5 and r.hi == 94 for r in out if r.source == "a")
+    b = [r for r in out if r.source == "b"]
+    assert len(b) == 5 and b[0].lo == 7 and b[0].hi == 7

@@ -303,3 +303,11 @@ def test_heavy_hitters_partial_topk(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert python_udf_count(df) == 0
+
+
+def test_length_band_filter_broadcasts_bounds(spark, sf_dir):
+    # boundary frame (one row per source) must broadcast; the corpus side
+    # must not shuffle for the join
+    df = QUERIES["length_band_filter"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert python_udf_count(df) == 0

@@ -208,3 +208,50 @@ def mixture_plan(
             .alias("planned_tokens"),
         )
     )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose value lies inside their group's discrete
+    [``lo_p``, ``hi_p``] quantile band — length-outlier removal, the
+    standard "drop truncated fragments and mega-concatenations" gate a
+    training-data pipeline runs per source before quality scoring.
+
+    Quantile convention (discrete, engine-portable): the p-quantile of a
+    group of n rows is the smallest value whose cumulative count reaches
+    ``ceil(p·n)`` — no interpolation, so integer values stay integers and
+    any engine reproduces the boundary exactly.
+
+    Scale shape: boundaries come from a per-(group, value) HISTOGRAM —
+    one map-side-partial groupBy — so the cumulative window runs over
+    DISTINCT VALUES per group (bounded by the value domain, e.g. document
+    lengths, never by row count; a source with 10^10 docs of 40k distinct
+    lengths contributes 40k histogram rows). The boundary frame is one
+    row per group and broadcasts back onto the corpus: one shuffle of the
+    histogram, zero shuffles of the data itself.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    hist = df.groupBy(*group_cols, v).agg(F.count(F.lit(1)).alias("__c"))
+    cum_w = Window.partitionBy(*group_cols).orderBy(value_col)
+    tot_w = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("__cum", F.sum("__c").over(cum_w)).withColumn(
+        "__n", F.sum("__c").over(tot_w)
+    )
+    bounds = cum.groupBy(*group_cols).agg(
+        F.min(
+            F.when(F.col("__cum") >= F.ceil(F.lit(lo_p) * F.col("__n")), v)
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("__cum") >= F.ceil(F.lit(hi_p) * F.col("__n")), v)
+        ).alias("hi"),
+    )
+    return df.join(F.broadcast(bounds), list(group_cols)).filter(
+        v.between(F.col("lo"), F.col("hi"))
+    )
