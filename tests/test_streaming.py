@@ -228,3 +228,35 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_heavy_hitters_matches_batch_counts(
+    spark, events_stream_dir
+):
+    """The watermarked windowed counts equal the batch groupBy on a
+    bounded replay, and the downstream per-window top-k cut equals the
+    batch heavy-hitter ranking."""
+    from xena_gdc_etl_spark.streaming import streaming_heavy_hitters
+
+    batch = Catalog(spark, "/root/testdata/sf0.001").events
+    expected = sorted(
+        tuple(r)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "user_id", "cnt")
+        .collect()
+    )
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    got = _run_stream(spark, streaming_heavy_hitters(stream))
+    assert sorted(tuple(r) for r in got.collect()) == expected
+    # downstream rank cut (per finalized window) matches batch top-k
+    top = (
+        got.orderBy(F.col("cnt").desc(), "user_id", "ws")
+        .limit(5)
+        .collect()
+    )
+    exp_top = sorted(expected, key=lambda t: (-t[2], t[1], t[0]))[:5]
+    assert [(r.ws, r.user_id, r.cnt) for r in top] == exp_top

@@ -185,3 +185,37 @@ def streaming_incremental_dedup(
     return hashed.join(index, "__h", "left").select(
         F.col(id_col), F.col("dup_of")
     )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 20,
+) -> DataFrame:
+    """Streaming twin of the ``heavy_hitters`` skew profile: per
+    tumbling window, exact per-key counts with watermark-bounded state;
+    the top-``k`` cut runs per FINALIZED window downstream (the returned
+    frame is (window_start, key, cnt) in append mode — a foreachBatch
+    consumer applies the same ``orderBy().limit(k)`` TakeOrdered cut the
+    batch operator uses, or the complete-mode memory sink ranks on
+    read). Keeping the rank cut out of the stateful plan is deliberate:
+    Structured Streaming cannot incrementally maintain a global sort, so
+    the stream carries only the windowed aggregate (state drops when the
+    watermark passes a window's end) and the tiny per-window rank runs
+    as a batch operation on each emitted window — the same two-tier
+    shape the batch operator uses at 100 TB, with the corpus-sized work
+    in the watermarked aggregate.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col(key_col),
+            F.col("cnt"),
+        )
+    )
