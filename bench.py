@@ -90,6 +90,7 @@ def main() -> None:
     # first used to absorb the whole build cost — making per-query numbers
     # incomparable across rounds (the attribution drift flagged in round 2).
     from xena_gdc_etl_spark.workload import (
+        _shared_dup_pairs,
         _shared_ivf_assigned,
         _shared_signatures,
     )
@@ -103,6 +104,11 @@ def main() -> None:
     start = time.perf_counter()
     _shared_ivf_assigned(spark, SF_DIR).count()
     timings["shared_ivf_warm"] = round(time.perf_counter() - start, 4)
+    # ...and the τ-pair frame both embed_cosine_dup and semantic_dedup
+    # read (embed_cosine_dup IS this frame; semantic_dedup clusters it).
+    start = time.perf_counter()
+    _shared_dup_pairs(spark, SF_DIR).count()
+    timings["shared_pairs_warm"] = round(time.perf_counter() - start, 4)
 
     def consume(df) -> int:
         """Full-row consumer: xxhash64 over EVERY column, folded to one

@@ -472,6 +472,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): vectors
     whose embeddings are near-identical (cosine ≥ τ within an IVF cell)
@@ -489,15 +490,21 @@ def semantic_dedup(
     labels, not a per-cluster window.
 
     Returns (id, cluster_id, keep ∈ {0,1}); singletons keep themselves.
+
+    ``pairs`` injects an already-materialized τ-pair frame (e.g. the
+    session-scoped shared cache in workload.py) so dedup variants that
+    share candidate generation don't recompute it; when omitted the pairs
+    are computed here.
     """
     from xena_gdc_etl_spark.operators.dedup import (
         connected_components_bipartite,
     )
 
-    pairs = cosine_dup_pairs(
-        assigned, id_col=id_col, vec_col=vec_col,
-        centroid_id=centroid_id, threshold=threshold,
-    )
+    if pairs is None:
+        pairs = cosine_dup_pairs(
+            assigned, id_col=id_col, vec_col=vec_col,
+            centroid_id=centroid_id, threshold=threshold,
+        )
     bkey = F.concat_ws("_", F.col("a"), F.col("b")).alias("bkey")
     edges = pairs.select(F.col("a").alias(id_col), bkey).unionByName(
         pairs.select(F.col("b").alias(id_col), bkey)

@@ -93,6 +93,33 @@ def _shared_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+# One more tier of the same pattern: embed_cosine_dup IS the τ-pair frame
+# and semantic_dedup clusters it — in a deployment the pair table is
+# materialized once and both the dup report and the cluster pass read it.
+# τ is part of the cache key so a different-threshold caller never gets a
+# stale frame.
+_PAIRS_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple[str, float, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    entry = _PAIRS_CACHE.get(spark)
+    if entry is not None:
+        if entry[0] == sf_dir and entry[1] == threshold:
+            return entry[2]
+        entry[2].unpersist()
+    pairs = sim.cosine_dup_pairs(
+        _shared_ivf_assigned(spark, sf_dir), threshold=threshold
+    ).persist()
+    _PAIRS_CACHE[spark] = (sf_dir, threshold, pairs)
+    return pairs
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -1137,10 +1164,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xena_gdc_etl_spark.operators import similarity as sim
-
-    assigned = _shared_ivf_assigned(spark, sf_dir)
-    return sim.cosine_dup_pairs(assigned, threshold=0.3)
+    return _shared_dup_pairs(spark, sf_dir, threshold=0.3)
 
 
 # --------------------------------------------------------------------------
@@ -1181,7 +1205,11 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import similarity as sim
 
     assigned = _shared_ivf_assigned(spark, sf_dir)
-    return sim.semantic_dedup(assigned, threshold=0.3)
+    return sim.semantic_dedup(
+        assigned,
+        threshold=0.3,
+        pairs=_shared_dup_pairs(spark, sf_dir, threshold=0.3),
+    )
 
 
 # --------------------------------------------------------------------------
