@@ -885,10 +885,15 @@ def source_vocab_overlap(
         .drop("__lrnk")
     )
     final_w = Window.partitionBy("source").orderBy(*order)
+    # The top frame is tiny (≤ vocab_k × n_sources rows) but feeds THREE
+    # consumers (pair join both sides + sizes); materialize it so the
+    # corpus-scale tokenize/count pipeline above runs once, not three
+    # times.
     top = (
         survivors.withColumn("__rank", F.row_number().over(final_w))
         .filter(F.col("__rank") <= vocab_k)
         .select("source", "tok")
+        .localCheckpoint(eager=True)
     )
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
     a, b = top.alias("a"), top.alias("b")
