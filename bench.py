@@ -92,12 +92,17 @@ def main() -> None:
     from xena_gdc_etl_spark.workload import (
         _shared_dup_pairs,
         _shared_ivf_assigned,
+        _shared_lsh_pairs,
         _shared_signatures,
     )
 
     start = time.perf_counter()
     _shared_signatures(spark, SF_DIR).count()
     timings["shared_signatures_warm"] = round(time.perf_counter() - start, 4)
+    # ...and the LSH candidate-pair expansion three queries read off it.
+    start = time.perf_counter()
+    _shared_lsh_pairs(spark, SF_DIR).count()
+    timings["shared_lsh_pairs_warm"] = round(time.perf_counter() - start, 4)
     # Same attribution story for the embedding family (ann_ivf,
     # embed_cosine_dup, semantic_dedup): the shared IVF assignment is
     # materialized once per session; report its build as its own line.

@@ -352,3 +352,28 @@ def test_quantile_band_filter_boundaries(spark):
     assert all(r.lo == 5 and r.hi == 94 for r in out if r.source == "a")
     b = [r for r in out if r.source == "b"]
     assert len(b) == 5 and b[0].lo == 7 and b[0].hi == 7
+
+
+def test_containment_pairs_quote_detection(spark):
+    """A short doc fully embedded in a long one has containment_a = 1.0
+    while Jaccard (n_common / (n_a + n_b - n_common)) stays low — the
+    case a Jaccard-gated dedup pass misses; a band-only collision pair
+    keeps a 0-count row."""
+    from xena_gdc_etl_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = ("padding sentence one here. " * 5) + quote + (
+        " trailing filler text goes on and on." * 5
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "zz completely unrelated zz")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {(r.a, r.b): r for r in containment_pairs(docs, cands, k=5).collect()}
+    emb = out[(1, 2)]
+    assert emb.containment_a == 1.0          # every shingle of the quote
+    assert emb.n_common == emb.n_a < emb.n_b
+    jaccard = emb.n_common / (emb.n_a + emb.n_b - emb.n_common)
+    assert jaccard < 0.5                     # Jaccard would miss it
+    assert out[(1, 3)].n_common == 0 and out[(1, 3)].containment_a == 0.0

@@ -675,3 +675,61 @@ def dup_span_stats(
             ),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact shingle containment for candidate pairs (Broder 1997, "On
+    the resemblance and containment of documents" — public method):
+    ``C(A,B) = |S(A) ∩ S(B)| / |S(A)|``. Containment is the quote /
+    doc-inside-doc detector: a short document fully embedded in a long
+    one scores near 1.0 here while its Jaccard stays low, so a
+    Jaccard-gated dedup pass never sees it.
+
+    ``candidates`` is the (a, b) pair frame (a < b), typically LSH
+    candidates — containment is only ever computed per candidate pair,
+    never all-pairs. Plan: distinct shingles once; the intersection count
+    is two hash joins (pair→a-side shingles keyed on id, then on
+    (b, shingle)) followed by a map-side-partial pair groupBy; sizes are
+    one row per doc joined back on each end. Shuffles stay keyed by doc
+    id / (id, shingle) — bounded fan-out per pair (the shorter doc's
+    shingle count), no quadratic anything. Candidate pairs that share a
+    band but no shingle keep a 0-count row (left join + coalesce).
+    """
+    # Three consumers read the distinct-shingle frame (sizes + both join
+    # sides); materialize it once — lazily, so construction stays
+    # job-free — instead of re-running the corpus explode+distinct per
+    # consumer. The distinct already shuffles the frame, so the
+    # checkpoint adds storage, not a new corpus pass.
+    sh = shingles(docs, id_col, text_col, k=k, distinct=True).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        candidates.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    common = F.coalesce(F.col("__common"), F.lit(0))
+    return (
+        candidates.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("__n").alias("__na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("__n").alias("__nb")), "b")
+        .select(
+            "a",
+            "b",
+            common.cast("bigint").alias("n_common"),
+            F.col("__na").cast("bigint").alias("n_a"),
+            F.col("__nb").cast("bigint").alias("n_b"),
+            F.round(common / F.col("__na"), 6).alias("containment_a"),
+            F.round(common / F.col("__nb"), 6).alias("containment_b"),
+        )
+    )

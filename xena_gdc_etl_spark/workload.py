@@ -120,6 +120,32 @@ def _shared_dup_pairs(
     return pairs
 
 
+# The LSH candidate-pair expansion off the shared signature table is read
+# by three queries (the pair report, the Jaccard estimator gate, and
+# containment scoring) — the expansion is the expensive half of each, so
+# it gets the same session-scoped cache tier. ~2 bigints per pair; the
+# frame persists comfortably even at web-scale candidate counts because
+# the pre-expansion bucket cap bounds it.
+_LSH_PAIRS_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple[str, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    entry = _LSH_PAIRS_CACHE.get(spark)
+    if entry is not None:
+        if entry[0] == sf_dir:
+            return entry[1]
+        entry[1].unpersist()
+    pairs = dd.lsh_candidate_pairs(
+        _shared_signatures(spark, sf_dir), num_hashes=8, band_size=2
+    ).persist()
+    _LSH_PAIRS_CACHE[spark] = (sf_dir, pairs)
+    return pairs
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -695,10 +721,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xena_gdc_etl_spark.operators import dedup as dd
-
-    sig = _shared_signatures(spark, sf_dir)
-    return dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+    return _shared_lsh_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -852,7 +875,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sig feeds three consumers here (the bucket derivation and both sides
     # of the signature join) — the shared persisted table covers all of them.
     sig = _shared_signatures(spark, sf_dir)
-    pairs = dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+    pairs = _shared_lsh_pairs(spark, sf_dir)
     return dd.minhash_jaccard_estimate(pairs, sig, num_hashes=8, threshold=0.75)
 
 
@@ -2970,6 +2993,63 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 68. Exact shingle containment over the LSH candidate pairs (Broder 1997):
+#     the doc-inside-doc detector — a quote embedded in a long doc scores
+#     containment ≈ 1 where Jaccard stays low. Per-candidate only, never
+#     all-pairs; two id-keyed hash joins + a pair groupBy.
+# --------------------------------------------------------------------------
+@query(
+    "containment_pairs",
+    f"""
+    WITH sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig),
+    pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id),
+    prs AS (SELECT a, b FROM pr WHERE (a + b) % 50 = 0),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    it AS (
+        SELECT p.a, p.b, count(*) AS n_common
+        FROM prs p
+        JOIN dsh x ON x.doc_id = p.a
+        JOIN dsh y ON y.doc_id = p.b AND y.shingle = x.shingle
+        GROUP BY p.a, p.b)
+    SELECT p.a, p.b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(COALESCE(i.n_common, 0) / sa.n, 6) AS containment_a,
+           round(COALESCE(i.n_common, 0) / sb.n, 6) AS containment_b
+    FROM prs p
+    LEFT JOIN it i ON i.a = p.a AND i.b = p.b
+    JOIN sz sa ON sa.doc_id = p.a
+    JOIN sz sb ON sb.doc_id = p.b
+    """,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    cands = _shared_lsh_pairs(spark, sf_dir)
+    # Query-vs-output discipline (SURVEY §6): the candidate set is what
+    # explodes here (~1.4M pairs × per-pair shingle fan-out at sf0.1), so
+    # bound it in the QUERY with a deterministic key-sample — the operator
+    # itself stays per-candidate-exact for callers that want all pairs.
+    cands = cands.filter((F.col("a") + F.col("b")) % 50 == 0)
+    return dd.containment_pairs(docs, cands, k=5)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the first 50
 # entries of ``queries()`` in dict order, which up to round 2 was decorator
 # order — so the last-registered 11 queries never received a driver oracle
@@ -3027,6 +3107,7 @@ _PROMOTED = [
     "vocab_overlap",
     "heavy_hitters",
     "length_band_filter",
+    "containment_pairs",
 ]
 
 
