@@ -129,3 +129,21 @@ def test_rename_by_mapping_keeps_unmapped(spark):
     m = spark.createDataFrame([("x", "X!")], ["frm", "to"])
     out = rename_by_mapping(df, m, "s", "frm", "to")
     assert rows(out) == [("X!", 1), ("y", 2)]
+
+
+def test_catalog_table_rejects_midstream_timezone_change(spark):
+    """The UTC contract is re-CHECKED (never re-mutated) at every read:
+    a zone changed between Catalog construction and table() fails loudly
+    instead of silently re-zoning the NTZ cast."""
+    import pytest
+
+    from xena_gdc_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="zone has since changed"):
+            cat.table("region")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

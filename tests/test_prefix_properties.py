@@ -291,3 +291,39 @@ def test_rolling_rejects_bad_args(spark):
         group_rolling(df, ["g"], ["k"], "v", "o", agg="median")
     with _pytest.raises(ValueError, match="preceding"):
         group_rolling(df, ["g"], ["k"], "v", "o", preceding=-1)
+
+
+def test_prefix_sum_null_group_key(spark):
+    """NULL is a regular group (Window.partitionBy semantics): rows with a
+    null group key must get correct prefix sums, not silently vanish in
+    the offsets join."""
+    rows = [(None, k, 1) for k in range(1, 21)] + [("a", k, 2) for k in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    out = group_prefix_sum(df, ["g"], ["k"], "v", "ps", num_shards=4)
+    got = {(r.g, r.k): r.ps for r in out.collect()}
+    assert len(got) == 25  # nothing dropped
+    for k in range(1, 21):
+        assert got[(None, k)] == k  # running sum of 1s
+    for k in range(1, 6):
+        assert got[("a", k)] == 2 * k
+
+
+def test_group_rolling_null_group_key(spark):
+    """The reviewer repro: 20 null-group rows across 4 shards,
+    preceding=3 — rows at shard starts must see carried context."""
+    from pyspark.sql import Window as W
+
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    rows = [(None, k, float(k)) for k in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, k int, v double")
+    out = group_rolling(
+        df, ["g"], ["k"], "v", "roll", agg="avg", preceding=3, num_shards=4
+    )
+    got = {r.k: r.roll for r in out.collect()}
+    w = W.partitionBy("g").orderBy("k").rowsBetween(-3, W.currentRow)
+    exp = {
+        r.k: r.roll
+        for r in df.withColumn("roll", F.avg("v").over(w)).collect()
+    }
+    assert got == exp

@@ -82,11 +82,21 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         per_session = self._RESOLVED.setdefault(self.spark, {})
         path = self.path(name)
+        # Session timezone is pinned to UTC in __init__ (see class
+        # docstring); re-CHECK (never re-mutate) at the read site — BEFORE
+        # the cache, because the NTZ→TIMESTAMP cast in a cached plan still
+        # executes under the CURRENT session zone — so a zone changed
+        # between construction and read fails loudly instead of silently
+        # re-zoning timestamps.
+        tz = self.spark.conf.get("spark.sql.session.timeZone", None)
+        if tz != "UTC":
+            raise ValueError(
+                "Catalog.table requires the UTC session pinned at "
+                f"construction; the zone has since changed to {tz!r}"
+            )
         cached = per_session.get(path)
         if cached is not None:
             return cached
-        # Session timezone is pinned to UTC in __init__ (see class
-        # docstring) — reads here assume it.
         if name in self._NANOS_TS_COLS:
             # The events parquet stores ts as TIMESTAMP(NANOS), which Spark
             # refuses to read (PARQUET_TYPE_ILLEGAL) unless this runtime SQL

@@ -629,6 +629,10 @@ def dup_span_stats(
     """
     from xena_gdc_etl_spark.operators.text import _tokens, word_ngrams
 
+    # Two consumers read the gram frame (the posting aggregation and the
+    # join probe — different subtree shapes, so exchange reuse does not
+    # apply); materialize it lazily so the dominant tokenize+explode+
+    # distinct stage runs once, not twice.
     grams = _spread(docs).select(
         F.col(id_col),
         F.explode(
@@ -636,7 +640,7 @@ def dup_span_stats(
                 word_ngrams(_tokens(F.lower(F.col(text_col))), n)
             )
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     posting = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.min(id_col).alias("__min_id"),

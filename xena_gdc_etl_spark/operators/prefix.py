@@ -271,9 +271,20 @@ def group_prefix_sum(
         )
     offsets = subtotals.select(_SHARD, *group_cols, *off_cols)
 
+    # NULL-SAFE offsets join: a plain name-list equi-join never matches a
+    # NULL group key, which would silently DROP every null-group row from
+    # the output (a real corpus has null sources/users). eqNullSafe keys
+    # keep the join a broadcast hash join and make NULL a regular group,
+    # matching Window.partitionBy semantics.
+    loc, off = local.alias("__lhs"), offsets.alias("__rhs")
+    cond = F.col(f"__lhs.{_SHARD}") == F.col(f"__rhs.{_SHARD}")
+    for c in group_cols:
+        cond = cond & F.col(f"__lhs.{c}").eqNullSafe(F.col(f"__rhs.{c}"))
+    joined = loc.join(F.broadcast(off), cond).drop(
+        off[_SHARD], *[off[c] for c in group_cols]
+    )
     return (
-        local.join(F.broadcast(offsets), [_SHARD, *group_cols])
-        .withColumn(out_col, sum_typed(F.col(_OFF) + F.col(_LOCAL)))
+        joined.withColumn(out_col, sum_typed(F.col(_OFF) + F.col(_LOCAL)))
         .drop(_SHARD, _LOCAL, _OFF)
     )
 
@@ -398,7 +409,11 @@ def group_rolling(
     )
     # (group, shard) slices that need context; per group this frame is its
     # shard SPAN (a bot user spanning 1000 shards contributes 1000 rows
-    # here, not its event count)
+    # here, not its event count). The carry join below is
+    # O(span² × preceding) intermediate rows per group before the
+    # row_number cut — bounded by num_shards² (a config constant, e.g.
+    # ~3M rows for ONE group at 1000 shards × preceding=3), never by the
+    # group's row count, which is the bound that matters at web scale.
     targets = (
         staged.select(F.col(_SHARD).alias("__tshard"), *group_cols)
         .distinct()
@@ -408,9 +423,17 @@ def group_rolling(
     # it, so ranking candidate tails by key order alone finds the global
     # last `preceding` rows before each target slice
     carry_w = Window.partitionBy("__tshard", *group_cols).orderBy(*rev)
+    # null-safe carry join for the same reason as the prefix offsets join:
+    # a NULL group key (the degenerate hot key this operator exists for)
+    # must still receive its carried context rows.
+    tls, tgt = tails.alias("__t"), targets.alias("__g")
+    ccond = F.lit(True)
+    for c in group_cols:
+        ccond = ccond & F.col(f"__t.{c}").eqNullSafe(F.col(f"__g.{c}"))
     ctx = (
-        tails.join(targets, list(group_cols))
+        tls.join(tgt, ccond)
         .where(F.col(_SHARD) < F.col("__tshard"))
+        .drop(*[tgt[c] for c in group_cols])
         .withColumn("__rr", F.row_number().over(carry_w))
         .where(F.col("__rr") <= preceding)
         .select(

@@ -430,18 +430,21 @@ def cosine_dup_pairs(
     cells = assigned.select(centroid_id, id_col, vec_col)
     sizes = cells.groupBy(centroid_id).agg(F.count(F.lit(1)).alias("__n"))
     if max_cell_size is not None:
-        n_dropped = sizes.filter(F.col("__n") > max_cell_size).count()
-        if n_dropped:
-            import logging
+        # Lazy accounting: no job at construction time (plan building must
+        # stay action-free — the former eager count here ran a full
+        # corpus aggregation per call just to log). The warning states the
+        # contract up front; callers wanting the dropped-cell count read
+        # it off ``assigned`` themselves (one groupBy) — sub-sharding is
+        # the default path precisely so this opt-out is rarely used.
+        import logging
 
-            logging.getLogger(__name__).warning(
-                "cosine_dup_pairs: excluding %d cell(s) over "
-                "max_cell_size=%d from pairing — their members produce NO "
-                "pairs (fail-open for dedup); retrain a finer index or "
-                "raise the cap deliberately",
-                n_dropped,
-                max_cell_size,
-            )
+        logging.getLogger(__name__).warning(
+            "cosine_dup_pairs: cells over max_cell_size=%d are excluded "
+            "from pairing — their members produce NO pairs (fail-open "
+            "for dedup); the default sub-sharding path (max_cell_size="
+            "None) pairs every cell exactly",
+            max_cell_size,
+        )
         sizes = sizes.filter(F.col("__n") <= max_cell_size)
     nb = F.greatest(
         F.lit(1), F.ceil(F.col("__n") / F.lit(block_size))
@@ -494,7 +497,11 @@ def semantic_dedup(
     ``pairs`` injects an already-materialized τ-pair frame (e.g. the
     session-scoped shared cache in workload.py) so dedup variants that
     share candidate generation don't recompute it; when omitted the pairs
-    are computed here.
+    are computed here. CONTRACT: an injected frame is used as-is — the
+    ``threshold``/column arguments describe only the self-computed path,
+    and nothing can validate that an injected frame was built at the same
+    τ, so the caller owns that consistency (the workload cache keys on
+    (sf_dir, τ) for exactly this reason).
     """
     from xena_gdc_etl_spark.operators.dedup import (
         connected_components_bipartite,

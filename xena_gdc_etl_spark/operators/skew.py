@@ -61,7 +61,14 @@ def heavy_hitters(
     ascending (deterministic, oracle-mirrored).
     """
     keys = [F.col(c) for c in key_cols]
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    # counts feeds two differently-shaped subtrees (top-k and the total);
+    # materialize it lazily so the table is scanned and aggregated ONCE
+    # regardless of exchange-reuse behavior.
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("cnt").alias("__total"))
     topk = counts.orderBy(F.col("cnt").desc(), *key_cols).limit(k)
     return topk.join(F.broadcast(total)).select(

@@ -49,6 +49,27 @@ def token_counts(
     )
 
 
+def raw_quality_ratios(
+    text_col: str = "text",
+) -> "tuple[Column, Column, Column]":
+    """UNROUNDED (n_tokens, punct_ratio, stopword_ratio) expressions — the
+    shared feature seam for quality_scores and the logistic scorer.
+    Consumers that continue float math from these (the blended score, the
+    sigmoid) must take them unrounded: rounding an intermediate and then
+    continuing float math is not engine-portable (the rounded decimal has
+    no exact double, and Spark rounds via BigDecimal HALF_UP where DuckDB
+    rounds in float arithmetic); int/int division and fixed-order
+    arithmetic are bit-identical across engines.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, rf"[^\w{WS_CLASS}]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+    return n_toks, n_punct / n_chars, n_stop / n_toks
+
+
 def quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -57,16 +78,8 @@ def quality_scores(
     """
     text = F.col(text_col)
     toks = _tokens(text)
-    n_toks = F.size(toks)
     n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, rf"[^\w{WS_CLASS}]", ""))
-    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
-    # score is computed from UNROUNDED ratios: rounding an intermediate and
-    # then continuing float math is not engine-portable (the rounded decimal
-    # has no exact double, so downstream bits can differ); int/int division
-    # and fixed-order arithmetic are.
-    punct_ratio = n_punct / n_chars
-    stop_ratio = n_stop / n_toks
+    n_toks, punct_ratio, stop_ratio = raw_quality_ratios(text_col)
     mean_word_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_toks
     score = (
         F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4

@@ -2467,11 +2467,16 @@ def _logreg_score_sql() -> str:
                list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS toks
         FROM documents),
     f AS (
+        -- UNROUNDED ratios: rounding an intermediate and continuing float
+        -- math is not engine-portable (Spark rounds via BigDecimal
+        -- HALF_UP, DuckDB via float arithmetic — a knife-edge ratio can
+        -- differ by 1 ulp and propagate through exp()); int/int division
+        -- is bit-identical in both engines, so only the OUTPUT rounds.
         SELECT doc_id,
                CAST(lang = 'en' AS BIGINT) AS is_en,
                least(length(toks) / 100.0, 1.0) AS f_len,
-               round((n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars, 6) AS punct_ratio,
-               round(length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks), 6) AS stopword_ratio
+               (n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars AS punct_ratio,
+               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio
         FROM t)
     SELECT doc_id, is_en,
            round(1.0 / (1.0 + exp(-({_LOGREG_B!r} + {w1!r} * f_len + {w2!r} * punct_ratio + {w3!r} * stopword_ratio))), 6) AS p_en
@@ -2482,20 +2487,20 @@ def _logreg_score_sql() -> str:
 @query("logreg_score", _logreg_score_sql())
 def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import logreg
-    from xena_gdc_etl_spark.operators.text import quality_scores
+    from xena_gdc_etl_spark.operators.text import raw_quality_ratios
 
     docs = Catalog(spark, sf_dir).documents
-    feats = quality_scores(docs).join(
-        docs.select(
-            "doc_id", (F.col("lang") == "en").cast("bigint").alias("is_en")
-        ),
+    # UNROUNDED features into the sigmoid (raw_quality_ratios docstring):
+    # the rounded quality_scores columns are for reporting; continuing
+    # float math from a rounded intermediate is the engine-portability
+    # hazard the oracle mirrors by also skipping the intermediate round.
+    n_toks, punct_ratio, stop_ratio = raw_quality_ratios("text")
+    feats = docs.select(
         "doc_id",
-    ).select(
-        "doc_id",
-        "is_en",
-        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)).alias("f_len"),
-        "punct_ratio",
-        "stopword_ratio",
+        (F.col("lang") == "en").cast("bigint").alias("is_en"),
+        F.least(n_toks / 100.0, F.lit(1.0)).alias("f_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
     )
     return logreg.logistic_predict(
         feats,
