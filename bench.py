@@ -135,6 +135,16 @@ def main() -> None:
             consume(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
+    # Host-drift sentinel: re-time the flagship AFTER the whole run. q1's
+    # plan has been byte-stable since round 1, so (a) q1_end_repeat vs the
+    # in-order q1 line exposes WITHIN-run host drift, and (b) its value is
+    # comparable ACROSS rounds to normalize totals for shared-host speed —
+    # round-5 measured the same binary 1.3-2x apart days apart
+    # (BASELINE.md round-5 appendix). A real query, not a synthetic probe:
+    # JVM microbenchmarks were observed eliding synthetic hash loops.
+    start = time.perf_counter()
+    consume(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    timings["q1_end_repeat"] = round(time.perf_counter() - start, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
