@@ -377,3 +377,18 @@ def test_containment_pairs_quote_detection(spark):
     jaccard = emb.n_common / (emb.n_a + emb.n_b - emb.n_common)
     assert jaccard < 0.5                     # Jaccard would miss it
     assert out[(1, 3)].n_common == 0 and out[(1, 3)].containment_a == 0.0
+
+
+def test_cell_label_purity_majority_and_ties(spark):
+    """Purity = majority share; majority ties break to the smallest
+    label; a pure cell scores 1.0."""
+    from xena_gdc_etl_spark.operators.similarity import cell_label_purity
+
+    rows = [(1, 0, 7), (2, 0, 7), (3, 0, 9),          # cell 0: 7 wins 2/3
+            (4, 1, 5), (5, 1, 3),                     # cell 1: tie → label 3
+            (6, 2, 4)]                                # cell 2: pure
+    df = spark.createDataFrame(rows, "vec_id long, centroid_id long, label int")
+    out = {r.centroid_id: r for r in cell_label_purity(df).collect()}
+    assert out[0].majority_label == 7 and out[0].purity == round(2 / 3, 6)
+    assert out[1].majority_label == 3 and out[1].n_majority == 1
+    assert out[2].purity == 1.0 and out[2].n_members == 1

@@ -1124,3 +1124,45 @@ def ivf_pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def cell_label_purity(
+    assigned: DataFrame,
+    centroid_id: str = "centroid_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cell label purity of an inverted-file assignment: for every IVF
+    cell, the member count, the majority label (ties: smallest label), and
+    purity = majority share — the standard external clustering-quality
+    check run before trusting an index for semantic dedup or
+    cluster-balanced sampling (a low-purity cell means the quantizer is
+    mixing populations and τ-pair candidate generation inside it will
+    cross semantic boundaries).
+
+    Plan shape: two map-side-partial groupBys — (cell, label) counts, then
+    a per-cell ``max(struct)`` argmax — so the reduced frame after the
+    first aggregation is #cells × #labels rows regardless of corpus size;
+    no window, no driver collect.
+    """
+    per = assigned.groupBy(centroid_id, label_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # lexicographic argmax: highest count, then SMALLEST label (negate the
+    # label inside the struct so max() prefers it)
+    best = F.max(
+        F.struct(F.col("__cnt").alias("c"), (-F.col(label_col)).alias("nl"))
+    )
+    return (
+        per.groupBy(centroid_id)
+        .agg(
+            F.sum("__cnt").alias("__n"),
+            best.alias("__best"),
+        )
+        .select(
+            F.col(centroid_id),
+            F.col("__n").cast("bigint").alias("n_members"),
+            (-F.col("__best.nl")).cast("bigint").alias("majority_label"),
+            F.col("__best.c").cast("bigint").alias("n_majority"),
+            F.round(F.col("__best.c") / F.col("__n"), 6).alias("purity"),
+        )
+    )

@@ -3055,6 +3055,54 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 69. IVF cell label purity: per cell, member count + majority label +
+#     purity — the external clustering-quality gate run before trusting an
+#     index for semantic dedup or cluster-balanced sampling. Two map-side-
+#     partial groupBys off the shared assignment; reduced frame is
+#     #cells × #labels regardless of corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "cluster_purity",
+    """
+    WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, v.label, c.centroid_id,
+                      round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
+               FROM embeddings v, c),
+    assigned AS (
+        SELECT vec_id, label, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+    per AS (SELECT centroid_id, label, count(*) AS cnt
+            FROM assigned GROUP BY 1, 2),
+    best AS (
+        SELECT centroid_id, label AS majority_label, cnt AS n_majority
+        FROM (SELECT *, row_number() OVER (PARTITION BY centroid_id
+                                           ORDER BY cnt DESC, label ASC) AS rn
+              FROM per)
+        WHERE rn = 1),
+    tot AS (SELECT centroid_id, sum(cnt) AS n FROM per GROUP BY 1)
+    SELECT t.centroid_id,
+           CAST(t.n AS BIGINT) AS n_members,
+           CAST(b.majority_label AS BIGINT) AS majority_label,
+           CAST(b.n_majority AS BIGINT) AS n_majority,
+           round(b.n_majority / t.n, 6) AS purity
+    FROM tot t JOIN best b USING (centroid_id)
+    """,
+)
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    labeled = _shared_ivf_assigned(spark, sf_dir).select(
+        "vec_id", "centroid_id"
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    return sim.cell_label_purity(labeled)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate samples the first 50
 # entries of ``queries()`` in dict order, which up to round 2 was decorator
 # order — so the last-registered 11 queries never received a driver oracle
@@ -3113,6 +3161,7 @@ _PROMOTED = [
     "heavy_hitters",
     "length_band_filter",
     "containment_pairs",
+    "cluster_purity",
 ]
 
 
