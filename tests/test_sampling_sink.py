@@ -229,3 +229,41 @@ def test_write_manifest_digest_sees_paired_duplicate_swap(spark, tmp_path):
         spark.createDataFrame([(1, "x")] * 3, ["id", "v"]), str(tmp_path / "c")
     )
     assert mc["partitions"][0]["digest"] != da
+
+
+def test_ann_index_roundtrip(spark, tmp_path):
+    """Saved centroids + PQ codebooks load back bit-identical, reassign
+    identically, and an incomplete save (no sentinel) fails loudly."""
+    import numpy as np
+    import pytest
+
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.operators import similarity as sim
+    from xena_gdc_etl_spark.sources.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    cents = sim.ivf_train(emb, k=4, iterations=2)
+    books = sim.pq_train(emb, m=4, k=8, iterations=2)
+    path = str(tmp_path / "idx")
+    manifest = save_ann_index(cents, path, codebooks=books)
+    assert manifest["n_centroids"] == 4 and manifest["pq"]["m"] == 4
+
+    cents2, books2, mf = load_ann_index(spark, path)
+    assert mf == manifest
+    for a, b in zip(books, books2):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    before = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in sim.ivf_assign(emb, cents).collect()
+    )
+    after = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in sim.ivf_assign(emb, cents2).collect()
+    )
+    assert before == after
+
+    with pytest.raises(FileNotFoundError, match="not a complete"):
+        load_ann_index(spark, str(tmp_path / "nope"))

@@ -1,0 +1,121 @@
+"""Durable ANN index artifacts: save/load IVF centroids and PQ codebooks.
+
+The workload's session-scoped caches (shared IVF assignment, shared pair
+frames) simulate what a deployment does for real: train the quantizers
+ONCE, persist them, and let every consumer — batch dedup, ANN serving,
+streaming probes, the next day's incremental run — load kilobytes of
+state instead of retraining. This module is that persistence seam.
+
+Layout under ``<path>/``:
+
+- ``centroids.parquet``  — (centroid_id bigint, embedding array<float/double>)
+- ``codebooks.parquet``  — (subspace int, code int, center array<double>),
+  the flattened m×k PQ codebooks
+- ``_index.json``        — format version, dims, m/k, row counts; written
+  LAST so its presence marks a complete index (same sentinel discipline
+  as parquet_sink's ``_manifest.json``)
+
+Both tables are kilobyte-scale (index state, not corpus state), so the
+single-file coalesce(1) writes below are deliberate — readers broadcast
+them anyway.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INDEX_FORMAT_VERSION = 1
+_SENTINEL = "_index.json"
+
+
+def save_ann_index(
+    centroids: DataFrame,
+    path: str,
+    codebooks: "list[np.ndarray] | None" = None,
+    centroid_id: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the trained quantizer state; returns the manifest dict.
+
+    ``centroids`` is the (centroid_id, embedding) frame ``ivf_train``
+    returns; ``codebooks`` the list of m (k, dsub) arrays ``pq_train``
+    returns (optional — an IVF-only index omits the PQ half).
+    """
+    spark = centroids.sparkSession
+    cdf = centroids.select(
+        F.col(centroid_id).cast("bigint").alias("centroid_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids.parquet")
+    )
+    n_centroids = cdf.count()
+    manifest: dict = {
+        "format_version": INDEX_FORMAT_VERSION,
+        "n_centroids": int(n_centroids),
+        "pq": None,
+    }
+    if codebooks is not None:
+        rows = [
+            (int(sub), int(code), [float(x) for x in center])
+            for sub, book in enumerate(codebooks)
+            for code, center in enumerate(np.asarray(book))
+        ]
+        bdf = spark.createDataFrame(
+            rows, "subspace int, code int, center array<double>"
+        )
+        bdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebooks.parquet")
+        )
+        manifest["pq"] = {
+            "m": len(codebooks),
+            "k": int(np.asarray(codebooks[0]).shape[0]),
+            "dsub": int(np.asarray(codebooks[0]).shape[1]),
+        }
+    with open(os.path.join(path, _SENTINEL), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def load_ann_index(
+    spark: SparkSession, path: str
+) -> "tuple[DataFrame, list[np.ndarray] | None, dict]":
+    """Load (centroids frame, codebooks or None, manifest). Fails loudly
+    on a missing/incomplete index (no sentinel) or a future format."""
+    sentinel = os.path.join(path, _SENTINEL)
+    if not os.path.exists(sentinel):
+        raise FileNotFoundError(
+            f"{path} is not a complete ANN index (missing {_SENTINEL}; "
+            "a crashed save leaves no sentinel by design)"
+        )
+    with open(sentinel) as fh:
+        manifest = json.load(fh)
+    if manifest.get("format_version", 0) > INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"ANN index at {path} has format_version "
+            f"{manifest['format_version']}; this reader supports "
+            f"<= {INDEX_FORMAT_VERSION}"
+        )
+    centroids = spark.read.parquet(os.path.join(path, "centroids.parquet"))
+    codebooks = None
+    if manifest.get("pq"):
+        m = manifest["pq"]["m"]
+        rows = spark.read.parquet(
+            os.path.join(path, "codebooks.parquet")
+        ).collect()  # bounded: m×k rows of small arrays — index state
+        by_sub: dict[int, list] = {}
+        for r in rows:
+            by_sub.setdefault(r.subspace, []).append((r.code, r.center))
+        codebooks = [
+            np.array(
+                [c for _, c in sorted(by_sub[sub], key=lambda t: t[0])],
+                dtype=np.float64,
+            )
+            for sub in range(m)
+        ]
+    return centroids, codebooks, manifest
