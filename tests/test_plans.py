@@ -311,3 +311,15 @@ def test_length_band_filter_broadcasts_bounds(spark, sf_dir):
     df = QUERIES["length_band_filter"](spark, sf_dir)
     assert uses_broadcast_join(df)
     assert python_udf_count(df) == 0
+
+
+def test_containment_and_purity_plan_shape(spark, sf_dir):
+    # per-candidate joins and map-side aggregates only: no cartesian, no
+    # Python in either; the purity reduction must also be window-free
+    for name in ["containment_pairs", "cluster_purity"]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    purity_plan = formatted_plan(QUERIES["cluster_purity"](spark, sf_dir))
+    assert "Window" not in purity_plan
