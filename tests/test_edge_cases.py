@@ -354,6 +354,26 @@ def test_quantile_band_filter_boundaries(spark):
     assert len(b) == 5 and b[0].lo == 7 and b[0].hi == 7
 
 
+def test_quantile_band_filter_null_group_and_value(spark):
+    """A NULL group key is a regular group (null-safe bounds join — a
+    real corpus has null sources); NULL values are excluded from both
+    the histogram and the output."""
+    from xena_gdc_etl_spark.operators.sampling import quantile_band_filter
+
+    rows = [(i, None, v) for i, v in enumerate(range(1, 101))]
+    rows += [(200, None, None), (201, "a", 5), (202, "a", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    out = quantile_band_filter(df, "n_chars", ["source"], 0.05, 0.95).collect()
+    nulls = sorted(r.n_chars for r in out if r.source is None)
+    # null group: 100 non-null values 1..100 → band [5, 95]; the NULL
+    # value row (doc 200) is dropped, not crashed on
+    assert nulls[0] == 5 and nulls[-1] == 95 and len(nulls) == 91
+    a = [r for r in out if r.source == "a"]
+    assert [r.doc_id for r in a] == [201]  # null-valued doc 202 excluded
+
+
 def test_containment_pairs_quote_detection(spark):
     """A short doc fully embedded in a long one has containment_a = 1.0
     while Jaccard (n_common / (n_a + n_b - n_common)) stays low — the

@@ -267,3 +267,30 @@ def test_ann_index_roundtrip(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="not a complete"):
         load_ann_index(spark, str(tmp_path / "nope"))
+
+    # re-save over an existing index: the OLD sentinel must be gone before
+    # any table write, so a crash mid-overwrite can never leave a stale
+    # sentinel endorsing partial data. Simulate the crash by making the
+    # centroid write fail after save_ann_index has begun.
+    import os
+    from unittest import mock
+
+    sentinel = os.path.join(path, "_index.json")
+    assert os.path.exists(sentinel)
+    with mock.patch.object(
+        type(cents.coalesce(1).write), "parquet", side_effect=OSError("disk")
+    ):
+        with pytest.raises(OSError, match="disk"):
+            save_ann_index(cents, path, codebooks=books)
+    assert not os.path.exists(sentinel), "stale sentinel survived a crash"
+    with pytest.raises(FileNotFoundError, match="not a complete"):
+        load_ann_index(spark, path)
+    # a clean re-save restores a loadable index
+    save_ann_index(cents, path, codebooks=books)
+    load_ann_index(spark, path)
+
+    # non-local paths are rejected loudly (sentinel uses local file IO)
+    with pytest.raises(ValueError, match="local path"):
+        save_ann_index(cents, "s3a://bucket/idx")
+    with pytest.raises(ValueError, match="local path"):
+        load_ann_index(spark, "hdfs://nn/idx")

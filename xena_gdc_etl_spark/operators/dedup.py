@@ -702,8 +702,13 @@ def containment_pairs(
     (b, shingle)) followed by a map-side-partial pair groupBy; sizes are
     one row per doc joined back on each end. Shuffles stay keyed by doc
     id / (id, shingle) — bounded fan-out per pair (the shorter doc's
-    shingle count), no quadratic anything. Candidate pairs that share a
-    band but no shingle keep a 0-count row (left join + coalesce).
+    shingle count), no quadratic anything. Candidate pairs whose docs
+    both HAVE shingles but share none keep a 0-count row (left join +
+    coalesce); a pair involving a SHINGLE-LESS doc (text shorter than
+    ``k`` chars — such a doc can still reach the candidate set via its
+    LSH bucket) is EXCLUDED: containment has a zero denominator there,
+    and the sizes joins are deliberately inner (the DuckDB oracle
+    mirrors this).
     """
     # Three consumers read the distinct-shingle frame (sizes + both join
     # sides); materialize it once — lazily, so construction stays

@@ -234,11 +234,24 @@ def quantile_band_filter(
     lengths contributes 40k histogram rows). The boundary frame is one
     row per group and broadcasts back onto the corpus: one shuffle of the
     histogram, zero shuffles of the data itself.
+
+    NULL handling: a NULL group key is a REGULAR group — the bounds join
+    is null-safe (a real corpus has null sources; a plain name-list
+    equi-join would silently drop every such row). Rows with a NULL
+    ``value_col`` are EXCLUDED — from the histogram, so the boundaries
+    never depend on an engine's NULL sort order (Spark orders NULLS
+    FIRST ascending, DuckDB NULLS LAST — letting NULLs into ``__cum``
+    would shift every quantile), and from the output (a NULL length is
+    inside no band).
     """
     from pyspark.sql import Window
 
     v = F.col(value_col)
-    hist = df.groupBy(*group_cols, v).agg(F.count(F.lit(1)).alias("__c"))
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, v)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     cum_w = Window.partitionBy(*group_cols).orderBy(value_col)
     tot_w = Window.partitionBy(*group_cols)
     cum = hist.withColumn("__cum", F.sum("__c").over(cum_w)).withColumn(
@@ -252,6 +265,12 @@ def quantile_band_filter(
             F.when(F.col("__cum") >= F.ceil(F.lit(hi_p) * F.col("__n")), v)
         ).alias("hi"),
     )
-    return df.join(F.broadcast(bounds), list(group_cols)).filter(
-        v.between(F.col("lo"), F.col("hi"))
+    lhs, rhs = df.alias("__lhs"), F.broadcast(bounds).alias("__rhs")
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & F.col(f"__lhs.{c}").eqNullSafe(F.col(f"__rhs.{c}"))
+    return (
+        lhs.join(rhs, cond)
+        .drop(*[rhs[c] for c in group_cols])
+        .filter(v.between(F.col("lo"), F.col("hi")))
     )

@@ -369,6 +369,28 @@ def ivf_train(
     return centroids
 
 
+# One cap-configured notice per process (INFO): see cosine_dup_pairs.
+_CAP_NOTICE_LOGGED = False
+
+
+def capped_cell_count(
+    assigned: DataFrame,
+    max_cell_size: int,
+    centroid_id: str = "centroid_id",
+) -> int:
+    """Number of IVF cells whose membership exceeds ``max_cell_size`` —
+    the on-demand accounting for :func:`cosine_dup_pairs`'s cap opt-out
+    (the pairs plan itself stays action-free). One map-side-partial
+    groupBy reduced to a single driver row.
+    """
+    return (
+        assigned.groupBy(centroid_id)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_cell_size)
+        .count()
+    )
+
+
 def cosine_dup_pairs(
     assigned: DataFrame,
     id_col: str = "vec_id",
@@ -432,19 +454,26 @@ def cosine_dup_pairs(
     if max_cell_size is not None:
         # Lazy accounting: no job at construction time (plan building must
         # stay action-free — the former eager count here ran a full
-        # corpus aggregation per call just to log). The warning states the
-        # contract up front; callers wanting the dropped-cell count read
-        # it off ``assigned`` themselves (one groupBy) — sub-sharding is
-        # the default path precisely so this opt-out is rarely used.
+        # corpus aggregation per call just to log). Configuring the cap is
+        # NOT a problem by itself, so this logs at INFO, once per process
+        # — WARNING is reserved for an actual drop, which only a job can
+        # observe; callers wanting that signal call
+        # :func:`capped_cell_count` (one bounded groupBy) before/after the
+        # run. Sub-sharding is the default path precisely so this opt-out
+        # is rarely used.
         import logging
 
-        logging.getLogger(__name__).warning(
-            "cosine_dup_pairs: cells over max_cell_size=%d are excluded "
-            "from pairing — their members produce NO pairs (fail-open "
-            "for dedup); the default sub-sharding path (max_cell_size="
-            "None) pairs every cell exactly",
-            max_cell_size,
-        )
+        global _CAP_NOTICE_LOGGED
+        if not _CAP_NOTICE_LOGGED:
+            _CAP_NOTICE_LOGGED = True
+            logging.getLogger(__name__).info(
+                "cosine_dup_pairs: max_cell_size=%d configured — cells "
+                "over the cap are excluded from pairing (fail-open for "
+                "dedup); call capped_cell_count() for the actual dropped-"
+                "cell count; the default sub-sharding path "
+                "(max_cell_size=None) pairs every cell exactly",
+                max_cell_size,
+            )
         sizes = sizes.filter(F.col("__n") <= max_cell_size)
     nb = F.greatest(
         F.lit(1), F.ceil(F.col("__n") / F.lit(block_size))

@@ -45,7 +45,27 @@ def save_ann_index(
     ``centroids`` is the (centroid_id, embedding) frame ``ivf_train``
     returns; ``codebooks`` the list of m (k, dsub) arrays ``pq_train``
     returns (optional — an IVF-only index omits the PQ half).
+
+    Crash-consistency contract: the sentinel marks a COMPLETE index, so a
+    re-save over an existing index first REMOVES the old sentinel (before
+    any parquet write — otherwise a crash mid-overwrite would leave the
+    stale sentinel endorsing new/partial tables) and the new manifest is
+    written to a temp file and atomically renamed into place. ``path``
+    must be a local filesystem path: the sentinel uses local ``open()``/
+    ``os`` while the tables go through Spark writers, so URI-scheme paths
+    (``hdfs://``, ``s3a://``) are rejected loudly rather than splitting
+    the index across filesystems.
     """
+    if "://" in path:
+        raise ValueError(
+            f"save_ann_index requires a local path, got {path!r}: the "
+            "sentinel is written with local file IO while the tables go "
+            "through Spark writers — on a remote filesystem these would "
+            "land in different places"
+        )
+    stale = os.path.join(path, _SENTINEL)
+    if os.path.exists(stale):
+        os.remove(stale)
     spark = centroids.sparkSession
     cdf = centroids.select(
         F.col(centroid_id).cast("bigint").alias("centroid_id"),
@@ -77,8 +97,10 @@ def save_ann_index(
             "k": int(np.asarray(codebooks[0]).shape[0]),
             "dsub": int(np.asarray(codebooks[0]).shape[1]),
         }
-    with open(os.path.join(path, _SENTINEL), "w") as fh:
+    tmp = os.path.join(path, _SENTINEL + ".tmp")
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _SENTINEL))
     return manifest
 
 
@@ -86,7 +108,13 @@ def load_ann_index(
     spark: SparkSession, path: str
 ) -> "tuple[DataFrame, list[np.ndarray] | None, dict]":
     """Load (centroids frame, codebooks or None, manifest). Fails loudly
-    on a missing/incomplete index (no sentinel) or a future format."""
+    on a missing/incomplete index (no sentinel), a future format, or a
+    non-local path (same local-filesystem contract as save)."""
+    if "://" in path:
+        raise ValueError(
+            f"load_ann_index requires a local path, got {path!r} "
+            "(the completeness sentinel is read with local file IO)"
+        )
     sentinel = os.path.join(path, _SENTINEL)
     if not os.path.exists(sentinel):
         raise FileNotFoundError(
