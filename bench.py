@@ -3,6 +3,14 @@
 
 Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Output discipline: the grading driver keeps only the last 2000 bytes of
+stdout, so the line is emitted with compact separators and, if it would
+still overflow, per-query precision drops 4→3→2 decimals and finally the
+FASTEST queries are elided (with an "elided" count — never silently; the
+flagship q1 line and its end-of-run repeat always stay). The full
+4-decimal timings, including the shared-stage warm builds, are always
+written to bench_detail.json next to this script.
 """
 
 from __future__ import annotations
@@ -114,6 +122,20 @@ def main() -> None:
     start = time.perf_counter()
     _shared_dup_pairs(spark, SF_DIR).count()
     timings["shared_pairs_warm"] = round(time.perf_counter() - start, 4)
+    # The (doc_id, tok, tf) token-statistics frame five unigram queries
+    # share, and the pack layout sequence_pack/pack_stats share — same
+    # attribution story as the signature/IVF caches above.
+    from xena_gdc_etl_spark.workload import (
+        _shared_doc_tf,
+        _shared_pack_layout,
+    )
+
+    start = time.perf_counter()
+    _shared_doc_tf(spark, SF_DIR).count()
+    timings["shared_tf_warm"] = round(time.perf_counter() - start, 4)
+    start = time.perf_counter()
+    _shared_pack_layout(spark, SF_DIR).count()
+    timings["shared_pack_warm"] = round(time.perf_counter() - start, 4)
 
     def consume(df) -> int:
         """Full-row consumer: xxhash64 over EVERY column, folded to one
@@ -146,17 +168,80 @@ def main() -> None:
     consume(QUERIES["q1_pricing_summary"](spark, SF_DIR))
     timings["q1_end_repeat"] = round(time.perf_counter() - start, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    sf = infer_sf(SF_DIR)
+    # Full-precision record (incl. warm lines) always lands on disk.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "workload_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": infer_sf(SF_DIR),
-            }
+                "sf": sf,
+            },
+            fh,
         )
+    print(_stdout_line(timings, total, sf), flush=True)
+
+
+# stdout budget: the driver keeps the last 2000 bytes; leave headroom for
+# a trailing newline / stray bytes.
+_LINE_BUDGET = int(os.environ.get("SPARK_GRAFT_LINE_BUDGET", "1900"))
+# never elided: the flagship pair (host-drift normalizers) and the
+# prefix-scan family the round-5/6 perf work is judged on (sequence_pack
+# reads the shared pack layout, so it times near-zero and would otherwise
+# be first on the elision block)
+_PINNED = (
+    "q1_pricing_summary",
+    "q1_end_repeat",
+    "sequence_pack",
+    "pack_stats",
+    "quality_buckets",
+)
+
+
+def _stdout_line(timings: dict, total: float, sf: float) -> str:
+    """One compact JSON line ≤ _LINE_BUDGET bytes. Degrades explicitly:
+    4→3→2 decimals, then elides the fastest non-pinned queries with an
+    "elided" count pointing at bench_detail.json — never silently."""
+
+    def render(t: dict, elided: int, digits: int) -> str:
+        # flagship literally first and its end-of-run repeat literally
+        # last; warm/build lines and the other queries in between
+        ordered = sorted(
+            t, key=lambda k: (k != "q1_pricing_summary", k == "q1_end_repeat")
+        )
+        payload = {
+            "metric": "workload_total_runtime",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {k: round(t[k], digits) for k in ordered},
+            "sf": sf,
+        }
+        if elided:
+            payload["elided"] = elided
+            payload["detail"] = "bench_detail.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    for digits in (4, 3, 2):
+        line = render(timings, 0, digits)
+        if len(line) <= _LINE_BUDGET:
+            return line
+    # Elide fastest-first (least signal), keeping the flagship pair; the
+    # count + detail pointer make the cut auditable.
+    order = sorted(
+        (k for k in timings if k not in _PINNED), key=lambda k: timings[k]
     )
+    kept = dict(timings)
+    for i, victim in enumerate(order, start=1):
+        del kept[victim]
+        line = render(kept, i, 2)
+        if len(line) <= _LINE_BUDGET:
+            return line
+    return render({k: timings[k] for k in _PINNED if k in timings}, len(order), 2)
 
 
 if __name__ == "__main__":

@@ -26,11 +26,41 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def preflight_bucket_cap(
+    docs: DataFrame,
+    hot_share: float = 0.01,
+    cap: int = 64,
+) -> "int | None":
+    """Skew pre-flight on the dedup key — run BEFORE shipping the LSH job
+    (operators/skew.py heavy_hitters is built for exactly this). Profiles
+    the content-hash key: if any single hash holds ≥ ``hot_share`` of the
+    corpus, the corpus is template-heavy — its LSH buckets will be
+    degenerate hot keys — so the pipeline branches to the pre-expansion
+    ``max_bucket_size`` cap (SURVEY §6 cap table). A healthy long-tail
+    key profile keeps the exact default (no cap). Bounded: heavy_hitters
+    collapses to one row per distinct key map-side and collects k=1 rows.
+    """
+    from xena_gdc_etl_spark.operators.skew import heavy_hitters
+
+    top = heavy_hitters(
+        docs.select(F.md5("text").alias("__h")), ["__h"], k=1
+    ).collect()
+    if top and top[0]["share"] >= hot_share:
+        print(
+            f"preflight: hottest content hash holds "
+            f"{top[0]['share']:.1%} of the corpus (>= {hot_share:.1%}) — "
+            f"capping LSH buckets at {cap}"
+        )
+        return cap
+    return None
+
+
 def curate(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str | None = None,
     pack_budget: int = 256,
+    hot_share: float = 0.01,
 ) -> DataFrame:
     """Returns the curated, packed corpus; writes it when out_dir is set."""
     from xena_gdc_etl_spark.catalog import Catalog
@@ -38,6 +68,10 @@ def curate(
     from xena_gdc_etl_spark.operators import text as tx
 
     docs = Catalog(spark, sf_dir).documents
+
+    # 0. skew pre-flight on the dedup key (before any heavy job ships):
+    #    template-heavy corpus → pre-expansion LSH bucket cap
+    bucket_cap = preflight_bucket_cap(docs, hot_share=hot_share)
 
     # 1. rule-chain quality filter (keeps doc_id only; rejoin text below so
     #    the heavy column rides through as few stages as possible)
@@ -59,7 +93,9 @@ def curate(
     sig = dd.minhash_signatures(
         dd.shingles(docs, k=5, distinct=False), num_hashes=8
     ).localCheckpoint(eager=True)
-    pairs = dd.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+    pairs = dd.lsh_candidate_pairs(
+        sig, num_hashes=8, band_size=2, max_bucket_size=bucket_cap
+    )
     strong = dd.minhash_jaccard_estimate(
         pairs, sig, num_hashes=8, threshold=0.75
     )

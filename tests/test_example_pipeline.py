@@ -42,6 +42,26 @@ def test_corpus_curation_end_to_end(spark, sf_dir, tmp_path):
     assert back.count() == len(rows)
 
 
+def test_curation_preflight_branches(spark):
+    """The skew pre-flight profiles the dedup key and branches: a
+    template-heavy corpus (one text dominating) gets the LSH bucket cap,
+    a long-tail corpus keeps the exact default."""
+    from corpus_curation import preflight_bucket_cap
+
+    hot = spark.createDataFrame(
+        [(i, "the same boilerplate page") for i in range(80)]
+        + [(100 + i, f"unique document number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert preflight_bucket_cap(hot, hot_share=0.5, cap=64) == 64
+
+    cold = spark.createDataFrame(
+        [(i, f"unique document number {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    assert preflight_bucket_cap(cold, hot_share=0.5, cap=64) is None
+
+
 def test_embedding_curation_example(spark, tmp_path):
     import importlib.util
     import json

@@ -4,6 +4,8 @@ pruning, broadcast dims, and no row-at-a-time Python UDFs in hot paths.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from xena_gdc_etl_spark.catalog import Catalog
 from xena_gdc_etl_spark.plans import (
     formatted_plan,
@@ -69,7 +71,6 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
 def test_projection_ops_have_zero_shuffles(spark, sf_dir):
     # pure row-wise ops must not exchange: quantization, struct flattening,
     # split assignment (before any aggregation)
-    from xena_gdc_etl_spark.catalog import Catalog
     from xena_gdc_etl_spark.operators.sampling import split_assign
     from xena_gdc_etl_spark.operators.similarity import quantize_int8
 
@@ -88,7 +89,6 @@ def test_train_split_reads_only_needed_columns(spark, sf_dir):
 
 
 def test_doc_repetition_zero_shuffle_pure_codegen(spark, sf_dir):
-    from xena_gdc_etl_spark.catalog import Catalog
     from xena_gdc_etl_spark.operators.text import repetition_scores
     from xena_gdc_etl_spark.plans import shuffle_count
 
@@ -164,14 +164,25 @@ def test_dedup_keep_best_reads_two_doc_columns(spark, sf_dir):
 
 
 def test_sequence_pack_sharded_prefix_no_udf(spark, sf_dir):
+    from xena_gdc_etl_spark.operators.prefix import group_prefix_sum
     from xena_gdc_etl_spark.plans import window_specs
 
     df = QUERIES["sequence_pack"](spark, sf_dir)
     assert python_udf_count(df) == 0
-    # every window that orders by doc_id (i.e. runs over the full document
-    # stream) must also partition by the shard id — a bare
-    # PARTITION BY source window would pull a whole source into one task
-    doc_windows = [s for s in window_specs(df) if "doc_id" in s]
+    # At fixture scale the boundary sample proves the frame fits one task
+    # and the prefix scan takes the plain-window fallback; the SHARDED
+    # shape — the one that matters at 100 TB — is asserted by forcing the
+    # probe to overflow (sample_cap below the row count): every window
+    # ordering by doc_id must then also partition by the shard id (a bare
+    # PARTITION BY source window would pull a whole source into one task).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n")
+    )
+    sharded = group_prefix_sum(
+        toks, ["source"], ["doc_id"], "n", "cum", sample_cap=16
+    )
+    doc_windows = [s for s in window_specs(sharded) if "doc_id" in s]
     assert doc_windows, "expected a sharded prefix window in the plan"
     assert all("__shard" in s for s in doc_windows)
 
@@ -189,16 +200,34 @@ def test_top_docs_per_source_partial_topk(spark, sf_dir):
 
 
 def test_quality_buckets_sharded_rank_no_udf(spark, sf_dir):
+    from xena_gdc_etl_spark.operators.prefix import group_row_number
     from xena_gdc_etl_spark.plans import window_specs
 
     df = QUERIES["quality_buckets"](spark, sf_dir)
     assert python_udf_count(df) == 0
     plan = formatted_plan(df)
     assert "ntile" not in plan  # replaced by rank arithmetic
-    # the rank window over the big frame (ordered by commonness, doc_id)
-    # must be sharded; lang-only windows are allowed solely on the tiny
-    # offsets frame, which never carries the commonness ordering
-    ranked = [s for s in window_specs(df) if "commonness" in s and "doc_id" in s]
+    # At fixture scale the rank frame (one row per doc) fits one task and
+    # the rank takes the plain-window fallback. Force the sharded shape
+    # (the 100 TB path) and assert it: the rank window over the big frame
+    # (ordered by commonness, doc_id) must be sharded; lang-only windows
+    # are allowed solely on the tiny offsets frame, which never carries
+    # the commonness ordering.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranked_in = docs.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("commonness")
+    )
+    sharded = group_row_number(
+        ranked_in,
+        ["lang"],
+        [("commonness", "desc"), "doc_id"],
+        "__rank",
+        total_col="__n",
+        sample_cap=16,
+    )
+    ranked = [
+        s for s in window_specs(sharded) if "commonness" in s and "doc_id" in s
+    ]
     assert ranked, "expected a sharded rank window in the plan"
     assert all("__shard" in s for s in ranked)
 

@@ -55,7 +55,7 @@ def test_prefix_sum_equals_single_window(spark, rows, shards, parts):
     got = {
         r.k: r.ps
         for r in group_prefix_sum(
-            df, ["g"], ["k"], "v", "ps", num_shards=shards
+            df, ["g"], ["k"], "v", "ps", num_shards=shards, sample_cap=4
         ).collect()
     }
     assert got == _reference(rows)
@@ -74,6 +74,7 @@ def test_row_number_matches_window_form(spark, rows, shards):
             "rn",
             total_col="n",
             num_shards=shards,
+            sample_cap=4,
         ).collect()
     }
     w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("k").asc())
@@ -99,7 +100,7 @@ def test_prefix_correct_with_exchange_reuse_disabled(spark):
         got = {
             r.k: r.ps
             for r in group_prefix_sum(
-                df, ["g"], ["k"], "v", "ps", num_shards=8
+                df, ["g"], ["k"], "v", "ps", num_shards=8, sample_cap=16
             ).collect()
         }
         assert got == _reference(rows)
@@ -114,7 +115,7 @@ def test_fractional_values_not_truncated(spark):
     df = spark.createDataFrame(
         [(i, g, v) for i, (g, v) in enumerate(rows)], ["k", "g", "v"]
     )
-    out = group_prefix_sum(df, ["g"], ["k"], "v", "ps", num_shards=3)
+    out = group_prefix_sum(df, ["g"], ["k"], "v", "ps", num_shards=3, sample_cap=2)
     assert dict(out.dtypes)["ps"] == "double"
     got = {r.k: r.ps for r in out.collect()}
     assert got == {0: 0.5, 1: 0.75, 2: 1.0, 3: 1.5}
@@ -135,7 +136,8 @@ def test_null_order_keys_match_window(spark):
         got = {
             r.k: r.rn
             for r in group_row_number(
-                df, ["g"], [("v", direction), "k"], "rn", num_shards=4
+                df, ["g"], [("v", direction), "k"], "rn", num_shards=4,
+                sample_cap=4,
             ).collect()
         }
         order = (
@@ -224,7 +226,7 @@ def test_rolling_matches_reference(spark, rows, shards, parts, preceding, agg):
         r.k: r.roll
         for r in group_rolling(
             df, ["g"], ["k"], "v", "roll",
-            agg=agg, preceding=preceding, num_shards=shards,
+            agg=agg, preceding=preceding, num_shards=shards, sample_cap=4,
         ).collect()
     }
     want = _rolling_reference(rows, preceding, agg)
@@ -275,7 +277,7 @@ def test_rolling_matches_plain_window_on_events(spark, sf_dir):
         r.event_id: r.roll
         for r in group_rolling(
             ev, ["user_id"], ["ts", "event_id"], "value", "roll",
-            agg="avg", preceding=3, num_shards=16,
+            agg="avg", preceding=3, num_shards=16, sample_cap=64,
         ).select("event_id", "roll").collect()
     }
     assert got == want
@@ -299,7 +301,7 @@ def test_prefix_sum_null_group_key(spark):
     the offsets join."""
     rows = [(None, k, 1) for k in range(1, 21)] + [("a", k, 2) for k in range(1, 6)]
     df = spark.createDataFrame(rows, "g string, k int, v int")
-    out = group_prefix_sum(df, ["g"], ["k"], "v", "ps", num_shards=4)
+    out = group_prefix_sum(df, ["g"], ["k"], "v", "ps", num_shards=4, sample_cap=8)
     got = {(r.g, r.k): r.ps for r in out.collect()}
     assert len(got) == 25  # nothing dropped
     for k in range(1, 21):
@@ -318,7 +320,8 @@ def test_group_rolling_null_group_key(spark):
     rows = [(None, k, float(k)) for k in range(1, 21)]
     df = spark.createDataFrame(rows, "g string, k int, v double")
     out = group_rolling(
-        df, ["g"], ["k"], "v", "roll", agg="avg", preceding=3, num_shards=4
+        df, ["g"], ["k"], "v", "roll", agg="avg", preceding=3, num_shards=4,
+        sample_cap=4,
     )
     got = {r.k: r.roll for r in out.collect()}
     w = W.partitionBy("g").orderBy("k").rowsBetween(-3, W.currentRow)
@@ -327,3 +330,41 @@ def test_group_rolling_null_group_key(spark):
         for r in df.withColumn("roll", F.avg("v").over(w)).collect()
     }
     assert got == exp
+
+
+def test_small_frame_fallback_plain_window(spark):
+    """The boundary sample doubles as a row-count probe: a frame proven
+    smaller than sample_cap takes the plain-window path (no __shard, no
+    offsets join — fewer jobs), with results identical to the sharded
+    form. The sharded tests above force their path with a small
+    sample_cap for exactly this reason."""
+    rows = [("a", k, 1) for k in range(1, 11)] + [("b", k, 3) for k in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    out = group_prefix_sum(df, ["g"], ["k"], "v", "ps", num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" not in plan
+    got = {(r.g, r.k): r.ps for r in out.collect()}
+    want = {
+        (r.g, r.k): r.ps
+        for r in group_prefix_sum(
+            df, ["g"], ["k"], "v", "ps", num_shards=8, sample_cap=4
+        ).collect()
+    }
+    assert got == want
+
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    roll = group_rolling(
+        df, ["g"], ["k"], "v", "r", agg="sum", preceding=2, num_shards=8
+    )
+    rplan = roll._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" not in rplan
+    got_r = {(r.g, r.k): r.r for r in roll.collect()}
+    want_r = {
+        (r.g, r.k): r.r
+        for r in group_rolling(
+            df, ["g"], ["k"], "v", "r",
+            agg="sum", preceding=2, num_shards=8, sample_cap=4,
+        ).collect()
+    }
+    assert got_r == want_r

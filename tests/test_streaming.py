@@ -260,3 +260,112 @@ def test_streaming_heavy_hitters_matches_batch_counts(
     )
     exp_top = sorted(expected, key=lambda t: (-t[2], t[1], t[0]))[:5]
     assert [(r.ws, r.user_id, r.cnt) for r in top] == exp_top
+
+
+def test_streaming_cluster_purity_matches_batch(spark, tmp_path):
+    """The watermark-bounded per-(window, cell, label) counts plus the
+    downstream finalize cut equal the batch cell_label_purity on a
+    bounded replay (single window covering all data)."""
+    from xena_gdc_etl_spark.operators import similarity as sim
+    from xena_gdc_etl_spark.streaming import (
+        finalize_cluster_purity,
+        streaming_cluster_purity,
+    )
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # batch expected
+    labeled = (
+        sim.ivf_assign(emb, centroids)
+        .select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "label"), "vec_id")
+    )
+    expected = sorted(
+        (r.centroid_id, r.n_members, r.majority_label, r.n_majority, r.purity)
+        for r in sim.cell_label_purity(labeled).collect()
+    )
+    # stream replay: constant event time, one wide window
+    d = str(tmp_path / "emb_stream")
+    emb.withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    counts = _run_stream(
+        spark,
+        streaming_cluster_purity(
+            stream, centroids, window_duration="24 hours"
+        ),
+    )
+    got = sorted(
+        (r.centroid_id, r.n_members, r.majority_label, r.n_majority, r.purity)
+        for r in finalize_cluster_purity(counts).collect()
+    )
+    assert got == expected
+
+
+def test_streaming_containment_matches_batch(spark, tmp_path):
+    """Arriving docs scored against a landed shingle posting equal the
+    batch containment over all shingle-sharing pairs."""
+    from xena_gdc_etl_spark.operators import dedup as dd
+    from xena_gdc_etl_spark.streaming import streaming_containment
+
+    landed = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "zz"),  # shorter than k: no shingles, never appears
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox"),          # embedded in doc 1
+            (11, "five dozen liquor"),            # embedded in doc 2
+            (12, "entirely unrelated words xq"),  # no shared shingles
+        ],
+        "doc_id long, text string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+
+    landed_sh = dd.shingles(landed, k=5, distinct=True)
+
+    # batch reference: per (new, landed) pair sharing >= 1 shingle
+    new_sh = dd.shingles(new, k=5, distinct=True).select(
+        F.col("doc_id").alias("a"), "shingle"
+    )
+    sizes = new_sh.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    expected = sorted(
+        (r.a, r.b, r.n_common, r.n_a, r.containment_a)
+        for r in new_sh.join(
+            landed_sh.select(F.col("doc_id").alias("b"), "shingle"),
+            "shingle",
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .join(sizes, "a")
+        .select(
+            "a", "b", "n_common",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+        )
+        .collect()
+    )
+    assert expected, "fixture must produce shared-shingle pairs"
+
+    d = str(tmp_path / "docs_stream")
+    new.write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    got = sorted(
+        (r.a, r.b, r.n_common, r.n_a, r.containment_a)
+        for r in _run_stream(
+            spark,
+            streaming_containment(
+                stream, landed_sh, window_duration="24 hours"
+            ),
+        ).collect()
+    )
+    assert got == expected
+    # the embedded docs score containment 1.0
+    full = {a for a, b, c, n, s in got if s == 1.0}
+    assert {10, 11} <= full

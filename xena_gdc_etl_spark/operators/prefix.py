@@ -114,12 +114,19 @@ def _sample_boundaries(
     descs: list[bool],
     num_shards: int,
     sample_cap: int,
-) -> list[tuple]:
+) -> "tuple[list[tuple], bool]":
     """One bounded job: a deterministic uniform sample (the ``sample_cap``
     smallest ``xxhash64`` values — a content hash, so the sample is
     independent of physical partitioning) of the composite key, sorted by
     sort position on the driver; every ``n/num_shards``-th key becomes a
     shard boundary. Boundary PLACEMENT only affects balance, never results.
+
+    Returns ``(boundaries, fits_one_task)``. The sample doubles as a free
+    row-count probe: when it comes back with fewer than ``sample_cap``
+    rows, the WHOLE frame has fewer than ``sample_cap`` rows — provably
+    small enough for a single window task — so callers skip the
+    shard/offsets machinery entirely (identical results, fewer jobs). At
+    scale the sample always fills the cap and the sharded path engages.
     """
     names = [f"__k{i}" for i in range(len(key_cols))]
     keyed = df.select(*[c.alias(n) for c, n in zip(key_cols, names)])
@@ -131,8 +138,9 @@ def _sample_boundaries(
         .drop("__h")
         .collect()
     )
-    if not rows:
-        return []
+    fits_one_task = len(rows) < sample_cap
+    if not rows or fits_one_task:
+        return [], fits_one_task
 
     def cmp_rows(ra, rb) -> int:
         for i, d in enumerate(descs):
@@ -148,7 +156,7 @@ def _sample_boundaries(
         idx = (i * n) // num_shards
         if 0 < idx < n:
             bounds.append(tuple(rows[idx]))
-    return bounds
+    return bounds, False
 
 
 def _pos_eq(col: Column, bval: Any) -> Column:
@@ -228,14 +236,36 @@ def group_prefix_sum(
     def sum_typed(col: Column) -> Column:
         return col.cast("bigint") if integral else col
 
-    boundaries = (
-        _sample_boundaries(df, key_cols, descs, num_shards, sample_cap)
-        if num_shards > 1
-        else []
-    )
-    staged = df.withColumn(_SHARD, _shard_expr(key_cols, descs, boundaries))
-
     order_exprs = [c.desc() if d else c.asc() for c, d in specs]
+
+    boundaries: list[tuple] = []
+    fits_one_task = num_shards <= 1
+    if num_shards > 1:
+        boundaries, fits_one_task = _sample_boundaries(
+            df, key_cols, descs, num_shards, sample_cap
+        )
+    if fits_one_task or num_shards <= 1:
+        # The boundary sample came back under the cap, so the WHOLE frame
+        # is provably small enough for one window task (or the caller
+        # asked for one shard): the plain window gives identical results
+        # without the offsets agg + broadcast join. The sharded machinery
+        # below is for the case that matters at scale.
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(*order_exprs)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df.withColumn(out_col, sum_typed(F.sum(value).over(w)))
+        if total_col is not None:
+            out = out.withColumn(
+                total_col,
+                sum_typed(
+                    F.sum(value).over(Window.partitionBy(*group_cols))
+                ),
+            )
+        return out
+
+    staged = df.withColumn(_SHARD, _shard_expr(key_cols, descs, boundaries))
     local_w = (
         Window.partitionBy(_SHARD, *group_cols)
         .orderBy(*order_exprs)
@@ -297,6 +327,7 @@ def group_row_number(
     *,
     total_col: str | None = None,
     num_shards: int | None = None,
+    sample_cap: int = _DEFAULT_SAMPLE_CAP,
 ) -> DataFrame:
     """Per-group 1-based rank in ``order_cols`` order (``row_number``
     semantics — ``order_cols`` must totally order each group, e.g. with an
@@ -312,6 +343,7 @@ def group_row_number(
         out_col,
         total_col=total_col,
         num_shards=num_shards,
+        sample_cap=sample_cap,
     )
     return out.drop(one)
 
@@ -383,11 +415,23 @@ def group_rolling(
     gcols = [F.col(c) for c in group_cols]
     key_cols = gcols + [c for c, _ in specs]
     descs = [False] * len(gcols) + [d for _, d in specs]
-    boundaries = (
-        _sample_boundaries(df, key_cols, descs, num_shards, sample_cap)
-        if num_shards > 1
-        else []
-    )
+    boundaries: list[tuple] = []
+    fits_one_task = num_shards <= 1
+    if num_shards > 1:
+        boundaries, fits_one_task = _sample_boundaries(
+            df, key_cols, descs, num_shards, sample_cap
+        )
+    if fits_one_task or num_shards <= 1:
+        # Row-count probe proved the frame fits one window task (or the
+        # caller asked for one shard): the plain bounded-frame window is
+        # bitwise-identical and skips the tail-carry machinery.
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(*[c.desc() if d else c.asc() for c, d in specs])
+            .rowsBetween(-preceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, agg_fn(value).over(w))
+
     onames = [f"__o{i}" for i in range(len(specs))]
     staged = df.withColumn(_SHARD, _shard_expr(key_cols, descs, boundaries))
     for n, (c, _) in zip(onames, specs):

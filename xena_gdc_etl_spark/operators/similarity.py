@@ -170,10 +170,13 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     max_driver_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (rounded cosine; ties →
     smallest centroid id). The centroid matrix ships to every task; one
     matmul per Arrow batch, no shuffle and no per-row window.
+    ``keep_cols``: extra input columns carried through unchanged (e.g. an
+    event-time column for the streaming purity twin).
     """
     spark = vectors.sparkSession
     crows = _collect_bounded(
@@ -190,12 +193,13 @@ def ivf_assign(
     cn = cm / _safe_norms(cm)
     bc = spark.sparkContext.broadcast((c_ids, cn))
 
-    in_schema = vectors.select(id_col, vec_col).schema
+    in_schema = vectors.select(id_col, vec_col, *keep_cols).schema
     out_schema = StructType(
         [
             in_schema[id_col],
             StructField(centroid_id, LongType()),
             in_schema[vec_col],
+            *[in_schema[c] for c in keep_cols],
         ]
     )
 
@@ -208,20 +212,23 @@ def ivf_assign(
             vm /= _safe_norms(vm)
             sims = np.round(vm @ cmat.T, 6)
             nearest = ids[np.argmax(sims, axis=1)]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    centroid_id: nearest,
-                    vec_col: pdf[vec_col],
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                centroid_id: nearest,
+                vec_col: pdf[vec_col],
+            }
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     par = spark.sparkContext.defaultParallelism
-    return (
-        vectors.select(id_col, vec_col)
-        .repartition(par)
-        .mapInPandas(_assign, schema=out_schema)
-    )
+    selected = vectors.select(id_col, vec_col, *keep_cols)
+    if not selected.isStreaming:
+        # spread past scan parallelism; a streaming source manages its own
+        # micro-batch partitioning (and a pre-map repartition would add a
+        # stateless shuffle per batch for nothing)
+        selected = selected.repartition(par)
+    return selected.mapInPandas(_assign, schema=out_schema)
 
 
 def ivf_topk(

@@ -283,6 +283,7 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k keywords per document by tf-idf. Ranking uses only integer
     statistics (tf desc, doc_freq asc, token asc) so it is deterministic
@@ -290,18 +291,13 @@ def tfidf_keywords(
 
     Plan: one explode + two-level agg (per-doc tf, then corpus df), one
     tok-keyed join, one window over doc_id. The doc count N joins in as a
-    broadcast 1-row aggregate — no driver-side collect.
+    broadcast 1-row aggregate — no driver-side collect. ``tf``: optionally
+    a prebuilt :func:`doc_term_freqs` frame (materialize-once seam).
     """
     from pyspark.sql import Window
 
-    # pre-explode repartition: document tables are compact on disk, so the
-    # tokenize+explode would otherwise run at scan parallelism
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    toks = spread.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
-    ).filter(F.col("tok") != "")
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy(
@@ -342,13 +338,19 @@ def fingerprints(
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
-def _doc_term_freqs(
-    docs: DataFrame, id_col: str, text_col: str
+def doc_term_freqs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document term frequencies (id, tok, tf) — the shared first stage
-    of the unigram-LM scorers. One explode + one (id, tok) groupBy; the
-    pre-explode repartition spreads the tokenize work past scan parallelism
-    (document tables are compact on disk).
+    of every unigram statistic in this module (LM scoring, commonness
+    ranking, tf-idf, OOV probing, vocabulary building). One explode + one
+    (id, tok) groupBy; the pre-explode repartition spreads the tokenize
+    work past scan parallelism (document tables are compact on disk).
+
+    A real pipeline materializes this frame ONCE per corpus snapshot (it
+    is the token-statistics artifact) and fans every consumer out from it
+    — the ``tf=`` parameter on the consumers below is that seam; the
+    workload's ``_shared_doc_tf`` session cache is the local analog.
     """
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = spread.select(
@@ -359,7 +361,10 @@ def _doc_term_freqs(
 
 
 def unigram_logprob_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style fluency proxy: score each document by the mean negative
     log-probability of its tokens under the corpus's own unigram model,
@@ -372,8 +377,12 @@ def unigram_logprob_scores(
     as a broadcast 1-row aggregate. At web scale the tok-keyed join falls
     back from broadcast to shuffle — both sides are already tok-keyed
     aggregates, orders of magnitude smaller than the exploded stream.
+
+    ``tf``: optionally a prebuilt :func:`doc_term_freqs` frame (the
+    materialize-once seam); must have the exact (id, tok, tf) semantics.
     """
-    tf = _doc_term_freqs(docs, id_col, text_col)
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col)
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     total = vocab.agg(F.sum("c").alias("__n"))
     nll = F.col("tf") * (F.log(F.col("__n")) - F.log(F.col("c")))
@@ -461,6 +470,7 @@ def commonness_buckets(
     lang_col: str = "lang",
     n_buckets: int = 3,
     commonness_dtype: str = "bigint",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style head/middle/tail bucketing, integer-deterministic.
 
@@ -492,19 +502,22 @@ def commonness_buckets(
     names = ["head", "middle", "tail"]
     if n_buckets != len(names):
         names = [f"b{i + 1}" for i in range(n_buckets)]
-    tf = _doc_term_freqs(docs, id_col, text_col)
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col)
     comm = _commonness(tf, id_col, dtype=commonness_dtype)
     # Materialize the (id, lang, commonness) frame — one narrow row per
     # document, the REDUCED output of the tokenize+join pipeline — before
     # ranking: the sharded rank's boundary-sample pass projects its order
     # keys, and commonness IS an order key, so without this the whole
     # commonness pipeline would run twice (once for the sample, once for
-    # the rank). One bounded materialization beats recomputing the
-    # corpus-scale stage; the judge-suggested localCheckpoint form.
+    # the rank). Lazy (eager=False) so merely CONSTRUCTING this plan
+    # (EXPLAIN, plan-shape tests) runs no job — the checkpoint
+    # materializes on its first action, which here is the boundary-sample
+    # collect inside group_row_number, and every later pass reuses it.
     ranked_in = (
         docs.select(id_col, lang_col)
         .join(comm, id_col)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranked = group_row_number(
         ranked_in,
@@ -645,38 +658,40 @@ def oov_rates(
     vocab_size: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus's own top-K
     tokens by term frequency (ties broken lexically for determinism) —
     the coverage diagnostic run before fixing a tokenizer vocabulary.
 
-    Plan: one explode feeds BOTH the vocabulary aggregation and the
-    per-doc probe; the vocabulary (≤ ``vocab_size`` rows by construction)
-    broadcasts, so the probe join is map-side — the corpus-sized token
-    stream shuffles once (the per-doc groupBy), never for the join. Docs
-    with zero tokens produce no explode rows and are absent, matching the
-    oracle.
+    Plan: everything derives from the (id, tok, tf) frame — the
+    vocabulary is its tok-rollup's top-K (≤ ``vocab_size`` rows by
+    construction, broadcast), and the probe join touches per-doc DISTINCT
+    tokens weighted by tf rather than the raw exploded stream, so the
+    stream shuffles once (building tf), never for the probe. Docs with
+    zero tokens have no tf rows and are absent, matching the oracle.
+    ``tf``: optionally a prebuilt :func:`doc_term_freqs` frame
+    (materialize-once seam).
     """
-    toks = (
-        docs.select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col)
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .orderBy(F.col("tf").desc(), "tok")
+        tf.groupBy("tok")
+        .agg(F.sum("tf").alias("__c"))
+        .orderBy(F.col("__c").desc(), "tok")
         .limit(vocab_size)
         .select("tok", F.lit(1).alias("__in_vocab"))
     )
     return (
-        toks.join(F.broadcast(vocab), "tok", "left")
+        tf.join(F.broadcast(vocab), "tok", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.count(F.lit(1)) - F.count("__in_vocab")).alias("n_oov"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
         )
         .select(
             F.col(id_col),
@@ -901,12 +916,14 @@ def source_vocab_overlap(
     # The top frame is tiny (≤ vocab_k × n_sources rows) but feeds THREE
     # consumers (pair join both sides + sizes); materialize it so the
     # corpus-scale tokenize/count pipeline above runs once, not three
-    # times.
+    # times. Lazy (eager=False): plan construction stays action-free, the
+    # checkpoint lands on the query's first action and is shared from
+    # there.
     top = (
         survivors.withColumn("__rank", F.row_number().over(final_w))
         .filter(F.col("__rank") <= vocab_k)
         .select("source", "tok")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
     a, b = top.alias("a"), top.alias("b")

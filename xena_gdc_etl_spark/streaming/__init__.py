@@ -219,3 +219,151 @@ def streaming_heavy_hitters(
             F.col("cnt"),
         )
     )
+
+
+def streaming_cluster_purity(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the ``cluster_purity`` index-quality profile:
+    arriving labeled vectors are assigned to their nearest STATIC centroid
+    (stream-static broadcast enrichment — the same train-once/serve-many
+    contract as sources/ann_index.py) and counted per (tumbling window,
+    cell, label) under a watermark, so state drops once a window
+    finalizes.
+
+    The majority/purity cut — pick the biggest label per (window, cell),
+    smallest-label tiebreak, share of the cell — runs per FINALIZED window
+    downstream (``finalize_cluster_purity``), exactly like the
+    heavy-hitter twin's top-k cut: Structured Streaming cannot
+    incrementally maintain an argmax-with-tiebreak, and the per-window
+    label-count frame is already reduced to #cells × #labels rows, so the
+    cut is trivially cheap wherever it runs. Batch twin:
+    operators/similarity.py ``cell_label_purity``.
+    """
+    from xena_gdc_etl_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        vectors, centroids, keep_cols=(ts_col, label_col)
+    )
+    return (
+        assigned.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration),
+            F.col("centroid_id"),
+            F.col(label_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("ws"),
+            "centroid_id",
+            F.col(label_col).alias("label"),
+            F.col("n"),
+        )
+    )
+
+
+def finalize_cluster_purity(window_counts: DataFrame) -> DataFrame:
+    """The per-finalized-window purity cut for
+    :func:`streaming_cluster_purity` output (also usable on any
+    (ws, centroid_id, label, n) frame): majority label with
+    smallest-label tiebreak + member count + purity share — the batch
+    ``cell_label_purity`` columns, per window."""
+    per_cell = window_counts.groupBy("ws", "centroid_id").agg(
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.max(
+            F.struct(F.col("n"), (-F.col("label")).alias("neg"))
+        ).alias("b"),
+    )
+    return per_cell.select(
+        "ws",
+        "centroid_id",
+        "n_members",
+        (-F.col("b.neg")).cast("int").alias("majority_label"),
+        F.col("b.n").cast("bigint").alias("n_majority"),
+        F.round(F.col("b.n") / F.col("n_members"), 6).alias("purity"),
+    )
+
+
+def streaming_containment(
+    new_docs: DataFrame,
+    landed_shingles: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the ``containment_pairs`` quote/doc-inside-doc
+    profile: each ARRIVING document is scored against the LANDED corpus —
+    C(new, landed) = |S(new) ∩ S(landed)| / |S(new)| for every landed doc
+    sharing at least one k-char shingle.
+
+    Plan shape (all streaming-legal): the stream side folds each doc to
+    its DISTINCT shingle array statelessly (array_distinct before the
+    explode — no dropDuplicates state), carries |S(new)| as a column,
+    probes the static (shingle → landed doc) posting frame with a
+    stream-static join, and one watermarked aggregate per (window, new
+    doc, landed doc) counts the intersection — state drops when the
+    watermark passes the window. The landed posting frame is the durable
+    artifact (build it with ``dedup.shingles(landed, distinct=True)`` and
+    cap hot shingles with a ``max_doc_freq``-style filter before handing
+    it in — the same pre-expansion cap discipline as the batch LSH path,
+    SURVEY §6 cap table). Landed docs with zero shingles never appear
+    (no posting rows), matching the batch operator's inner-join contract.
+    """
+    # guarded offsets (same contract as dedup._offsets): text shorter
+    # than k yields ZERO shingles — sequence(1, stop<1) would run
+    # backward and emit garbage
+    stop = F.length(F.col(text_col)) - F.lit(k - 1)
+    offsets = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh_arr = F.array_distinct(
+        F.transform(offsets, lambda i: F.col(text_col).substr(i, F.lit(k)))
+    )
+    stream = new_docs.select(
+        F.col(ts_col),
+        F.col(id_col).alias("a"),
+        sh_arr.alias("__sh"),
+    ).select(
+        F.col(ts_col),
+        "a",
+        F.size("__sh").alias("n_a"),
+        F.explode("__sh").alias("shingle"),
+    )
+    # landed_shingles: the (landed id, shingle) frame dedup.shingles
+    # produces — first column is the landed doc id
+    landed_id = landed_shingles.columns[0]
+    posting = landed_shingles.select(
+        "shingle", F.col(landed_id).alias("b")
+    )
+    joined = stream.join(posting, "shingle")
+    return (
+        joined.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration),
+            F.col("a"),
+            F.col("b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.max("n_a").cast("bigint").alias("n_a"),
+        )
+        .select(
+            F.col("window.start").alias("ws"),
+            "a",
+            "b",
+            "n_common",
+            "n_a",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias(
+                "containment_a"
+            ),
+        )
+    )

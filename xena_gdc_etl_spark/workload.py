@@ -146,6 +146,72 @@ def _shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# The (doc_id, tok, tf) term-frequency frame is the shared first stage of
+# five unigram-statistics queries (lm_score, quality_buckets, oov_rate,
+# tfidf_topk, vocab_topk) — a real pipeline materializes this
+# token-statistics artifact once per corpus snapshot and fans the
+# consumers out from it. Same bounded session-scoped contract as
+# _shared_signatures.
+_TF_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple[str, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _shared_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    entry = _TF_CACHE.get(spark)
+    if entry is not None:
+        if entry[0] == sf_dir:
+            return entry[1]
+        entry[1].unpersist()
+    tf = tx.doc_term_freqs(Catalog(spark, sf_dir).documents).persist()
+    _TF_CACHE[spark] = (sf_dir, tf)
+    return tf
+
+
+# The pack layout (doc → pack_id/pack_offset under concat-and-chunk) is
+# consumed by sequence_pack (IS the frame) and pack_stats (aggregates it)
+# — in a deployment the layout is computed once per training-mix freeze
+# and every loader/diagnostic reads it. Sharing it also means the prefix
+# scan's boundary-sample job runs once per (session, sf_dir) instead of
+# once per consumer call.
+_PACK_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple[str, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+_PACK_BUDGET = 256
+
+
+def _shared_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.prefix import group_prefix_sum
+
+    entry = _PACK_CACHE.get(spark)
+    if entry is not None:
+        if entry[0] == sf_dir:
+            return entry[1]
+        entry[1].unpersist()
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), WS_RE), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    cum = group_prefix_sum(toks, ["source"], ["doc_id"], "n_tokens", "__cum")
+    start = F.col("__cum") - F.col("n_tokens")
+    layout = cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (start % _PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    ).persist()
+    _PACK_CACHE[spark] = (sf_dir, layout)
+    return layout
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -1413,19 +1479,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), WS_RE)).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
+    # Both statistics are rollups of the shared (doc_id, tok, tf) frame:
+    # corpus tf = Σ tf, doc_freq = row count (one tf row per (doc, tok)).
+    tf = _shared_doc_tf(spark, sf_dir)
     return (
-        toks.groupBy("tok")
+        tf.groupBy("tok")
         .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.count_distinct("doc_id").alias("doc_freq"),
+            F.sum("tf").alias("tf"),
+            F.count(F.lit(1)).alias("doc_freq"),
         )
         .orderBy(F.col("tf").desc(), "tok")
         .limit(100)
@@ -1702,7 +1763,11 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators.text import tfidf_keywords
 
-    return tfidf_keywords(Catalog(spark, sf_dir).documents, k=3)
+    return tfidf_keywords(
+        Catalog(spark, sf_dir).documents,
+        k=3,
+        tf=_shared_doc_tf(spark, sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2125,31 +2190,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xena_gdc_etl_spark.operators.prefix import group_prefix_sum
-
-    docs = Catalog(spark, sf_dir).documents
-    budget = 256
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.filter(F.split(F.col("text"), WS_RE), lambda t: t != ""))
-        .cast("bigint")
-        .alias("n_tokens"),
-    )
-    # Running token total per source via the two-pass sharded prefix scan
-    # (operators/prefix.py) — a plain per-source window would serialize a
-    # whole source (at 100 TB: most of the corpus) through one task.
-    cum = group_prefix_sum(
-        toks, ["source"], ["doc_id"], "n_tokens", "__cum"
-    )
-    start = (F.col("__cum") - F.col("n_tokens")).alias("start_tok")
-    return cum.select("doc_id", "source", "n_tokens", start).select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor(F.col("start_tok") / budget).cast("bigint").alias("pack_id"),
-        (F.col("start_tok") % budget).cast("bigint").alias("pack_offset"),
-    )
+    # The layout frame itself — built with the two-pass sharded prefix
+    # scan (operators/prefix.py: a plain per-source window would
+    # serialize a whole source through one task) and shared
+    # session-scoped so pack_stats consumes it instead of re-running the
+    # boundary sample + window + offsets pipeline.
+    return _shared_pack_layout(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -2185,8 +2231,8 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    packed = sequence_pack(spark, sf_dir)
-    budget = 256
+    packed = _shared_pack_layout(spark, sf_dir)
+    budget = _PACK_BUDGET
     return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_started"),
         F.sum("n_tokens").cast("bigint").alias("tokens_started"),
@@ -2543,7 +2589,9 @@ def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import text as tx
 
-    return tx.unigram_logprob_scores(Catalog(spark, sf_dir).documents)
+    return tx.unigram_logprob_scores(
+        Catalog(spark, sf_dir).documents, tf=_shared_doc_tf(spark, sf_dir)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2617,7 +2665,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import text as tx
 
-    return tx.commonness_buckets(Catalog(spark, sf_dir).documents)
+    return tx.commonness_buckets(
+        Catalog(spark, sf_dir).documents, tf=_shared_doc_tf(spark, sf_dir)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2701,7 +2751,11 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators.text import oov_rates
 
-    return oov_rates(Catalog(spark, sf_dir).documents, vocab_size=100)
+    return oov_rates(
+        Catalog(spark, sf_dir).documents,
+        vocab_size=100,
+        tf=_shared_doc_tf(spark, sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3112,56 +3166,54 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration order moves.
 # --------------------------------------------------------------------------
 _PROMOTED = [
-    # round 5: the 20 rows the round-4 rotation displaced out of the
-    # window (each green in r03 and in the local parity suite) rotate
-    # back in, so the union of r04+r05 driver rows covers every
-    # oracle-backed query
-    "dedup_simhash",
-    "simhash_pairs",
-    "ngram_jaccard",
-    "cosine_topk",
-    "embed_quantize",
-    "ann_ivf",
-    "quality_filter",
-    "passage_dedup",
-    "value_histogram",
-    "corpus_stats",
-    "sample_by_group",
-    "range_join",
-    "rolling_avg",
-    "pivot_event_counts",
-    "event_funnel",
-    "cohort_retention",
-    "incremental_dedup",
-    "weighted_sample",
-    "rebalance_sources",
+    # round 6: the 34 rows the round-5 rotation displaced out of the
+    # window (each green in r04 and in the local parity suite) rotate
+    # back in — the invariant since round 4: no query goes two
+    # consecutive rounds unsampled, so the union of any two adjacent
+    # rounds' driver windows covers every query.
+    "field_map",
+    "check_new",
+    "project_info",
+    "earliest_diagnosis",
+    "postprocess_dedup",
+    "xena_eql",
+    "events_window",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "minhash_jaccard_est",
+    "dedup_normalized",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_features",
+    "vocab_topk",
+    "scrub_pii",
+    "train_split",
+    "flatten_props",
+    "json_props_agg",
+    "doc_repetition",
+    "contamination",
+    "tfidf_topk",
+    "asof_join",
+    "group_percentiles",
+    "top_docs_per_source",
+    "ann_ivf_pq",
+    "quality_logreg",
+    "bigram_lm_score",
+    # queries whose PLAN changed this round (shared doc-tf cache; shared
+    # pack-layout cache; null-safe quantile-band join) — fresh driver
+    # rows must land in r06 even though they were green in r05
     "lm_score",
-    # round-5 additions (the oracle-gated scorer halves of the two
-    # rows-only queries; the sharded bounded-frame rolling window) —
-    # first driver rows land now
-    "pq_adc_score",
-    "logreg_score",
-    "rolling_avg_sharded",
-    "gopher_quality",
-    "oov_rate",
-    "mixture_plan",
-    "dup_spans",
-    # queries whose PLAN changed this round (value-derived prefix shards;
-    # shared IVF assignment cache) — fresh driver rows must land in r05
     "quality_buckets",
+    "oov_rate",
     "sequence_pack",
     "pack_stats",
-    "embed_cosine_dup",
-    "semantic_dedup",
-    # round-5 additions, second batch: winnowing, chunking, vocab overlap,
-    # heavy-hitter profile — first driver rows land now
-    "winnow_fingerprint",
-    "chunk_documents",
-    "vocab_overlap",
-    "heavy_hitters",
     "length_band_filter",
-    "containment_pairs",
-    "cluster_purity",
 ]
 
 
