@@ -218,12 +218,25 @@ def test_ivf_train_converges_and_deterministic(spark):
     big = max(cents.values(), key=lambda c: c[0])
     assert all(abs(x - y) < 0.2 for x, y in zip(small, [0.915, 1.085]))
     assert all(x > 9.5 for x in big)
-    # deterministic under repartitioning
+    # byte-deterministic on a rerun over the SAME partitioning
+    rerun = {
+        r.centroid_id: r.embedding
+        for r in sim.ivf_train(vecs, k=2, iterations=3).collect()
+    }
+    assert rerun == cents
+    # repartitioning re-associates the per-cell mean fold, so the
+    # contract across partitionings is ulp-level agreement, not byte
+    # equality (the conditional core-spread no longer canonicalizes an
+    # input that already fills the cores — see _spread_to_cores)
     again = {
         r.centroid_id: r.embedding
         for r in sim.ivf_train(vecs.repartition(5), k=2, iterations=3).collect()
     }
-    assert again == cents
+    assert set(again) == set(cents)
+    for cid, vec in cents.items():
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(vec, again[cid])
+        ), (cid, vec, again[cid])
 
 
 def test_resize_media_deterministic_dims(spark):

@@ -4,8 +4,6 @@ driver-side reference implementation, convergence, and plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from xena_gdc_etl_spark.operators import logreg
 
 ROWS = [
@@ -25,14 +23,43 @@ def _df(spark, n_partitions=1):
     return df.coalesce(n_partitions)
 
 
-def test_matches_reference_implementation(spark):
-    # single partition => same fold order as the sequential reference; the
-    # remaining divergence is the last ulp of JVM Math.exp vs libm exp, so
-    # pin to 1e-12 rather than bit-identity
+def test_matches_reference_implementation_driver_path(spark):
+    # rows ≤ driver_max_rows ⇒ the one-collect path; the collected matrix
+    # IS the reference's matrix and both run the same numpy ops on it
     w, b = logreg.logistic_train(_df(spark, 1), ["f0", "f1"], "y", iterations=15)
     wr, br = logreg._reference_train(ROWS, iterations=15)
     assert all(abs(a - c) < 1e-12 for a, c in zip(w, wr))
     assert abs(b - br) < 1e-12
+
+
+def test_matches_reference_implementation_distributed_path(spark):
+    # driver_max_rows=0 forces the per-round Arrow partial-gradient jobs;
+    # single partition => the partial sees the same matrix the reference
+    # holds (pin to 1e-12: Arrow round-trip and one-row JVM sum are exact)
+    w, b = logreg.logistic_train(
+        _df(spark, 1), ["f0", "f1"], "y", iterations=15, driver_max_rows=0
+    )
+    wr, br = logreg._reference_train(ROWS, iterations=15)
+    assert all(abs(a - c) < 1e-12 for a, c in zip(w, wr))
+    assert abs(b - br) < 1e-12
+
+
+def test_partitioning_invariance(spark):
+    # the distributed gradient is a sum of per-partition partials divided
+    # by the global count — re-partitioning only re-associates the float
+    # sum, so 1-partition and 3-partition training agree to fp-association
+    # tolerance (and both agree with the driver path the same way)
+    w1, b1 = logreg.logistic_train(
+        _df(spark, 1), ["f0", "f1"], "y", iterations=10, driver_max_rows=0
+    )
+    w3, b3 = logreg.logistic_train(
+        _df(spark, 3), ["f0", "f1"], "y", iterations=10, driver_max_rows=0
+    )
+    wd, bd = logreg.logistic_train(_df(spark, 3), ["f0", "f1"], "y", iterations=10)
+    assert all(abs(a - c) < 1e-9 for a, c in zip(w1, w3))
+    assert abs(b1 - b3) < 1e-9
+    assert all(abs(a - c) < 1e-9 for a, c in zip(wd, w3))
+    assert abs(bd - b3) < 1e-9
 
 
 def test_loss_decreases_and_separates(spark):
@@ -52,16 +79,18 @@ def test_loss_decreases_and_separates(spark):
     assert min(pos) > max(neg)
 
 
-def test_gradient_is_pure_codegen_aggregate(spark):
-    # the per-round job must be JVM-only: no Python UDFs, no explode —
-    # a single aggregate over literal-weighted expressions
-    from xena_gdc_etl_spark.plans import python_udf_count
+def test_scoring_is_pure_codegen_projection(spark):
+    # the SCORING half stays JVM-only: no Python UDFs, no shuffle — a
+    # literal-weighted sigmoid projection (the TRAINER's per-round job is
+    # deliberately an Arrow-batched mapInPandas partial so its plan never
+    # embeds the weights; plan stability across rounds is what keeps the
+    # 20-round loop at one codegen compile)
+    from xena_gdc_etl_spark.plans import python_udf_count, shuffle_count
 
     df = _df(spark, 2)
-    y = F.col("y").cast("double")
-    err = 1.0 / (1.0 + F.exp(-(F.lit(0.0) + F.lit(0.0) * F.col("f0")))) - y
-    agg = df.agg(F.avg(err).alias("g_b"), F.avg(err * F.col("f0")).alias("g0"))
-    assert python_udf_count(agg) == 0
+    scored = logreg.logistic_predict(df, [0.5, -0.5], 0.1, ["f0", "f1"])
+    assert python_udf_count(scored) == 0
+    assert shuffle_count(scored) == 0
 
 
 def test_registered_query_scores_every_doc(spark, sf_dir):

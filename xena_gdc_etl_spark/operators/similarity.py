@@ -65,6 +65,21 @@ _TOPK_SCHEMA = StructType(
 )
 
 
+def _spread_to_cores(df: DataFrame, par: int) -> DataFrame:
+    """Repartition ONLY when the scan underfills the cores.
+
+    Compact vector files scan as a handful of partitions, so without a
+    spread the Arrow matmul stages run on a fraction of the cluster. But
+    an unconditional ``repartition`` is a full-corpus shuffle that a
+    100 TB scan (thousands of input splits ≥ parallelism already) must
+    never pay — so probe the plan's partitioning (no job) and shuffle
+    only the underfilled case.
+    """
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -120,11 +135,9 @@ def cosine_topk(
             )
 
     par = spark.sparkContext.defaultParallelism
-    local = (
-        vectors.select(id_col, vec_col)
-        .repartition(par)  # scan partitions of compact vector files underfill cores
-        .mapInPandas(_local_topk, schema=_TOPK_SCHEMA)
-    )
+    local = _spread_to_cores(
+        vectors.select(id_col, vec_col), par
+    ).mapInPandas(_local_topk, schema=_TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("match_id").asc()
     )
@@ -224,10 +237,10 @@ def ivf_assign(
     par = spark.sparkContext.defaultParallelism
     selected = vectors.select(id_col, vec_col, *keep_cols)
     if not selected.isStreaming:
-        # spread past scan parallelism; a streaming source manages its own
-        # micro-batch partitioning (and a pre-map repartition would add a
-        # stateless shuffle per batch for nothing)
-        selected = selected.repartition(par)
+        # spread past scan parallelism when underfilled; a streaming
+        # source manages its own micro-batch partitioning (and a pre-map
+        # repartition would add a stateless shuffle per batch for nothing)
+        selected = _spread_to_cores(selected, par)
     return selected.mapInPandas(_assign, schema=out_schema)
 
 
@@ -327,10 +340,13 @@ def ivf_train(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
 ) -> DataFrame:
-    """Train IVF centroids with Lloyd's k-means — fully deterministic:
-    init = the ``k`` smallest-id vectors (reproducible, no RNG), fixed
-    ``iterations`` (no data-dependent stopping), cosine assignment with the
-    same rounding/tiebreak as ``ivf_assign``.
+    """Train IVF centroids with Lloyd's k-means — deterministic for a
+    fixed input partitioning: init = the ``k`` smallest-id vectors
+    (reproducible, no RNG), fixed ``iterations`` (no data-dependent
+    stopping), cosine assignment with the same rounding/tiebreak as
+    ``ivf_assign``. Re-partitioning the input re-associates the per-cell
+    mean fold, so centroids agree only to fp-association (ulp) level
+    across different partitionings.
 
     Per round: one broadcast of the k×d centroid matrix + one matmul per
     Arrow batch (assignment), then one partial-aggregated groupBy for the
@@ -1019,11 +1035,9 @@ def ivf_pq_encode(
             )
 
     par = spark.sparkContext.defaultParallelism
-    return (
-        vectors.select(id_col, vec_col)
-        .repartition(par)
-        .mapInPandas(_assign_encode, schema=out_schema)
-    )
+    return _spread_to_cores(
+        vectors.select(id_col, vec_col), par
+    ).mapInPandas(_assign_encode, schema=out_schema)
 
 
 def ivf_pq_topk(

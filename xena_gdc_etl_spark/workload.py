@@ -2451,9 +2451,11 @@ def pq_adc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 56b. Quality-classifier training (fastText-style lightweight filter,
 #      trained in-engine): logistic regression over the engine's own
-#      quality features, predicting the English-document signal. The whole
-#      gradient is a Catalyst ``avg`` aggregate (map-side partial, no
-#      Python workers); the driver holds d+1 floats. Rows-only like
+#      quality features, predicting the English-document signal. Each
+#      round is ONE job — an Arrow-batched partial gradient folded by a
+#      JVM ``sum`` under broadcast weights (plan identical every round,
+#      so codegen compiles once); the driver holds d+1 floats. Rows-only
+#      like
 #      ann_ivf_pq: 20 rounds of float GD are not SQL-expressible — the
 #      trainer's numerics are pinned against a driver-side reference
 #      implementation in tests/test_logreg.py. The SCORING half is
