@@ -368,3 +368,23 @@ def test_small_frame_fallback_plain_window(spark):
         ).collect()
     }
     assert got_r == want_r
+
+
+def test_both_paths_emit_identical_schema_order(spark):
+    """Positional consumers (union-by-position, row-tuple compares) must
+    see ONE schema no matter which path the row-count probe picked — the
+    sharded path's join used to emit (total_col, out_col) while the
+    fast path emitted (out_col, total_col)."""
+    rows = [("a", k, 1) for k in range(1, 11)] + [("b", k, 3) for k in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    fast = group_prefix_sum(
+        df, ["g"], ["k"], "v", "ps", total_col="tot", num_shards=8
+    )
+    sharded = group_prefix_sum(
+        df, ["g"], ["k"], "v", "ps", total_col="tot", num_shards=8,
+        sample_cap=4,
+    )
+    assert fast.columns == sharded.columns == ["g", "k", "v", "ps", "tot"]
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, sharded.collect())
+    )

@@ -294,3 +294,17 @@ def test_ann_index_roundtrip(spark, tmp_path):
         save_ann_index(cents, "s3a://bucket/idx")
     with pytest.raises(ValueError, match="local path"):
         load_ann_index(spark, "hdfs://nn/idx")
+
+    # a legitimate LOCAL file:// URI is accepted and normalized — both
+    # halves (local-IO sentinel, Spark-writer tables) land in one place
+    uri_path = tmp_path / "idx_uri"
+    save_ann_index(cents, "file://" + str(uri_path), codebooks=books)
+    assert os.path.exists(os.path.join(str(uri_path), "_index.json"))
+    cents3, books3, _ = load_ann_index(spark, "file://" + str(uri_path))
+    for a, b in zip(books, books3):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    assert sorted(
+        (r.centroid_id, tuple(r.embedding)) for r in cents3.collect()
+    ) == sorted((r.centroid_id, tuple(r.embedding)) for r in cents.collect())
+    with pytest.raises(ValueError, match="file://"):
+        save_ann_index(cents, "file://otherhost/idx")

@@ -313,9 +313,16 @@ def group_prefix_sum(
     joined = loc.join(F.broadcast(off), cond).drop(
         off[_SHARD], *[off[c] for c in group_cols]
     )
-    return (
+    out = (
         joined.withColumn(out_col, sum_typed(F.col(_OFF) + F.col(_LOCAL)))
         .drop(_SHARD, _LOCAL, _OFF)
+    )
+    # Same column ORDER as the small-frame fast path above (input columns,
+    # then out_col, then total_col): positional consumers (union-by-
+    # position, row-tuple compares) must see one schema regardless of
+    # which path the row count selected.
+    return out.select(
+        *df.columns, out_col, *([total_col] if total_col is not None else [])
     )
 
 

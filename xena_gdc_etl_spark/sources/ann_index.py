@@ -33,6 +33,41 @@ INDEX_FORMAT_VERSION = 1
 _SENTINEL = "_index.json"
 
 
+def _local_index_paths(path: str, what: str) -> "tuple[str, str]":
+    """Resolve ``path`` to (local_fs_path, spark_uri).
+
+    The sentinel half of the index uses local ``open()``/``os`` while the
+    tables go through Spark writers/readers — those two halves MUST hit
+    the same filesystem. A bare '://' guard isn't enough: a scheme-less
+    path resolves against ``fs.defaultFS`` in the JVM (HDFS in a cluster
+    deployment) but against the local filesystem in Python, silently
+    splitting the index. So: accept plain local paths and ``file://``
+    URIs (normalized), hand Spark an EXPLICIT ``file://`` URI so the JVM
+    side can never be redirected by ``fs.defaultFS``, and reject every
+    other scheme loudly.
+    """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme == "file":
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"{what} supports only local file:// URIs, got {path!r}"
+            )
+        local = parsed.path
+    elif parsed.scheme and "://" in path:
+        raise ValueError(
+            f"{what} requires a local path or file:// URI, got {path!r}: "
+            "the sentinel is written with local file IO while the tables "
+            "go through Spark writers — on a remote filesystem these "
+            "would land in different places"
+        )
+    else:
+        local = path
+    local = os.path.abspath(local)
+    return local, "file://" + local
+
+
 def save_ann_index(
     centroids: DataFrame,
     path: str,
@@ -51,18 +86,15 @@ def save_ann_index(
     any parquet write — otherwise a crash mid-overwrite would leave the
     stale sentinel endorsing new/partial tables) and the new manifest is
     written to a temp file and atomically renamed into place. ``path``
-    must be a local filesystem path: the sentinel uses local ``open()``/
-    ``os`` while the tables go through Spark writers, so URI-scheme paths
+    must be a local filesystem path or a local ``file://`` URI: the
+    sentinel uses local ``open()``/``os`` while the tables go through
+    Spark writers — Spark is handed an explicit ``file://`` URI so that
+    ``fs.defaultFS`` (HDFS in a cluster deployment) can never redirect
+    the table half away from the sentinel half; remote schemes
     (``hdfs://``, ``s3a://``) are rejected loudly rather than splitting
     the index across filesystems.
     """
-    if "://" in path:
-        raise ValueError(
-            f"save_ann_index requires a local path, got {path!r}: the "
-            "sentinel is written with local file IO while the tables go "
-            "through Spark writers — on a remote filesystem these would "
-            "land in different places"
-        )
+    path, spark_uri = _local_index_paths(path, "save_ann_index")
     stale = os.path.join(path, _SENTINEL)
     if os.path.exists(stale):
         os.remove(stale)
@@ -72,7 +104,7 @@ def save_ann_index(
         F.col(vec_col).alias("embedding"),
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "centroids.parquet")
+        spark_uri + "/centroids.parquet"
     )
     n_centroids = cdf.count()
     manifest: dict = {
@@ -90,7 +122,7 @@ def save_ann_index(
             rows, "subspace int, code int, center array<double>"
         )
         bdf.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "codebooks.parquet")
+            spark_uri + "/codebooks.parquet"
         )
         manifest["pq"] = {
             "m": len(codebooks),
@@ -109,12 +141,8 @@ def load_ann_index(
 ) -> "tuple[DataFrame, list[np.ndarray] | None, dict]":
     """Load (centroids frame, codebooks or None, manifest). Fails loudly
     on a missing/incomplete index (no sentinel), a future format, or a
-    non-local path (same local-filesystem contract as save)."""
-    if "://" in path:
-        raise ValueError(
-            f"load_ann_index requires a local path, got {path!r} "
-            "(the completeness sentinel is read with local file IO)"
-        )
+    non-local path (same local-filesystem / file:// contract as save)."""
+    path, spark_uri = _local_index_paths(path, "load_ann_index")
     sentinel = os.path.join(path, _SENTINEL)
     if not os.path.exists(sentinel):
         raise FileNotFoundError(
@@ -129,12 +157,12 @@ def load_ann_index(
             f"{manifest['format_version']}; this reader supports "
             f"<= {INDEX_FORMAT_VERSION}"
         )
-    centroids = spark.read.parquet(os.path.join(path, "centroids.parquet"))
+    centroids = spark.read.parquet(spark_uri + "/centroids.parquet")
     codebooks = None
     if manifest.get("pq"):
         m = manifest["pq"]["m"]
         rows = spark.read.parquet(
-            os.path.join(path, "codebooks.parquet")
+            spark_uri + "/codebooks.parquet"
         ).collect()  # bounded: m×k rows of small arrays — index state
         by_sub: dict[int, list] = {}
         for r in rows:

@@ -284,7 +284,9 @@ def finalize_cluster_purity(window_counts: DataFrame) -> DataFrame:
         "ws",
         "centroid_id",
         "n_members",
-        (-F.col("b.neg")).cast("int").alias("majority_label"),
+        # bigint, matching the batch twin cell_label_purity — an int cast
+        # here would silently truncate labels beyond int32
+        (-F.col("b.neg")).cast("bigint").alias("majority_label"),
         F.col("b.n").cast("bigint").alias("n_majority"),
         F.round(F.col("b.n") / F.col("n_members"), 6).alias("purity"),
     )
@@ -299,6 +301,7 @@ def streaming_containment(
     k: int = 5,
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
+    landed_id_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming twin of the ``containment_pairs`` quote/doc-inside-doc
     profile: each ARRIVING document is scored against the LANDED corpus —
@@ -339,10 +342,19 @@ def streaming_containment(
         F.explode("__sh").alias("shingle"),
     )
     # landed_shingles: the (landed id, shingle) frame dedup.shingles
-    # produces — first column is the landed doc id
-    landed_id = landed_shingles.columns[0]
+    # produces — the landed doc id is selected BY NAME (``landed_id_col``,
+    # default "doc_id"), never positionally: a (shingle, doc_id)-ordered
+    # frame would otherwise silently bind the shingle column as the id
+    # and produce wrong pairs instead of an error
+    if landed_id_col not in landed_shingles.columns:
+        raise ValueError(
+            f"landed_shingles has no column {landed_id_col!r} "
+            f"(columns: {landed_shingles.columns}); pass landed_id_col="
+        )
+    if landed_id_col == "shingle":
+        raise ValueError("landed_id_col must not be the shingle column")
     posting = landed_shingles.select(
-        "shingle", F.col(landed_id).alias("b")
+        "shingle", F.col(landed_id_col).alias("b")
     )
     joined = stream.join(posting, "shingle")
     return (

@@ -165,7 +165,19 @@ def _shared_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if entry[0] == sf_dir:
             return entry[1]
         entry[1].unpersist()
-    tf = tx.doc_term_freqs(Catalog(spark, sf_dir).documents).persist()
+    # Materialize the artifact PARTITIONED BY doc_id: doc_term_freqs ends
+    # hash-partitioned by (doc_id, tok), which satisfies no downstream
+    # clustering, so every per-doc consumer (oov probe, lm_score,
+    # quality_buckets, per-doc tf-idf) would re-shuffle the frame out of
+    # the cache on every call. One id-keyed shuffle at build time (of the
+    # already-combined tf rows, far below the raw token stream) buys
+    # shuffle-free per-doc aggregation for all consumers — the cached
+    # plan's HashPartitioning(doc_id) satisfies their groupBy clustering.
+    tf = (
+        tx.doc_term_freqs(Catalog(spark, sf_dir).documents)
+        .repartition("doc_id")
+        .persist()
+    )
     _TF_CACHE[spark] = (sf_dir, tf)
     return tf
 
