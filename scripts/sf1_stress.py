@@ -122,6 +122,15 @@ def main() -> None:
         sig, num_hashes=8, band_size=2, max_bucket_size=512
     ).persist()
     facts["n_pairs"] = stage("lsh_candidate_pairs", pairs.count)
+    # Pigeonhole upper bound from the cap: per band each doc sits in ONE
+    # bucket of ≤512 members, so a band emits at most n_docs·(cap−1)/2
+    # pairs; 8 hashes / band_size 2 = 4 bands. (Cross-band dedup only
+    # lowers the count.) A blown cap — the failure mode this fixture is
+    # built to provoke — breaks this bound loudly.
+    n_bands = 8 // 2
+    pair_bound = n_bands * facts["n_docs"] * (512 - 1) // 2
+    assert 0 < facts["n_pairs"] <= pair_bound, (facts["n_pairs"], pair_bound)
+    facts["pair_bound"] = pair_bound
 
     strong = dd.minhash_jaccard_estimate(
         pairs, sig, num_hashes=8, threshold=0.75
@@ -166,9 +175,37 @@ def main() -> None:
     dup_pairs = sim.cosine_dup_pairs(assigned, threshold=0.995).persist()
     facts["n_dup_pairs"] = stage("cosine_dup_pairs@0.995", dup_pairs.count)
 
+    # semantic_dedup returns (id, cluster_id, keep) for ALL ids — the
+    # collapse invariant is the KEEP count, not the row count (which is
+    # n_vecs by contract). On this fixture every vector ships with 9
+    # deliberate near-copies, so the keeps must collapse well below the
+    # input; ≤ 40% is a loose ceiling for a 10-copy fixture (a perfect
+    # collapse is 10%; imperfect IVF cell splits can only raise it).
     sem = sim.semantic_dedup(assigned, threshold=0.995, pairs=dup_pairs)
-    facts["n_sem_keep"] = stage("semantic_dedup_keep", sem.count)
-    assert 0 < facts["n_sem_keep"] <= facts["n_vecs"]
+    facts["n_sem_keep"] = stage(
+        "semantic_dedup_keep", sem.filter(F.col("keep") == 1).count
+    )
+    assert 0 < facts["n_sem_keep"] <= int(0.4 * facts["n_vecs"]), (
+        facts["n_sem_keep"],
+        facts["n_vecs"],
+    )
+
+    # deliberate cost-ceiling variant: cap cells at 512 members and use
+    # the accounting API to report HOW MANY cells the cap excluded — the
+    # "no silent caps" discipline (SURVEY §6) exercised at stress scale
+    facts["n_capped_cells"] = stage(
+        "capped_cell_count@512",
+        lambda: sim.capped_cell_count(assigned, max_cell_size=512),
+    )
+    capped_pairs = sim.cosine_dup_pairs(
+        assigned, threshold=0.995, max_cell_size=512
+    )
+    facts["n_dup_pairs_capped"] = stage(
+        "cosine_dup_pairs@0.995,cap=512", capped_pairs.count
+    )
+    assert facts["n_dup_pairs_capped"] <= facts["n_dup_pairs"]
+    if facts["n_capped_cells"] == 0:
+        assert facts["n_dup_pairs_capped"] == facts["n_dup_pairs"]
 
     ivf = sim.ivf_train(emb, k=16, iterations=3)
     facts["n_trained_centroids"] = stage(

@@ -100,6 +100,29 @@ def test_cosine_dup_pairs_threshold(spark):
     assert pairs == {(0, 1), (0, 4), (1, 4), (2, 3)}
 
 
+def test_capped_cell_count_accounting(spark):
+    # the on-demand accounting behind cosine_dup_pairs' max_cell_size
+    # opt-out: counts exactly the cells whose membership EXCEEDS the cap
+    emb = _emb_df(spark)
+    centroids = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    # cells: {0,1,4} (size 3) and {2,3} (size 2)
+    assert sim.capped_cell_count(assigned, max_cell_size=1) == 2
+    assert sim.capped_cell_count(assigned, max_cell_size=2) == 1
+    assert sim.capped_cell_count(assigned, max_cell_size=3) == 0
+    # and the capped pairs frame is consistent with the accounting: with
+    # cap=2 the 3-member cell is excluded, leaving only the (2,3) pair
+    capped = {
+        (r.a, r.b)
+        for r in sim.cosine_dup_pairs(
+            assigned, threshold=0.99, max_cell_size=2
+        ).collect()
+    }
+    assert capped == {(2, 3)}
+
+
 def test_embed_cosine_dup_query_not_vacuous(spark, sf_dir):
     # the registered query must EMIT pairs on the fixture — the driver's
     # hash gate passed three rounds on 0-vs-0 rows before τ was tuned to
