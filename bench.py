@@ -136,6 +136,34 @@ def main() -> None:
     start = time.perf_counter()
     _shared_pack_layout(spark, SF_DIR).count()
     timings["shared_pack_warm"] = round(time.perf_counter() - start, 4)
+    # Compile the ITERATIVE-TRAINER plan family on tiny synthetic frames:
+    # the IVF-PQ train/encode/probe pipeline and the distributed logreg
+    # round schedule several unique Arrow plans whose first execution
+    # pays seconds of codegen/JIT that min-of-2 trials cannot amortize —
+    # the same attribution story as the regex/digest/window warms above
+    # (steady-state plan cost is what BASELINE.md gates on).
+    from xena_gdc_etl_spark.operators import logreg as _lr
+    from xena_gdc_etl_spark.operators import similarity as _sim
+
+    _wvecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * (i + 1) % 7).cast("double") + F.lit(0.5) for i in range(16)]
+        ).alias("embedding"),
+    )
+    _sim.ivf_pq_topk(
+        _wvecs, _wvecs.filter(F.col("vec_id") < 2),
+        n_cells=4, m=4, k_codebook=4, k=2, nprobe=2, iterations=1,
+    ).count()
+    _wfeat = spark.range(256).select(
+        (F.col("id") % 2).cast("double").alias("y"),
+        (F.col("id") % 5).cast("double").alias("f0"),
+        (F.col("id") % 3).cast("double").alias("f1"),
+    )
+    _lr.logistic_train(_wfeat, ["f0", "f1"], "y", iterations=2)
+    _lr.logistic_train(
+        _wfeat, ["f0", "f1"], "y", iterations=2, driver_max_rows=0
+    )
 
     def consume(df) -> int:
         """Full-row consumer: xxhash64 over EVERY column, folded to one
@@ -150,13 +178,43 @@ def main() -> None:
         ).collect()[0]
         return row["n"]
 
-    for name, fn in QUERIES.items():
+    # Drift probes: the round-6 bench showed the shared host slowing ~2×
+    # DURING the run (q1_end_repeat 2.1× the in-order q1), which
+    # manufactured false >2× rows mid-run. A cheap q1 probe every
+    # _PROBE_EVERY queries gives each query a local host-speed reference;
+    # bench_detail.json carries the probe series (timestamps + values)
+    # and a drift-normalized per-query column so adjudication no longer
+    # needs an idle-host re-run. q1's plan is byte-stable since round 1.
+    probes: list[dict] = []
+    run_t0 = time.time()
+    q1_fn = QUERIES["q1_pricing_summary"]
+
+    def probe_q1(after: int) -> None:
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            consume(q1_fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - start)
+        probes.append(
+            {
+                "after": after,
+                "at_sec": round(time.time() - run_t0, 2),
+                "q1": round(best, 4),
+            }
+        )
+
+    probe_q1(0)  # start-of-run reference
+    positions: dict[str, int] = {}
+    for i, (name, fn) in enumerate(QUERIES.items(), start=1):
         best = float("inf")
         for _ in range(TRIALS):
             start = time.perf_counter()
             consume(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
+        positions[name] = i
+        if i % _PROBE_EVERY == 0:
+            probe_q1(i)
     # Host-drift sentinel: re-time the flagship AFTER the whole run. q1's
     # plan has been byte-stable since round 1, so (a) q1_end_repeat vs the
     # in-order q1 line exposes WITHIN-run host drift, and (b) its value is
@@ -167,6 +225,13 @@ def main() -> None:
     start = time.perf_counter()
     consume(QUERIES["q1_pricing_summary"](spark, SF_DIR))
     timings["q1_end_repeat"] = round(time.perf_counter() - start, 4)
+    probes.append(
+        {
+            "after": len(positions),
+            "at_sec": round(time.time() - run_t0, 2),
+            "q1": timings["q1_end_repeat"],
+        }
+    )
     total = round(sum(timings.values()), 4)
     sf = infer_sf(SF_DIR)
     # Full-precision record (incl. warm lines) always lands on disk.
@@ -181,10 +246,52 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "drift_probes": probes,
+                "queries_drift_normalized": _drift_normalize(
+                    timings, positions, probes
+                ),
             },
             fh,
         )
     print(_stdout_line(timings, total, sf), flush=True)
+
+
+_PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "15"))
+
+
+def _drift_normalize(
+    timings: dict, positions: dict, probes: list
+) -> dict:
+    """Per-query timings divided by the LOCAL host-speed factor — the q1
+    probe value interpolated (linearly in run position) at each query,
+    over the start-of-run probe. A query that ran while the host was 2×
+    slower normalizes back down by 2×; on a steady host factors are ~1
+    and the column equals the raw one.
+    """
+    if not probes:
+        return {}
+    ref = probes[0]["q1"]
+    if not ref:
+        return {}
+    out = {}
+    for name, pos in positions.items():
+        before = max(
+            (p for p in probes if p["after"] <= pos),
+            key=lambda p: p["after"],
+        )
+        after = min(
+            (p for p in probes if p["after"] >= pos),
+            key=lambda p: p["after"],
+            default=before,
+        )
+        if after["after"] == before["after"]:
+            q1_here = before["q1"]
+        else:
+            frac = (pos - before["after"]) / (after["after"] - before["after"])
+            q1_here = before["q1"] + frac * (after["q1"] - before["q1"])
+        factor = q1_here / ref
+        out[name] = round(timings[name] / factor, 4) if factor > 0 else None
+    return out
 
 
 # stdout budget: the driver keeps the last 2000 bytes; leave headroom for

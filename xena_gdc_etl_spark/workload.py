@@ -3180,54 +3180,60 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration order moves.
 # --------------------------------------------------------------------------
 _PROMOTED = [
-    # round 6: the 34 rows the round-5 rotation displaced out of the
-    # window (each green in r04 and in the local parity suite) rotate
-    # back in — the invariant since round 4: no query goes two
+    # round 7: the 34 rows the round-6 rotation displaced out of the
+    # driver window (each hash-green in r05 and in the local parity
+    # suite) rotate back in — invariant since round 4: no query goes two
     # consecutive rounds unsampled, so the union of any two adjacent
     # rounds' driver windows covers every query.
-    "field_map",
-    "check_new",
-    "project_info",
-    "earliest_diagnosis",
-    "postprocess_dedup",
-    "xena_eql",
-    "events_window",
-    "sessionize",
-    "dedup_exact",
-    "dedup_minhash",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "minhash_jaccard_est",
-    "dedup_normalized",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "multimodal_features",
-    "vocab_topk",
-    "scrub_pii",
-    "train_split",
-    "flatten_props",
-    "json_props_agg",
-    "doc_repetition",
-    "contamination",
-    "tfidf_topk",
-    "asof_join",
-    "group_percentiles",
-    "top_docs_per_source",
-    "ann_ivf_pq",
+    "dedup_simhash",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "cosine_topk",
+    "embed_quantize",
+    "ann_ivf",
+    "quality_filter",
+    "passage_dedup",
+    "value_histogram",
+    "corpus_stats",
+    "sample_by_group",
+    "range_join",
+    "rolling_avg",
+    "pivot_event_counts",
+    "event_funnel",
+    "cohort_retention",
+    "incremental_dedup",
+    "weighted_sample",
+    "rebalance_sources",
+    "pq_adc_score",
+    "logreg_score",
+    "rolling_avg_sharded",
+    "gopher_quality",
+    "mixture_plan",
+    "dup_spans",
+    "embed_cosine_dup",
+    "semantic_dedup",
+    "winnow_fingerprint",
+    "chunk_documents",
+    "vocab_overlap",
+    "heavy_hitters",
+    "containment_pairs",
+    "cluster_purity",
+    "keep_samples",
+    # queries whose PLAN changed this round (logreg trainer rewrite;
+    # conditional core-spread in the ANN encode paths; doc_id-partitioned
+    # shared tf cache; prefix-path schema normalization under the shared
+    # pack layout) — fresh driver rows must land in r07 even though they
+    # were green in r06
     "quality_logreg",
-    "bigram_lm_score",
-    # queries whose PLAN changed this round (shared doc-tf cache; shared
-    # pack-layout cache; null-safe quantile-band join) — fresh driver
-    # rows must land in r06 even though they were green in r05
+    "ann_ivf_pq",
+    "oov_rate",
     "lm_score",
     "quality_buckets",
-    "oov_rate",
+    "tfidf_topk",
+    "vocab_topk",
+    "bigram_lm_score",
     "sequence_pack",
     "pack_stats",
-    "length_band_filter",
 ]
 
 
