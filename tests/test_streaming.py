@@ -369,3 +369,130 @@ def test_streaming_containment_matches_batch(spark, tmp_path):
     # the embedded docs score containment 1.0
     full = {a for a, b, c, n, s in got if s == 1.0}
     assert {10, 11} <= full
+
+
+def test_late_data_dropped_then_window_finalized(spark, tmp_path):
+    """Real watermark eviction under an out-of-order micro-batch sequence
+    (not the single-batch replay harness above): three files processed as
+    three ordered triggers (maxFilesPerTrigger=1).
+
+    Batch 0 fills the 10:00 window and reaches 13:05; batch 1's 15:00 row
+    runs under eviction watermark 12:05, so the 10:00 window FINALIZES and
+    is emitted (append mode). Batch 2 then delivers a LATE 10:30 row for
+    the already-finalized window: Spark's late-event filter uses the
+    PREVIOUS batch's watermark (14:00 by then — the late/eviction
+    watermark split of SPARK-40925, which is why the late row must arrive
+    a batch after the eviction, not in the same one), so the row is
+    DROPPED — asserted both via numRowsDroppedByWatermark and via the
+    absence of a resurrected duplicate 10:00 window in the sink."""
+    import os
+    import shutil
+
+    from xena_gdc_etl_spark.streaming import (
+        finalize_cluster_purity,
+        streaming_cluster_purity,
+    )
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+
+    stream_dir = str(tmp_path / "late_stream")
+    os.makedirs(stream_dir)
+
+    def write_file(rows, name, mtime):
+        staging = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "vec_id long, ts string, label long, embedding array<double>"
+        ).select(
+            "vec_id",
+            F.to_timestamp("ts").alias("ts"),
+            "label",
+            "embedding",
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dest = os.path.join(stream_dir, name)
+        shutil.move(os.path.join(staging, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch 0: the 10:00 window (labels 7,7,7,3 in cell 0) + a 13:05 row
+    write_file(
+        [
+            (1, "2026-01-01 10:10:00", 7, [1.0, 0.0]),
+            (2, "2026-01-01 10:15:00", 7, [1.0, 0.1]),
+            (3, "2026-01-01 10:20:00", 7, [1.0, -0.1]),
+            (4, "2026-01-01 10:25:00", 3, [1.0, 0.0]),
+            (5, "2026-01-01 13:05:00", 5, [0.0, 1.0]),
+        ],
+        "batch0.parquet",
+        1_000_000_000,
+    )
+    # batch 1: advances the watermark to 14:00; runs under eviction
+    # watermark 12:05, so the 10:00 window is emitted at this batch
+    write_file(
+        [(7, "2026-01-01 15:00:00", 5, [0.0, 1.0])],
+        "batch1.parquet",
+        1_000_000_100,
+    )
+    # batch 2: the LATE row — 10:30 against a late-event watermark of
+    # 14:00; if it were NOT dropped it would re-create state for the
+    # evicted 10:00 window and emit a duplicate (10:00, cell 0, label 3)
+    # row with n=1 once the eviction watermark re-passes 11:00 (which it
+    # already has), flipping the window's purity from 0.75 to 0.6
+    write_file(
+        [(6, "2026-01-01 10:30:00", 3, [1.0, 0.0])],
+        "batch2.parquet",
+        1_000_000_200,
+    )
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    counts = streaming_cluster_purity(
+        stream, centroids, window_duration="1 hour", watermark="1 hour"
+    )
+    sink = "memsink_late_purity"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")  # append = emit ONLY finalized windows
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    dropped = {
+        p["batchId"]: p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in progress
+        if p["stateOperators"]
+    }
+    assert dropped.get(2) == 1, dropped  # the late row, dropped by batch 2
+    assert sum(dropped.values()) == 1
+
+    raw = spark.table(sink).collect()
+    # exactly one finalized row per (window, cell, label) — the late row
+    # resurrected no duplicate for the already-emitted 10:00 window
+    keys = [(r.ws.hour, r.centroid_id, r.label) for r in raw]
+    assert sorted(keys) == [(10, 0, 3), (10, 0, 7), (13, 1, 5)]
+
+    out = finalize_cluster_purity(spark.table(sink)).collect()
+    by_window = {(r.ws.hour, r.centroid_id): r for r in out}
+    # 10:00 finalized WITHOUT the late row: 4 members, purity 0.75
+    w10 = by_window[(10, 0)]
+    assert w10.n_members == 4
+    assert w10.majority_label == 7 and w10.n_majority == 3
+    assert w10.purity == 0.75  # the late row would have made it 0.6
+    # 13:00 finalized once the 15:00 row moved the watermark past 14:00
+    w13 = by_window[(13, 1)]
+    assert w13.n_members == 1 and w13.majority_label == 5
+    # the 15:00 row's own window never finalized (watermark 14:00 < 16:00)
+    assert set(by_window) == {(10, 0), (13, 1)}
