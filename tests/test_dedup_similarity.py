@@ -195,6 +195,45 @@ def test_connected_components_bipartite_matches_pair_form(spark):
     assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 40: 40}
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fallback and the distributed min-label loops
+    produce identical labelings (min reachable id) for BOTH graph forms —
+    driver_max_edges=None forces the distributed path."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 3), (5, 6)], ["a", "b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 9]], ["doc_id"])
+    fast = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs, nodes).collect()}
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(
+            pairs, nodes, driver_max_edges=None
+        ).collect()
+    }
+    assert fast == dist == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+
+    assign = spark.createDataFrame(
+        [(10, "b1"), (11, "b1"), (11, "b2"), (12, "b2"), (20, "b3"), (21, "b3"), (30, "b4")],
+        ["doc_id", "bkey"],
+    )
+    bnodes = spark.createDataFrame(
+        [(i,) for i in [10, 11, 12, 20, 21, 30, 40]], ["doc_id"]
+    )
+    bfast = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_bipartite(bnodes, assign).collect()
+    }
+    bdist = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_bipartite(
+            bnodes, assign, driver_max_edges=None
+        ).collect()
+    }
+    assert bfast == bdist == {
+        10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 40: 40,
+    }
+
+
 def test_minhash_jaccard_estimate_bounds(spark):
     df = docs_df(spark, ["the quick brown fox jumps over", "the quick brown fox jumps over",
                          "totally different content here now"])

@@ -10,9 +10,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from xena_gdc_etl_spark.functions import md5_hash60
 from xena_gdc_etl_spark.operators.text import WS_CLASS, WS_RE
+
+
+def _py(v):
+    """numpy scalar → plain python (createDataFrame rejects np types)."""
+    return v.item() if hasattr(v, "item") else v
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -177,6 +183,31 @@ def lsh_candidate_pairs(
     )
 
 
+def _driver_union_find(
+    edge_pairs,
+) -> dict:
+    """Union-find with path compression over an in-driver edge list;
+    returns {node_key: min-node-of-component} for every key seen. The
+    min-label result is exactly what the distributed propagation loops
+    converge to, so the two paths are interchangeable by construction.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return find
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -184,20 +215,30 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 50,
+    driver_max_edges: "int | None" = 1_000_000,
 ) -> DataFrame:
     """Cluster duplicate-candidate pairs into components: every node gets
     ``cluster_id`` = the smallest node id reachable from it. This is the step
     that turns pair candidates (LSH / simhash / cosine) into an actionable
     dedup decision — keep ``doc_id == cluster_id``, drop the rest.
 
-    Distributed min-label propagation: each round joins the current labels
-    across the (symmetric) edge list and takes the per-node min — one
-    shuffle-join plus one partial-aggregated groupBy per round, converging in
-    ``diameter(G)`` rounds. Duplicate clusters are near-cliques (every member
-    shares an LSH band bucket with most others) so the diameter is tiny in
-    practice; ``localCheckpoint`` truncates lineage so late rounds don't
-    re-execute early ones. The driver-side loop only ever sees a single
-    aggregate (the did-anything-change count), never row data.
+    Two paths, identical min-label semantics:
+
+    - pair set ≤ ``driver_max_edges`` (one cheap count probe): the GATED
+      pair list — already reduced from the corpus by LSH + a similarity
+      threshold — collects to the driver (two ids per edge; ≈32 MB at the
+      default cap) and a union-find labels it in milliseconds, replacing
+      an O(diameter)-round loop whose every round costs a join + groupBy
+      + checkpoint + convergence job. Same small-frame economics as the
+      prefix-scan and logreg fallbacks. The full node set never collects:
+      non-edge nodes stay distributed and keep their own id as label.
+    - otherwise: distributed min-label propagation — each round joins the
+      current labels across the (symmetric) edge list and takes the
+      per-node min, converging in ``diameter(G)`` rounds (duplicate
+      clusters are near-cliques, so the diameter is tiny);
+      ``localCheckpoint`` truncates lineage, and the driver only ever
+      sees a single convergence aggregate. Pass ``driver_max_edges=None``
+      (or 0) to force this path.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -205,6 +246,37 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if driver_max_edges and edges.count() <= 2 * driver_max_edges:
+        pdf = edges.toPandas()
+        find = _driver_union_find(zip(pdf["src"], pdf["dst"]))
+        seen = set(pdf["src"])  # symmetric edges: src covers both sides
+        best: dict = {}
+        for n in seen:
+            r = find(n)
+            if r not in best or n < best[r]:
+                best[r] = n
+        id_type = nodes.schema[id_col].dataType
+        mdf = pairs.sparkSession.createDataFrame(
+            [
+                (_py(n), _py(best[find(n)]))
+                for n in seen
+            ],
+            StructType(
+                [
+                    StructField("node", id_type),
+                    StructField("__cl", id_type),
+                ]
+            ),
+        )
+        edges.unpersist()
+        return (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(mdf), "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("__cl", "node").alias("cluster_id"),
+            )
+        )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=True)
@@ -294,16 +366,25 @@ def connected_components_bipartite(
     id_col: str = "doc_id",
     bucket_col: str = "bkey",
     max_iterations: int = 50,
+    driver_max_edges: "int | None" = 1_000_000,
 ) -> DataFrame:
     """Duplicate clusters straight from the doc–bucket assignment table.
 
     Sharing a bucket ⇔ being LSH candidates, so the components of the
     bipartite doc–bucket graph are exactly the components of the candidate
     pair graph — but the bipartite edge list is O(docs × bands), never the
-    quadratic pair set. Each round alternates two tiny partial-aggregated
+    quadratic pair set.
+
+    Like :func:`connected_components`, an assignment table under
+    ``driver_max_edges`` rows (one cheap count probe against the already-
+    persisted frame) is labeled by an in-driver union-find over (node,
+    bucket) keys — identical min-label result, none of the per-round
+    join/checkpoint/convergence jobs; the full node set never collects
+    (nodes without buckets stay distributed as singletons). Above the cap
+    — the 100 TB path — each round alternates two tiny partial-aggregated
     shuffles (bucket-min of member labels, doc-min of bucket labels) and
-    converges in half the bucket-graph diameter; this is the 100 TB path,
-    with ``connected_components`` kept as the general pair-graph form.
+    converges in half the bucket-graph diameter. ``driver_max_edges=None``
+    (or 0) forces the distributed path.
     """
     assign = assignments.select(
         F.col(id_col).alias("node"), F.col(bucket_col).alias("bkey")
@@ -311,6 +392,36 @@ def connected_components_bipartite(
     all_labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     )
+    if driver_max_edges and assign.count() <= driver_max_edges:
+        pdf = assign.toPandas()
+        find = _driver_union_find(
+            (("n", n), ("b", b)) for n, b in zip(pdf["node"], pdf["bkey"])
+        )
+        seen = set(pdf["node"])
+        best: dict = {}
+        for n in seen:
+            r = find(("n", n))
+            if r not in best or n < best[r]:
+                best[r] = n
+        id_type = nodes.schema[id_col].dataType
+        mdf = nodes.sparkSession.createDataFrame(
+            [(_py(n), _py(best[find(("n", n))])) for n in seen],
+            StructType(
+                [
+                    StructField("node", id_type),
+                    StructField("__cl", id_type),
+                ]
+            ),
+        )
+        assign.unpersist()
+        return (
+            all_labels.drop("cluster_id")
+            .join(F.broadcast(mdf), "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("__cl", "node").alias("cluster_id"),
+            )
+        )
     # Nodes with no bucket (e.g. empty docs with zero shingles) are
     # singletons: the first hop's inner join on node drops them from the
     # iteration automatically — at corpus scale that whole population rides
