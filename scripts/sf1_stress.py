@@ -138,8 +138,17 @@ def main() -> None:
     facts["n_strong"] = stage("jaccard_gate", strong.count)
     assert facts["n_strong"] <= facts["n_pairs"]
 
-    clusters = dd.connected_components(strong.select("a", "b"), docs)
-    facts["n_clustered"] = stage("connected_components", clusters.count)
+    # constructed INSIDE the timer (once): the driver union-find fallback
+    # (and the distributed loop's eager checkpoints) run at construction
+    # time, so building outside the stage would hide the labeling cost
+    _cc: dict = {}
+
+    def _cc_count() -> int:
+        _cc["df"] = dd.connected_components(strong.select("a", "b"), docs)
+        return _cc["df"].count()
+
+    facts["n_clustered"] = stage("connected_components", _cc_count)
+    clusters = _cc["df"]
 
     # keep-longest per cluster: the aggregate argmax (map-side partial),
     # same shape as workload.dedup_keep_best
@@ -181,10 +190,11 @@ def main() -> None:
     # deliberate near-copies, so the keeps must collapse well below the
     # input; ≤ 40% is a loose ceiling for a 10-copy fixture (a perfect
     # collapse is 10%; imperfect IVF cell splits can only raise it).
-    sem = sim.semantic_dedup(assigned, threshold=0.995, pairs=dup_pairs)
-    facts["n_sem_keep"] = stage(
-        "semantic_dedup_keep", sem.filter(F.col("keep") == 1).count
-    )
+    def _sem_keeps() -> int:
+        sem = sim.semantic_dedup(assigned, threshold=0.995, pairs=dup_pairs)
+        return sem.filter(F.col("keep") == 1).count()
+
+    facts["n_sem_keep"] = stage("semantic_dedup_keep", _sem_keeps)
     assert 0 < facts["n_sem_keep"] <= int(0.4 * facts["n_vecs"]), (
         facts["n_sem_keep"],
         facts["n_vecs"],
@@ -207,9 +217,9 @@ def main() -> None:
     if facts["n_capped_cells"] == 0:
         assert facts["n_dup_pairs_capped"] == facts["n_dup_pairs"]
 
-    ivf = sim.ivf_train(emb, k=16, iterations=3)
     facts["n_trained_centroids"] = stage(
-        "ivf_train(k=16,3it)", ivf.count
+        "ivf_train(k=16,3it)",
+        lambda: sim.ivf_train(emb, k=16, iterations=3).count(),
     )
 
     total = round(sum(stages.values()), 2)
