@@ -350,46 +350,64 @@ def ivf_train(
 
     Per round: one broadcast of the k×d centroid matrix + one matmul per
     Arrow batch (assignment), then one partial-aggregated groupBy for the
-    per-cell mean — two jobs per round, corpus never shuffles whole vectors
-    except into the d-column mean aggregation. The driver only ever holds
-    k×d floats.
+    per-cell mean, COLLECTED as k×d floats and re-emitted as literal
+    values for the next round. Collecting the (bounded, k rows × d
+    doubles) means each round is load-bearing, not convenience: an
+    earlier version threaded the new centroids through as a DataFrame
+    join against the previous frame, so round N's centroid lineage
+    contained rounds 1..N-1's aggregation subtrees and each round's
+    centroid collect re-executed EVERY prior round's corpus pass —
+    O(iterations²) scans. With literal re-emission each round runs
+    exactly one corpus pass and the driver only ever holds k×d floats
+    (doubles round-trip the driver exactly, so results are bit-identical
+    to the joined form for a fixed partitioning).
     """
     dim = len(
         vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
     )
-    centroids = vectors.orderBy(id_col).limit(k).select(
-        (F.row_number().over(Window.orderBy(id_col)).cast("bigint") - 1).alias(
-            centroid_id
-        ),
-        F.col(vec_col),
+    init = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col))
+        .collect()
     )
+    if len(init) < k:
+        raise ValueError(f"ivf_train needs at least {k} vectors, got {len(init)}")
+    # centroid_id → vector, maintained driver-side (k×d floats)
+    cents: dict[int, list] = {i: list(r[0]) for i, r in enumerate(init)}
+
+    def _centroid_frame() -> DataFrame:
+        return vectors.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in sorted(cents.items())],
+            StructType(
+                [
+                    StructField(centroid_id, LongType()),
+                    StructField(vec_col, ArrayType(DoubleType())),
+                ]
+            ),
+        )
+
     for _ in range(iterations):
         assigned = ivf_assign(
-            vectors, centroids, id_col=id_col, vec_col=vec_col, centroid_id=centroid_id
+            vectors,
+            _centroid_frame(),
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id=centroid_id,
         )
-        # element-wise mean per cell: d aggregate columns, map-side partial
-        means = assigned.groupBy(centroid_id).agg(
+        # element-wise mean per cell: d aggregate columns, map-side partial;
+        # the collect is k rows of d doubles — index state, never data
+        rows = assigned.groupBy(centroid_id).agg(
             *[
                 F.avg(F.col(vec_col).getItem(i)).alias(f"c{i}")
                 for i in range(dim)
             ]
-        )
-        # Left-join back to the previous centroid set: a cell that attracted
-        # no vectors this round keeps its old centroid instead of silently
-        # vanishing (which would shrink the index below k without warning).
-        prev = centroids.select(
-            F.col(centroid_id), F.col(vec_col).alias("__prev")
-        )
-        centroids = prev.join(means, centroid_id, "left").select(
-            F.col(centroid_id),
-            F.when(
-                F.col("c0").isNotNull(),
-                F.array(*[F.col(f"c{i}") for i in range(dim)]),
-            )
-            .otherwise(F.col("__prev"))
-            .alias(vec_col),
-        )
-    return centroids
+        ).collect()
+        for r in rows:
+            # a cell that attracted no vectors has no row and keeps its
+            # previous centroid instead of silently vanishing
+            cents[r[centroid_id]] = [r[f"c{i}"] for i in range(dim)]
+    return _centroid_frame()
 
 
 # One cap-configured notice per process (INFO): see cosine_dup_pairs.
