@@ -234,6 +234,42 @@ def test_connected_components_paths_agree(spark):
     }
 
 
+def test_connected_components_string_ids_driver_path(spark):
+    # the driver union-find must round-trip non-numeric ids (GDC-style
+    # UUID doc ids) through pandas and back into the broadcast mapping
+    pairs = spark.createDataFrame(
+        [("d-b", "d-a"), ("d-b", "d-c")], ["a", "b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in ["d-a", "d-b", "d-c", "d-z"]], ["doc_id"]
+    )
+    out = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs, nodes).collect()}
+    assert out == {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a", "d-z": "d-z"}
+
+
+def test_spread_to_cores_skips_filled_scans(spark):
+    # a frame already at (or above) core parallelism must NOT pay the
+    # spread shuffle; an underfilled one must
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par + 4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    narrow = spark.range(1000).coalesce(1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    spread_wide = sim._spread_to_cores(wide, par)
+    spread_narrow = sim._spread_to_cores(narrow, par)
+    # shuffle_count counts the input's own repartition too, so compare
+    # DELTAS: spreading must add zero exchanges to the filled frame and
+    # exactly one to the underfilled frame
+    assert shuffle_count(spread_wide) == shuffle_count(wide)
+    assert shuffle_count(spread_narrow) == shuffle_count(narrow) + 1
+
+
 def test_minhash_jaccard_estimate_bounds(spark):
     df = docs_df(spark, ["the quick brown fox jumps over", "the quick brown fox jumps over",
                          "totally different content here now"])
