@@ -22,15 +22,23 @@ def _py(v):
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to cluster parallelism before a row-inflating explode.
+    """Spread to cluster parallelism before a row-inflating explode — but
+    ONLY when the scan underfills the cores.
 
     Document tables are compact on disk (one scan partition can hold
     millions of rows), but shingling/tokenizing inflates rows ~100-300×
-    and adds a digest per row — without a repartition the whole pipeline
+    and adds a digest per row — without a spread an underfilled pipeline
     runs at scan parallelism (possibly 1 task). The pre-explode shuffle
-    moves only the small un-exploded rows.
+    moves only the small un-exploded rows; a 100 TB scan whose input
+    splits already fill the cluster must never pay it (the partition
+    probe is plan-only, no job). Every consumer of this helper aggregates
+    order-invariantly (min-hash, ±1 sums, counts), so the conditional
+    partitioning cannot change results.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def _offsets(text_col: str, width: int) -> Column:

@@ -33,6 +33,18 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread to cluster parallelism before a row-inflating tokenize —
+    ONLY when the scan underfills the cores (same contract as
+    dedup._spread: the partition probe is plan-only, a filled 100 TB scan
+    never pays the shuffle, and every consumer here aggregates counts,
+    which are order-invariant)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _tokens(text_col: Column) -> Column:
     return F.filter(F.split(text_col, WS_RE), lambda t: t != "")
 
@@ -344,16 +356,16 @@ def doc_term_freqs(
     """Per-document term frequencies (id, tok, tf) — the shared first stage
     of every unigram statistic in this module (LM scoring, commonness
     ranking, tf-idf, OOV probing, vocabulary building). One explode + one
-    (id, tok) groupBy; the pre-explode repartition spreads the tokenize
-    work past scan parallelism (document tables are compact on disk).
+    (id, tok) groupBy; an underfilled scan is spread past scan
+    parallelism before the explode (document tables are compact on disk;
+    a filled scan skips the shuffle — see _spread).
 
     A real pipeline materializes this frame ONCE per corpus snapshot (it
     is the token-statistics artifact) and fans every consumer out from it
     — the ``tf=`` parameter on the consumers below is that seam; the
     workload's ``_shared_doc_tf`` session cache is the local analog.
     """
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    toks = spread.select(
+    toks = _spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -417,8 +429,7 @@ def bigram_logprob_scores(
     aggregate-sized frames. Documents with fewer than 2 tokens have no
     bigrams and drop out — both engines agree by construction.
     """
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    bigrams = spread.select(
+    bigrams = _spread(docs).select(
         F.col(id_col),
         F.explode(
             word_ngrams(_tokens(F.lower(F.col(text_col))), 2)
@@ -895,10 +906,7 @@ def source_vocab_overlap(
     from pyspark.sql import Window
 
     n_shards = 64
-    spread = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
-    toks = spread.select(
+    toks = _spread(docs).select(
         F.col(source_col).alias("source"),
         F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
