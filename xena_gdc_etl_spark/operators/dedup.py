@@ -35,6 +35,10 @@ def _spread(df: DataFrame) -> DataFrame:
     order-invariantly (min-hash, ±1 sums, counts), so the conditional
     partitioning cannot change results.
     """
+    if df.isStreaming:
+        # micro-batch sources manage their own partitioning, and .rdd is
+        # illegal on a streaming frame — never probe or spread a stream
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

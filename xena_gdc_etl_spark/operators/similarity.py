@@ -75,6 +75,8 @@ def _spread_to_cores(df: DataFrame, par: int) -> DataFrame:
     never pay — so probe the plan's partitioning (no job) and shuffle
     only the underfilled case.
     """
+    if df.isStreaming:
+        return df  # .rdd is illegal on a stream; callers also guard
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

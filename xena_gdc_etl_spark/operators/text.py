@@ -39,6 +39,10 @@ def _spread(df: DataFrame) -> DataFrame:
     dedup._spread: the partition probe is plan-only, a filled 100 TB scan
     never pays the shuffle, and every consumer here aggregates counts,
     which are order-invariant)."""
+    if df.isStreaming:
+        # micro-batch sources manage their own partitioning, and .rdd is
+        # illegal on a streaming frame — never probe or spread a stream
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
