@@ -213,7 +213,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
         positions[name] = i
-        if i % _PROBE_EVERY == 0:
+        if _PROBE_EVERY > 0 and i % _PROBE_EVERY == 0:
             probe_q1(i)
     # Host-drift sentinel: re-time the flagship AFTER the whole run. q1's
     # plan has been byte-stable since round 1, so (a) q1_end_repeat vs the
