@@ -1,0 +1,76 @@
+"""Unit tests for bench.py's drift-normalization math (pure python — no
+Spark session needed): the per-query host factor is the q1 probe value
+linearly interpolated at the query's run position, over the start-of-run
+probe.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+
+def _load_bench():
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_module", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_steady_host_is_identity():
+    b = _load_bench()
+    probes = [
+        {"after": 0, "at_sec": 0.0, "q1": 0.30},
+        {"after": 15, "at_sec": 10.0, "q1": 0.30},
+        {"after": 30, "at_sec": 20.0, "q1": 0.30},
+    ]
+    timings = {"qa": 1.0, "qb": 2.5}
+    positions = {"qa": 7, "qb": 22}
+    out = b._drift_normalize(timings, positions, probes)
+    assert out == {"qa": 1.0, "qb": 2.5}
+
+
+def test_midrun_slowdown_normalizes_down():
+    b = _load_bench()
+    # host slows 2x between probes 15 and 30; a query at position 22 sat
+    # at interpolated factor (0.30 + 7/15*0.30)/0.30 = 1.4667
+    probes = [
+        {"after": 0, "at_sec": 0.0, "q1": 0.30},
+        {"after": 15, "at_sec": 10.0, "q1": 0.30},
+        {"after": 30, "at_sec": 20.0, "q1": 0.60},
+    ]
+    timings = {"fast_zone": 1.0, "slow_zone": 1.0}
+    positions = {"fast_zone": 7, "slow_zone": 30}
+    out = b._drift_normalize(timings, positions, probes)
+    assert out["fast_zone"] == 1.0  # probes flat around it
+    assert out["slow_zone"] == 0.5  # measured under a 2x-slower host
+    # interpolated middle position
+    out2 = b._drift_normalize({"mid": 1.0}, {"mid": 22}, probes)
+    q1_mid = 0.30 + (22 - 15) / 15 * 0.30
+    # _drift_normalize rounds to 4 decimals
+    assert abs(out2["mid"] - 1.0 / (q1_mid / 0.30)) < 1e-4
+
+
+def test_speedup_normalizes_up_and_edges_clamp():
+    b = _load_bench()
+    probes = [
+        {"after": 0, "at_sec": 0.0, "q1": 0.40},
+        {"after": 10, "at_sec": 5.0, "q1": 0.20},
+    ]
+    out = b._drift_normalize({"q": 1.0}, {"q": 10}, probes)
+    assert out["q"] == 2.0  # host sped up 2x -> raw time understates cost
+    # position beyond the last probe uses the last probe's value
+    out_edge = b._drift_normalize({"q": 1.0}, {"q": 10}, probes[:1])
+    assert out_edge["q"] == 1.0
+
+
+def test_empty_or_zero_probes_degrade_gracefully():
+    b = _load_bench()
+    assert b._drift_normalize({"q": 1.0}, {"q": 1}, []) == {}
+    assert (
+        b._drift_normalize(
+            {"q": 1.0}, {"q": 1}, [{"after": 0, "at_sec": 0.0, "q1": 0.0}]
+        )
+        == {}
+    )
