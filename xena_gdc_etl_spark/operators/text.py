@@ -439,7 +439,16 @@ def bigram_logprob_scores(
             word_ngrams(_tokens(F.lower(F.col(text_col))), 2)
         ).alias("bg"),
     )
-    tf2 = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf2"))
+    # Three consumers read the (id, bg, tf2) frame (c2 rollup, the join
+    # side, and — via c2 — the c1 rollup); checkpoint it lazily so the
+    # corpus-wide bigram explode+aggregate runs once per action instead
+    # of relying on exchange reuse across three subtrees (same
+    # materialize-once discipline as containment_pairs' shingle frame).
+    tf2 = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("tf2"))
+        .localCheckpoint(eager=False)
+    )
     c2 = tf2.groupBy("bg").agg(F.sum("tf2").alias("c2"))
     c1 = (
         c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
