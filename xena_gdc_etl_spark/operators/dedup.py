@@ -642,11 +642,21 @@ def ngram_jaccard_pairs(
         "bucket",
         F.expr(f"substring({text_col}, __i, {n})").alias("gram"),
     )
-    postings = (
+    # Checkpoint the FULL posting frame (lazy) and derive BOTH consumers
+    # from it: the pair expansion reads the >1 lists, and the per-doc
+    # denominator re-explodes the (much smaller than the raw gram
+    # stream) posting ids — one corpus tokenize+shuffle total, where
+    # aggregating `grams` twice (postings + count_distinct sizes) ran
+    # the explode twice with no shareable exchange. Equivalence needs
+    # the bucket to be a FUNCTION of the doc (one source per doc, as in
+    # every caller here): then a doc's posting memberships are exactly
+    # its distinct grams.
+    postings_all = (
         grams.groupBy("bucket", "gram")
         .agg(F.collect_set(F.col(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .localCheckpoint(eager=False)
     )
+    postings = postings_all.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
         postings = postings.filter(F.size("ids") <= max_doc_freq)
     inter = (
@@ -656,8 +666,10 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = grams.groupBy(F.col(id_col)).agg(
-        F.count_distinct(F.col("gram")).alias("sz")
+    sizes = (
+        postings_all.select(F.explode("ids").alias(id_col))
+        .groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
