@@ -3180,60 +3180,64 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration order moves.
 # --------------------------------------------------------------------------
 _PROMOTED = [
-    # round 7: the 34 rows the round-6 rotation displaced out of the
-    # driver window (each hash-green in r05 and in the local parity
+    # round 8: the 34 rows the round-7 rotation displaced out of the
+    # driver window (each hash-green in r06 and in the local parity
     # suite) rotate back in — invariant since round 4: no query goes two
     # consecutive rounds unsampled, so the union of any two adjacent
     # rounds' driver windows covers every query.
+    "snv_placeholder_filter",
+    "survival_transform",
+    "pheno_coalesce_join",
+    "latest_followup",
+    "field_map",
+    "check_new",
+    "project_info",
+    "earliest_diagnosis",
+    "postprocess_dedup",
+    "xena_eql",
+    "events_window",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "minhash_jaccard_est",
+    "dedup_normalized",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_features",
+    "scrub_pii",
+    "train_split",
+    "flatten_props",
+    "json_props_agg",
+    "doc_repetition",
+    "contamination",
+    "asof_join",
+    "group_percentiles",
+    "top_docs_per_source",
+    "length_band_filter",
+    # queries whose PLAN changes this round (fill-aware spread probe in
+    # the ANN/dedup/text explode paths; logreg driver-cap rescale by
+    # feature width; ngram posting-frame bucket contract) — fresh driver
+    # rows must land in r08 even though they were green in r07
+    "cosine_topk",
+    "ann_ivf",
+    "ann_ivf_pq",
+    "quality_logreg",
+    "embed_cosine_dup",
+    "semantic_dedup",
     "dedup_simhash",
     "simhash_pairs",
     "ngram_jaccard",
-    "cosine_topk",
-    "embed_quantize",
-    "ann_ivf",
-    "quality_filter",
-    "passage_dedup",
-    "value_histogram",
-    "corpus_stats",
-    "sample_by_group",
-    "range_join",
-    "rolling_avg",
-    "pivot_event_counts",
-    "event_funnel",
-    "cohort_retention",
-    "incremental_dedup",
-    "weighted_sample",
-    "rebalance_sources",
+    "containment_pairs",
     "pq_adc_score",
     "logreg_score",
-    "rolling_avg_sharded",
-    "gopher_quality",
-    "mixture_plan",
-    "dup_spans",
-    "embed_cosine_dup",
-    "semantic_dedup",
-    "winnow_fingerprint",
-    "chunk_documents",
-    "vocab_overlap",
-    "heavy_hitters",
-    "containment_pairs",
+    "embed_quantize",
     "cluster_purity",
-    "keep_samples",
-    # queries whose PLAN changed this round (logreg trainer rewrite;
-    # conditional core-spread in the ANN encode paths; doc_id-partitioned
-    # shared tf cache; prefix-path schema normalization under the shared
-    # pack layout) — fresh driver rows must land in r07 even though they
-    # were green in r06
-    "quality_logreg",
-    "ann_ivf_pq",
-    "oov_rate",
-    "lm_score",
-    "quality_buckets",
-    "tfidf_topk",
-    "vocab_topk",
-    "bigram_lm_score",
-    "sequence_pack",
-    "pack_stats",
+    "chunk_documents",
 ]
 
 
