@@ -205,7 +205,13 @@ def main() -> None:
 
     probe_q1(0)  # start-of-run reference
     positions: dict[str, int] = {}
+    # Per-query wall-clock start offsets: the 15-query probe cadence
+    # cannot see a single-query ambient spike (round-7 chunk_documents);
+    # a start offset per query lets a judge correlate any row with the
+    # probe series (and the host's own telemetry) without re-running.
+    query_at_sec: dict[str, float] = {}
     for i, (name, fn) in enumerate(QUERIES.items(), start=1):
+        query_at_sec[name] = round(time.time() - run_t0, 2)
         best = float("inf")
         for _ in range(TRIALS):
             start = time.perf_counter()
@@ -222,6 +228,7 @@ def main() -> None:
     # round-5 measured the same binary 1.3-2x apart days apart
     # (BASELINE.md round-5 appendix). A real query, not a synthetic probe:
     # JVM microbenchmarks were observed eliding synthetic hash loops.
+    query_at_sec["q1_end_repeat"] = round(time.time() - run_t0, 2)
     start = time.perf_counter()
     consume(QUERIES["q1_pricing_summary"](spark, SF_DIR))
     timings["q1_end_repeat"] = round(time.perf_counter() - start, 4)
@@ -247,6 +254,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "drift_probes": probes,
+                "query_at_sec": query_at_sec,
                 "queries_drift_normalized": _drift_normalize(
                     timings, positions, probes
                 ),
@@ -264,13 +272,20 @@ def _drift_normalize(
 ) -> dict:
     """Per-query timings divided by the LOCAL host-speed factor — the q1
     probe value interpolated (linearly in run position) at each query,
-    over the start-of-run probe. A query that ran while the host was 2×
-    slower normalizes back down by 2×; on a steady host factors are ~1
-    and the column equals the raw one.
+    over the MINIMUM of the probe series. A query that ran while the
+    host was 2× slower normalizes back down by 2×; on a steady host
+    factors are ~1 and the column equals the raw one.
+
+    The reference is min(probes), NOT probes[0]: the start-of-run probe
+    is the coldest of the run even after the warmups (round-7 measured
+    0.58s at probe 0 vs 0.24–0.28s steady three minutes in), and
+    dividing by a cold reference inflates every steady-host value ~2×.
+    The fastest probe is the closest observation of true idle-host
+    speed for this binary on this run.
     """
     if not probes:
         return {}
-    ref = probes[0]["q1"]
+    ref = min(p["q1"] for p in probes)
     if not ref:
         return {}
     out = {}

@@ -52,17 +52,39 @@ def test_midrun_slowdown_normalizes_down():
     assert abs(out2["mid"] - 1.0 / (q1_mid / 0.30)) < 1e-4
 
 
-def test_speedup_normalizes_up_and_edges_clamp():
+def test_reference_is_idle_host_speed_not_start_probe():
     b = _load_bench()
+    # the host was SLOW at the start (cold probe 0.40) and idle later
+    # (0.20): a query that ran at idle speed must normalize to its raw
+    # value — min(probes) is the idle-host reference, NOT probes[0]
     probes = [
         {"after": 0, "at_sec": 0.0, "q1": 0.40},
         {"after": 10, "at_sec": 5.0, "q1": 0.20},
     ]
     out = b._drift_normalize({"q": 1.0}, {"q": 10}, probes)
-    assert out["q"] == 2.0  # host sped up 2x -> raw time understates cost
+    assert out["q"] == 1.0  # ran at idle speed -> raw value stands
+    # a query under the cold start normalizes DOWN by the slowdown
+    out_cold = b._drift_normalize({"q": 1.0}, {"q": 0}, probes)
+    assert out_cold["q"] == 0.5
     # position beyond the last probe uses the last probe's value
     out_edge = b._drift_normalize({"q": 1.0}, {"q": 10}, probes[:1])
     assert out_edge["q"] == 1.0
+
+
+def test_cold_first_probe_does_not_inflate_steady_queries():
+    b = _load_bench()
+    # round-7 regression: probe 0 read 0.58s on a freshly-warmed JVM
+    # while the steady series sat at 0.27-0.28s; dividing by probes[0]
+    # inflated every steady-host value ~2.1x (chunk_documents reported
+    # "12.46" normalized vs a re-measured 1.02s raw)
+    probes = [
+        {"after": 0, "at_sec": 0.0, "q1": 0.58},
+        {"after": 15, "at_sec": 60.0, "q1": 0.27},
+        {"after": 30, "at_sec": 120.0, "q1": 0.28},
+    ]
+    out = b._drift_normalize({"steady": 1.02}, {"steady": 22}, probes)
+    # interpolated q1 at pos 22 is ~0.2747 vs ref 0.27 -> factor ~1.02
+    assert abs(out["steady"] - 1.02) < 0.05 * 1.02
 
 
 def test_empty_or_zero_probes_degrade_gracefully():
