@@ -1,0 +1,113 @@
+"""Tests for the fill-aware, plan-only pre-explode spread probe
+(operators/partitioning.py) — the round-7 verdict's #3: partition COUNTS
+(parquet byte-range slices) are not a fill signal, and ``.rdd`` probes
+force AQE shuffle materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from xena_gdc_etl_spark.operators import partitioning as pt
+from xena_gdc_etl_spark.plans import shuffle_count
+
+
+def test_single_row_group_file_still_spreads(spark, tmp_path):
+    """The round-7 pathology: a compact SINGLE-row-group parquet file
+    split into >= parallelism empty byte-range slices fooled the old
+    ``getNumPartitions() >= par`` probe into skipping the spread, running
+    the 100-300x explode at parallelism 1. The fill-aware probe must
+    still engage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "one_rg.parquet")
+    n = 4000
+    tbl = pa.table(
+        {"doc_id": list(range(n)), "text": ["lorem ipsum dolor sit amet " * 3] * n}
+    )
+    pq.write_table(tbl, path, row_group_size=n)  # exactly one row group
+    assert pq.ParquetFile(path).num_row_groups == 1
+
+    par = spark.sparkContext.defaultParallelism
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    try:
+        # force the scan to split the file into many byte-range slices,
+        # as a large minPartitionNum does on a real cluster
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        df = spark.read.parquet(path)
+        # the old probe's signal: slice count says "filled"...
+        assert df.rdd.getNumPartitions() >= par
+        # ...but every row sits in the one slice holding the row group,
+        # and the new probe (bytes, not slices) spreads anyway
+        spread = pt.spread(df)
+        assert shuffle_count(spread) == shuffle_count(df) + 1
+        assert spread.count() == n
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_probe_is_plan_only_no_job(spark):
+    """Probing a frame whose plan contains exchanges must not launch a
+    job (the old ``.rdd`` probe materialized all upstream shuffle stages
+    under AQE)."""
+    agg = (
+        spark.range(2000)
+        .groupBy((F.col("id") % 7).alias("g"))
+        .agg(F.count("*").alias("n"))
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    pt.explicit_partition_width(agg)
+    pt.estimated_size_bytes(agg)
+    pt.spread(agg)  # plan construction only — nothing executed
+    after = tracker.getJobIdsForGroup(None)
+    assert sorted(after) == sorted(before)
+
+
+def test_explicit_repartition_is_trusted(spark):
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par + 4)
+    narrow = spark.range(1000).coalesce(1)
+    assert pt.explicit_partition_width(wide) == par + 4
+    assert pt.explicit_partition_width(narrow) == 1
+    # projections/filters on top don't hide the repartition
+    assert (
+        pt.explicit_partition_width(
+            wide.select((F.col("id") * 2).alias("x")).filter("x > 4")
+        )
+        == par + 4
+    )
+    assert shuffle_count(pt.spread(wide)) == shuffle_count(wide)
+    assert shuffle_count(pt.spread(narrow)) == shuffle_count(narrow) + 1
+
+
+def test_large_scan_skips_spread(spark, sf_dir, monkeypatch):
+    """A scan estimated over the per-core threshold never pays the
+    shuffle — the 100 TB contract. Locally every test scan is tiny, so
+    shrink the threshold to put the fixture 'over' it."""
+    monkeypatch.setattr(pt, "SPREAD_BYTES_PER_CORE", 1)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert shuffle_count(pt.spread(df)) == shuffle_count(df)
+
+
+def test_small_scan_spreads(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert pt.estimated_size_bytes(df) > 0
+    assert shuffle_count(pt.spread(df)) == shuffle_count(df) + 1
+
+
+def test_streaming_frame_untouched(spark):
+    stream = spark.readStream.format("rate").load()
+    assert pt.spread(stream) is stream

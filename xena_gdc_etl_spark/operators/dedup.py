@@ -23,26 +23,24 @@ def _py(v):
 
 def _spread(df: DataFrame) -> DataFrame:
     """Spread to cluster parallelism before a row-inflating explode — but
-    ONLY when the scan underfills the cores.
+    ONLY when the plan says the scan underfills the cores.
 
     Document tables are compact on disk (one scan partition can hold
     millions of rows), but shingling/tokenizing inflates rows ~100-300×
     and adds a digest per row — without a spread an underfilled pipeline
     runs at scan parallelism (possibly 1 task). The pre-explode shuffle
     moves only the small un-exploded rows; a 100 TB scan whose input
-    splits already fill the cluster must never pay it (the partition
-    probe is plan-only, no job). Every consumer of this helper aggregates
-    order-invariantly (min-hash, ±1 sums, counts), so the conditional
-    partitioning cannot change results.
+    splits already fill the cluster never pays it. The underfill probe
+    is fill-aware and strictly plan-only — see
+    :mod:`xena_gdc_etl_spark.operators.partitioning` for why partition
+    COUNTS (byte-range slices) were the wrong signal and why ``.rdd``
+    probes were unsafe under AQE. Every consumer of this helper
+    aggregates order-invariantly (min-hash, ±1 sums, counts), so the
+    conditional partitioning cannot change results.
     """
-    if df.isStreaming:
-        # micro-batch sources manage their own partitioning, and .rdd is
-        # illegal on a streaming frame — never probe or spread a stream
-        return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    from xena_gdc_etl_spark.operators.partitioning import spread
+
+    return spread(df)
 
 
 def _offsets(text_col: str, width: int) -> Column:

@@ -1,0 +1,104 @@
+"""Fill-aware, plan-only parallelism probe for the pre-explode spread.
+
+The dedup/text/similarity operators inflate rows 100-300× (shingling,
+tokenizing, per-subspace PQ encode) and must run at cluster parallelism —
+but a 100 TB scan whose input splits already fill the cluster must never
+pay a pre-explode shuffle. Two previous probes were wrong:
+
+- ``df.rdd.getNumPartitions()`` counts parquet BYTE-RANGE slices, not
+  populated partitions: a compact single-row-group file splits into
+  up-to-``minPartitionNum`` ranges that all report as partitions while
+  every row materializes in the one slice holding the row group — the
+  probe said "filled", and the explode ran at parallelism 1.
+- Worse, with AQE enabled ``.rdd`` on a frame whose plan contains
+  exchanges forces ``AdaptiveSparkPlanExec`` to materialize the upstream
+  shuffle stages as real jobs that the subsequent query does not reuse.
+
+This probe touches only the optimized logical plan (no ``.rdd``, no job):
+
+1. Descend from the root through partition-preserving nodes (Project /
+   Filter / SubqueryAlias / Generate). If the first partition-DETERMINING
+   node is an explicit Repartition / RepartitionByExpression /
+   RebalancePartitions with a known width ≥ the target parallelism, trust
+   it — round-robin/hash repartition output genuinely holds rows in every
+   partition, whatever their size.
+2. Otherwise fall back to the plan's size estimate
+   (``optimizedPlan().stats().sizeInBytes()``): spread when the frame is
+   estimated under ``SPREAD_BYTES_PER_CORE`` × parallelism. Bytes are
+   fill-aware where slice counts are not — the single-row-group pathology
+   only exists for small files (a parquet writer starts a new row group
+   every ~128 MB), so a scan big enough to beat the threshold has enough
+   row groups to populate its splits.
+
+The cost asymmetry motivates erring toward spreading: a false spread
+shuffles < parallelism × 16 MiB of un-exploded rows (trivial); a false
+skip runs a 100-300× explode on one core. Every consumer of this helper
+aggregates order-invariantly (min-hash, ±1 sums, counts), so the
+conditional partitioning cannot change results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+# Per-core byte threshold for the "underfilled" verdict. 16 MiB of
+# compressed parquet per core ≈ one small row group; scans denser than
+# this fill their splits with real rows. Overridable for tests/tuning.
+SPREAD_BYTES_PER_CORE = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_CORE", str(16 * 1024 * 1024))
+)
+
+# Nodes that neither add nor move partitions: safe to descend through
+# when looking for the node that determines the frame's partitioning.
+_PARTITION_PRESERVING = {"Project", "Filter", "SubqueryAlias", "Generate"}
+_REPARTITION_NODES = {
+    "Repartition",
+    "RepartitionByExpression",
+    "RebalancePartitions",
+}
+
+
+def explicit_partition_width(df: DataFrame) -> int | None:
+    """Width of the explicit repartition governing ``df``'s output
+    partitioning, or None when partitioning is scan-/shuffle-determined.
+
+    Plan-only: walks the optimized logical plan root chain; never
+    converts to RDD, never runs a job.
+    """
+    node = df._jdf.queryExecution().optimizedPlan()
+    while node.nodeName() in _PARTITION_PRESERVING:
+        children = node.children()
+        if children.size() != 1:
+            return None
+        node = children.head()
+    if node.nodeName() in _REPARTITION_NODES:
+        try:
+            return int(node.numPartitions())
+        except Exception:
+            return None  # RebalancePartitions with no explicit width
+    return None
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame (compressed bytes for
+    scans, propagated through projections). Plan-only, no job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition ``df`` to ``parallelism`` iff the plan says it is
+    underfilled (see module docstring); identity on streams and on
+    frames that already fill the cores."""
+    if df.isStreaming:
+        # micro-batch sources manage their own partitioning; probing a
+        # stream is meaningless (and .rdd is illegal on one)
+        return df
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    width = explicit_partition_width(df)
+    if width is not None:
+        return df if width >= par else df.repartition(par)
+    if estimated_size_bytes(df) >= par * SPREAD_BYTES_PER_CORE:
+        return df
+    return df.repartition(par)

@@ -66,20 +66,19 @@ _TOPK_SCHEMA = StructType(
 
 
 def _spread_to_cores(df: DataFrame, par: int) -> DataFrame:
-    """Repartition ONLY when the scan underfills the cores.
+    """Repartition ONLY when the plan says the scan underfills the cores.
 
     Compact vector files scan as a handful of partitions, so without a
     spread the Arrow matmul stages run on a fraction of the cluster. But
     an unconditional ``repartition`` is a full-corpus shuffle that a
     100 TB scan (thousands of input splits ≥ parallelism already) must
-    never pay — so probe the plan's partitioning (no job) and shuffle
-    only the underfilled case.
+    never pay — the fill-aware, strictly plan-only underfill probe lives
+    in operators/partitioning.py (partition COUNTS were the wrong
+    signal; ``.rdd`` probes were unsafe under AQE).
     """
-    if df.isStreaming:
-        return df  # .rdd is illegal on a stream; callers also guard
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    from xena_gdc_etl_spark.operators.partitioning import spread
+
+    return spread(df, par)
 
 
 def cosine_topk(

@@ -35,18 +35,14 @@ FINGERPRINT_BASE = 31
 
 def _spread(df: DataFrame) -> DataFrame:
     """Spread to cluster parallelism before a row-inflating tokenize —
-    ONLY when the scan underfills the cores (same contract as
-    dedup._spread: the partition probe is plan-only, a filled 100 TB scan
-    never pays the shuffle, and every consumer here aggregates counts,
-    which are order-invariant)."""
-    if df.isStreaming:
-        # micro-batch sources manage their own partitioning, and .rdd is
-        # illegal on a streaming frame — never probe or spread a stream
-        return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    ONLY when the plan says the scan underfills the cores (same contract
+    as dedup._spread: the fill-aware probe is strictly plan-only — see
+    operators/partitioning.py — a filled 100 TB scan never pays the
+    shuffle, and every consumer here aggregates counts, which are
+    order-invariant)."""
+    from xena_gdc_etl_spark.operators.partitioning import spread
+
+    return spread(df)
 
 
 def _tokens(text_col: Column) -> Column:
