@@ -61,6 +61,21 @@ def test_ngram_jaccard_identical_docs_is_one(spark):
     assert len(out) == 1 and out[0].jaccard == 1.0
 
 
+def test_ngram_jaccard_multi_bucket_doc_fails_loudly(spark):
+    # contract: bucket must be a function of the doc — the posting-frame
+    # denominator derivation double-counts grams repeated across a doc's
+    # buckets, so a doc spanning buckets must raise, not return a wrong
+    # jaccard
+    rows = [
+        (0, "abcdefghij klmnop", "s1"),
+        (0, "abcdefghij klmnop", "s2"),  # same doc, second bucket
+        (1, "abcdefghij klmnop", "s1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    with pytest.raises(Exception, match="multiple buckets"):
+        dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+
+
 def _emb_df(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),

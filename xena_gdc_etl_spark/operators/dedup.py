@@ -629,6 +629,14 @@ def ngram_jaccard_pairs(
     emit |df|² pair rows). Capped grams still count toward each doc's
     denominator ``sz``, so surviving similarities are a strict lower bound
     — exactly the conservative direction for dedup.
+
+    Contract: ``bucket_col`` must be a FUNCTION of ``id_col`` (each doc
+    in exactly one bucket). The denominator is derived from the posting
+    frame — a doc's posting memberships equal its distinct grams only
+    under that contract; a doc spanning buckets would double-count grams
+    repeated across them. Enforced at runtime: a multi-bucket doc fails
+    the query loudly (``assert_true`` in the sizes aggregate) instead of
+    returning a silently wrong denominator.
     """
     grams = _spread(docs).select(
         F.col(id_col),
@@ -665,9 +673,32 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = (
-        postings_all.select(F.explode("ids").alias(id_col))
+        postings_all.select(F.explode("ids").alias(id_col), "bucket")
         .groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("__sz"),
+            F.count_distinct("bucket").alias("__nb"),
+        )
+        # assert_true sits INSIDE the sz expression (not a droppable side
+        # column Catalyst would prune): it returns null on pass, so the
+        # when() keeps it load-bearing and a contract violation raises
+        .select(
+            F.col(id_col),
+            F.when(
+                F.assert_true(
+                    F.col("__nb") == 1,
+                    F.concat(
+                        F.lit(
+                            "ngram_jaccard_pairs: bucket_col must be a "
+                            "function of id_col, but doc "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(" appears in multiple buckets"),
+                    ),
+                ).isNull(),
+                F.col("__sz"),
+            ).alias("sz"),
+        )
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
