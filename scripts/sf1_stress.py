@@ -150,6 +150,33 @@ def main() -> None:
     facts["n_clustered"] = stage("connected_components", _cc_count)
     clusters = _cc["df"]
 
+    # distributed-CC stress lane: at this scale the edge set (~0.7M)
+    # falls under the 1M driver cap, so the 100 TB min-label path would
+    # otherwise never execute above unit-test scale — force it with
+    # driver_max_edges=0 and pin its keep count to the fallback's
+    _cc["fallback_keeps"] = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).count()
+
+    def _cc_distributed() -> int:
+        st: dict = {}
+        lab = dd.connected_components(
+            strong.select("a", "b"), docs, driver_max_edges=0, stats=st
+        )
+        n = lab.filter(F.col("doc_id") == F.col("cluster_id")).count()
+        _cc["dist_stats"] = st
+        return n
+
+    facts["n_keeps_distributed_cc"] = stage(
+        "connected_components_distributed", _cc_distributed
+    )
+    print(json.dumps({"distributed_cc_stats": _cc["dist_stats"]}))
+    assert facts["n_keeps_distributed_cc"] == _cc["fallback_keeps"], (
+        facts["n_keeps_distributed_cc"],
+        _cc["fallback_keeps"],
+    )
+    facts["n_keeps_cc"] = _cc["fallback_keeps"]
+
     # keep-longest per cluster: the aggregate argmax (map-side partial),
     # same shape as workload.dedup_keep_best
     keep = (

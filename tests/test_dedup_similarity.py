@@ -262,6 +262,42 @@ def test_connected_components_string_ids_driver_path(spark):
     assert out == {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a", "d-z": "d-z"}
 
 
+def test_connected_components_validate_rejects_foreign_ids(spark):
+    # pairs ⊆ nodes is a documented precondition (the two paths
+    # legitimately differ under a violation); validate=True pays one
+    # anti-join and fails loudly instead
+    pairs = spark.createDataFrame([("d-a", "d-x")], ["a", "b"])
+    nodes = spark.createDataFrame([("d-a",), ("d-b",)], ["doc_id"])
+    with pytest.raises(ValueError, match="absent from nodes"):
+        dd.connected_components(pairs, nodes, validate=True)
+    # a conforming pair set passes under validate
+    ok_pairs = spark.createDataFrame([("d-a", "d-b")], ["a", "b"])
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(
+            ok_pairs, nodes, validate=True
+        ).collect()
+    }
+    assert out == {"d-a": "d-a", "d-b": "d-a"}
+
+
+def test_connected_components_stats_report_path_and_rounds(spark):
+    pairs = spark.createDataFrame([("d-a", "d-b"), ("d-b", "d-c")], ["a", "b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in ["d-a", "d-b", "d-c"]], ["doc_id"]
+    )
+    st_driver: dict = {}
+    dd.connected_components(pairs, nodes, stats=st_driver).collect()
+    assert st_driver["path"] == "driver_union_find"
+    st_dist: dict = {}
+    dd.connected_components(
+        pairs, nodes, driver_max_edges=0, stats=st_dist
+    ).collect()
+    assert st_dist["path"] == "distributed_min_label"
+    assert st_dist["rounds"] >= 2  # chain of 3: min label needs 2 hops
+    assert len(st_dist["round_secs"]) == st_dist["rounds"]
+
+
 def test_spread_to_cores_skips_filled_scans(spark):
     # a frame already at (or above) core parallelism must NOT pay the
     # spread shuffle; an underfilled one must

@@ -62,6 +62,28 @@ def test_partitioning_invariance(spark):
     assert abs(bd - b3) < 1e-9
 
 
+def test_driver_cap_scales_with_feature_width():
+    # the driver-collect budget is bytes, not rows: the d=3-calibrated
+    # knob (2M rows ≈ 64 MB) must shrink as the feature list widens so a
+    # wide model cannot pull gigabytes into one toPandas
+    cap = logreg._effective_driver_cap
+    assert cap(2_000_000, 3) == 2_000_000
+    assert cap(2_000_000, 7) == 1_000_000
+    assert cap(2_000_000, 99) == 80_000
+    assert cap(0, 3) == 0  # driver_max_rows=0 forces distributed
+
+
+def test_tiny_cap_takes_distributed_path_and_matches(spark):
+    # cap smaller than the input: the bounded probe must route to the
+    # distributed trainer (not collect), and numerics still match
+    w, b = logreg.logistic_train(
+        _df(spark, 1), ["f0", "f1"], "y", iterations=10, driver_max_rows=2
+    )
+    wr, br = logreg._reference_train(ROWS, iterations=10)
+    assert all(abs(a - c) < 1e-9 for a, c in zip(w, wr))
+    assert abs(b - br) < 1e-9
+
+
 def test_loss_decreases_and_separates(spark):
     df = _df(spark, 2)
     w0, b0 = [0.0, 0.0], 0.0

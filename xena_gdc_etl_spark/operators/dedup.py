@@ -226,11 +226,25 @@ def connected_components(
     b_col: str = "b",
     max_iterations: int = 50,
     driver_max_edges: "int | None" = 1_000_000,
+    validate: bool = False,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Cluster duplicate-candidate pairs into components: every node gets
     ``cluster_id`` = the smallest node id reachable from it. This is the step
     that turns pair candidates (LSH / simhash / cosine) into an actionable
     dedup decision — keep ``doc_id == cluster_id``, drop the rest.
+
+    Precondition: every id in ``pairs`` must appear in ``nodes`` (true
+    for every caller here — candidate pairs are generated FROM the node
+    corpus). Under a violation the two paths legitimately differ: the
+    distributed loop silently ignores edges touching unknown ids (they
+    have no label row to propagate through), while the driver union-find
+    would connect components THROUGH an unknown intermediary and can
+    emit a cluster_id that is not a node. Filtering edges against the
+    node set would cost a shuffle over the full corpus id set per call
+    just to guard an internal invariant, so it is a documented
+    precondition instead; pass ``validate=True`` (tests / new callers)
+    to pay one anti-join and fail loudly on foreign ids.
 
     Two paths, identical min-label semantics:
 
@@ -249,14 +263,39 @@ def connected_components(
       ``localCheckpoint`` truncates lineage, and the driver only ever
       sees a single convergence aggregate. Pass ``driver_max_edges=None``
       (or 0) to force this path.
+
+    ``stats``, if given, is filled in place with which path ran and, on
+    the distributed path, rounds-to-converge and per-round wall seconds
+    (the sf1 stress lane records these in BASELINE.md §sf1).
     """
+    import time as _time
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
+    if validate:
+        foreign = (
+            edges.select(F.col("src").alias("__id"))
+            .join(
+                nodes.select(F.col(id_col).alias("__id")),
+                "__id",
+                "left_anti",
+            )
+            .limit(5)
+            .collect()
+        )
+        if foreign:
+            edges.unpersist()
+            raise ValueError(
+                "connected_components: pairs reference ids absent from "
+                f"nodes (first few: {[r[0] for r in foreign]}) — the "
+                "pairs ⊆ nodes precondition is violated"
+            )
     if driver_max_edges and edges.count() <= 2 * driver_max_edges:
+        if stats is not None:
+            stats["path"] = "driver_union_find"
         pdf = edges.toPandas()
         find = _driver_union_find(zip(pdf["src"], pdf["dst"]))
         seen = set(pdf["src"])  # symmetric edges: src covers both sides
@@ -291,15 +330,33 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=True)
 
-    def _label_sum(df: DataFrame):
-        # Labels only ever decrease, so the (overflow-proof) sum is a
-        # convergence fingerprint — one scan instead of an old-vs-new join.
-        return df.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-        ).collect()[0][0]
+    from pyspark.sql.types import NumericType
 
+    if isinstance(nodes.schema[id_col].dataType, NumericType):
+        # labels only ever decrease, so the (overflow-proof) exact sum is
+        # a convergence fingerprint — one scan instead of an old-vs-new
+        # join, and strictly decreasing until the fixpoint
+        _fingerprint = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    else:
+        # non-numeric ids (string doc ids): sum of per-row 64-bit hashes
+        # over (node, label). Unchanged sum ⇒ unchanged labels except a
+        # ~2⁻⁶⁴ delta-cancellation collision per round — acceptable for a
+        # stop-one-round-early worst case; an exact check would cost an
+        # old-vs-new join per round.
+        _fingerprint = F.sum(
+            F.xxhash64("node", "cluster_id").cast("decimal(38,0)")
+        )
+
+    def _label_sum(df: DataFrame):
+        return df.agg(_fingerprint).collect()[0][0]
+
+    if stats is not None:
+        stats["path"] = "distributed_min_label"
+        stats["rounds"] = 0
+        stats["round_secs"] = []
     prev_sum = None  # first round always changes something worth checking after
     for _ in range(max_iterations):
+        round_t0 = _time.perf_counter()
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"))
@@ -316,6 +373,11 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur_sum = _label_sum(labels)
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["round_secs"].append(
+                round(_time.perf_counter() - round_t0, 3)
+            )
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -43,6 +43,16 @@ def _dot(weights: list[float], feature_cols: Sequence[str], bias: float) -> Colu
     return z
 
 
+def _effective_driver_cap(driver_max_rows: int, d: int) -> int:
+    """Byte-budget row cap for the driver-side GD fold: the
+    ``driver_max_rows`` knob is calibrated for d=3 ((d+1)=4 doubles per
+    row, 2M rows ≈ 64 MB), so scale by 4/(d+1) to hold the collect's
+    byte size constant as the feature list widens — d=100 would
+    otherwise pull rows×101 doubles (≈1.6 GB at the default cap) into
+    one toPandas."""
+    return (driver_max_rows * 4) // (d + 1) if driver_max_rows else 0
+
+
 def logistic_train(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -55,14 +65,20 @@ def logistic_train(
 
     Two execution paths, same numpy math on the same (X, y) values:
 
-    - ``rows ≤ driver_max_rows``: ONE slim collect — d+1 doubles per row,
-      ≈64 MB at the default cap for d=3 — then every round folds
-      in-driver. Full-batch GD over a handful of floats per row is a
-      driver-sized problem once the corpus has been reduced to features;
-      20 sequential Spark jobs would each pay the job-scheduling floor
-      just to move d+1 floats (the same small-frame economics as the
-      prefix-scan fallback in operators/prefix.py). The row-count probe
-      that picks the path is one cheap count job.
+    - the input fits the driver BUDGET: ONE slim collect — d+1 doubles
+      per row — then every round folds in-driver. Full-batch GD over a
+      handful of floats per row is a driver-sized problem once the
+      corpus has been reduced to features; 20 sequential Spark jobs
+      would each pay the job-scheduling floor just to move d+1 floats
+      (the same small-frame economics as the prefix-scan fallback in
+      operators/prefix.py). The budget is in BYTES, not rows:
+      ``driver_max_rows`` is calibrated for d=3 (2M × 4 doubles ≈ 64 MB)
+      and the effective row cap scales as ``4/(d+1)`` so a wide feature
+      list cannot balloon the collect (d=100 would otherwise pull
+      ≈1.6 GB). The path probe is a LIMIT-bounded count (scans at most
+      cap+1 rows) — the distributed path never pays a full input scan
+      just to pick the path; it learns the true n from its own first
+      gradient aggregate.
     - otherwise (the 100 TB path): one job per round — an Arrow-batched
       partial gradient per partition (numpy sigmoid + BLAS ``errᵀ·X``
       under the *broadcast* weights) folds into a d+2-column JVM ``sum``
@@ -87,11 +103,16 @@ def logistic_train(
     )
     gcols = [f"g{i}" for i in range(d)]
     xcols = [f"__x{i}" for i in range(d)]
-    n_rows = df.count()
-    if not n_rows:
+    effective_cap = _effective_driver_cap(driver_max_rows, d)
+    # LIMIT-bounded path probe: scans at most cap+1 rows, so a 100 TB
+    # input pays ~cap rows here, not a full count — the distributed
+    # path's first gradient aggregate supplies the true n
+    probe = base.limit(effective_cap + 1).count()
+    if not probe:
         raise ValueError("logistic_train: input has no rows")
-    if n_rows <= driver_max_rows:
+    if probe <= effective_cap:
         pdf = base.toPandas()
+        n_rows = len(pdf)
         x = pdf[xcols].to_numpy(dtype=np.float64)
         yv = pdf["__y"].to_numpy(dtype=np.float64)
         w = np.zeros(d, dtype=np.float64)

@@ -55,7 +55,12 @@ def _local_index_paths(path: str, what: str) -> "tuple[str, str]":
                 f"{what} supports only local file:// URIs, got {path!r}"
             )
         local = parsed.path
-    elif parsed.scheme and "://" in path:
+    elif parsed.scheme and len(parsed.scheme) > 1:
+        # reject on the parsed scheme ALONE: 'hdfs:/nn/idx' (single
+        # slash) parses with scheme='hdfs' but contains no '://', and a
+        # substring guard would silently treat it as a local relative
+        # path. One-letter schemes are Windows drive letters ('C:/...'),
+        # which ARE local paths.
         raise ValueError(
             f"{what} requires a local path or file:// URI, got {path!r}: "
             "the sentinel is written with local file IO while the tables "
