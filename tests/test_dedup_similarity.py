@@ -249,6 +249,37 @@ def test_connected_components_paths_agree(spark):
     }
 
 
+def test_connected_components_string_ids_both_paths(spark):
+    # string doc ids exercise the hash-based convergence fingerprint in
+    # the distributed loops (the exact decimal-sum fingerprint is
+    # numeric-only); both graph forms, both paths, identical labels
+    pairs = spark.createDataFrame([("d-b", "d-a"), ("d-b", "d-c")], ["a", "b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in ["d-a", "d-b", "d-c", "d-z"]], ["doc_id"]
+    )
+    want = {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a", "d-z": "d-z"}
+    for cap in (1_000_000, None):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dd.connected_components(
+                pairs, nodes, driver_max_edges=cap
+            ).collect()
+        }
+        assert got == want, f"cap={cap}"
+    assign = spark.createDataFrame(
+        [("d-a", "b1"), ("d-b", "b1"), ("d-b", "b2"), ("d-c", "b2")],
+        ["doc_id", "bkey"],
+    )
+    for cap in (1_000_000, None):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dd.connected_components_bipartite(
+                nodes, assign, driver_max_edges=cap
+            ).collect()
+        }
+        assert got == want, f"bipartite cap={cap}"
+
+
 def test_connected_components_string_ids_driver_path(spark):
     # the driver union-find must round-trip non-numeric ids (GDC-style
     # UUID doc ids) through pandas and back into the broadcast mapping

@@ -447,6 +447,16 @@ def connected_components_bipartite(
     pair graph — but the bipartite edge list is O(docs × bands), never the
     quadratic pair set.
 
+    Precondition: every doc id in ``assignments`` must appear in
+    ``nodes`` (true for every caller — assignments are generated FROM
+    the node corpus). Under a violation the paths legitimately differ:
+    the driver union-find admits a foreign doc as a cluster
+    representative, while the distributed loop only ever propagates
+    labels originating from ``nodes``' own ids (and surfaces foreign
+    docs a round late). Same economics as
+    :func:`connected_components`' precondition — a membership filter
+    would shuffle the full corpus id set per call.
+
     Like :func:`connected_components`, an assignment table under
     ``driver_max_edges`` rows (one cheap count probe against the already-
     persisted frame) is labeled by an in-driver union-find over (node,
@@ -501,10 +511,22 @@ def connected_components_bipartite(
     frozen = all_labels.join(assign, "node", "left_anti")
     labels = all_labels.localCheckpoint(eager=True)
 
+    from pyspark.sql.types import NumericType
+
+    if isinstance(nodes.schema[id_col].dataType, NumericType):
+        # exact, strictly-decreasing convergence fingerprint (labels only
+        # ever decrease under min-propagation)
+        _fingerprint = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    else:
+        # non-numeric ids: 64-bit hash sum — unchanged ⇒ converged except
+        # a ~2⁻⁶⁴ cancellation collision per round (see
+        # connected_components)
+        _fingerprint = F.sum(
+            F.xxhash64("node", "cluster_id").cast("decimal(38,0)")
+        )
+
     def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        return df.agg(_fingerprint).collect()[0][0]
 
     def _propagate(lbls: DataFrame) -> DataFrame:
         # A node's own label contributes to each of its buckets' min, so
