@@ -175,3 +175,53 @@ def test_streaming_funnel_with_event_time_eviction(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_funnel_composes_with_partitioned_sink(spark, tmp_path):
+    """End-to-end composition: streaming_funnel with idle-eviction landed
+    through the engine's partitioned parquet sink (foreachBatch →
+    write_partitioned). The landed table is an append-only update LOG
+    partitioned by stage_depth; the per-user final depth recovered from
+    it matches the batch event_funnel query."""
+    import os
+
+    from xena_gdc_etl_spark.streaming import stream_to_partitioned_parquet
+    from xena_gdc_etl_spark.streaming.stateful import streaming_funnel
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    d = str(tmp_path / "events")
+    events = Catalog(spark, "/root/testdata/sf0.001").events.select(
+        "user_id", "event_type", "ts"
+    )
+    events.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    landed = str(tmp_path / "funnel_log")
+    q = stream_to_partitioned_parquet(
+        streaming_funnel(stream, idle_timeout_ms=60_000),
+        landed,
+        checkpoint=str(tmp_path / "chk"),
+        partition_by=["stage_depth"],
+        output_mode="update",
+    )
+    q.awaitTermination(300)
+    assert any(p.startswith("stage_depth=") for p in os.listdir(landed))
+    # depths only grow per user (eviction emits the final = max depth),
+    # so max-per-user over the update log IS the final depth
+    final = {
+        r.user_id: r.d
+        for r in spark.read.parquet(landed)
+        .groupBy("user_id")
+        .agg(F.max("stage_depth").alias("d"))
+        .collect()
+    }
+    batch = QUERIES["event_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
+    depths = list(final.values())
+    assert sum(1 for v in depths if v >= 1) == batch.n_view
+    assert sum(1 for v in depths if v >= 2) == batch.n_view_click
+    assert sum(1 for v in depths if v >= 3) == batch.n_funnel

@@ -96,12 +96,19 @@ def stream_to_partitioned_parquet(
     checkpoint: str,
     partition_by: list[str] = (),
     trigger_available_now: bool = True,
+    output_mode: "str | None" = None,
 ):
     """Land a stream into the engine's partitioned parquet sink via
     ``foreachBatch`` — each micro-batch goes through the same
     ``write_partitioned`` layout (hive dirs, file-size caps) the batch
     pipelines use, so downstream readers can't tell how the data arrived.
     Exactly-once per micro-batch comes from the checkpointed batch id.
+
+    ``output_mode`` must be set to ``"update"`` when the upstream plan
+    contains an update-mode stateful operator (e.g.
+    ``streaming_funnel``); the landed table is then an append-only LOG of
+    per-key updates — each eviction/emission becomes a row — which is the
+    shape batch reconciliation jobs want.
     """
     from xena_gdc_etl_spark.sources.parquet_sink import write_partitioned
 
@@ -114,6 +121,8 @@ def stream_to_partitioned_parquet(
         stream_df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
     )
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
