@@ -329,6 +329,23 @@ def test_connected_components_stats_report_path_and_rounds(spark):
     assert len(st_dist["round_secs"]) == st_dist["rounds"]
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    # a 64-node path graph has diameter 63: pure min-label propagation
+    # needs ~64 rounds, pointer-jumping must land it in O(log n)
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    st: dict = {}
+    out = dd.connected_components(
+        pairs, nodes, driver_max_edges=0, stats=st
+    ).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n
+    assert st["rounds"] <= 12, st["rounds"]
+
+
 def test_spread_to_cores_skips_filled_scans(spark):
     # a frame already at (or above) core parallelism must NOT pay the
     # spread shuffle; an underfilled one must

@@ -362,14 +362,26 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # Pointer-jump (path-doubling): label ← label(label). Every label
+        # is some node's own id (min over node ids, pairs ⊆ nodes), so
+        # the self-join is total; label(u) ≤ u keeps labels monotone and
+        # within the component (u is reachable ⇒ label(u) is reachable).
+        # Long-chain components — real under LSH near-dup chains, the sf1
+        # stress measured a diameter-25 component = 26 propagation-only
+        # rounds — now converge in O(log diameter) rounds instead of
+        # O(diameter): each round one hop + one doubling.
+        parent = stepped.select(
+            F.col("node").alias("__p"), F.col("cluster_id").alias("__pc")
+        )
         labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
-            )
+            stepped.join(parent, stepped["cluster_id"] == parent["__p"])
+            .select("node", F.col("__pc").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
         cur_sum = _label_sum(labels)
