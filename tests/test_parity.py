@@ -88,6 +88,40 @@ def test_driver_window_rotation_invariant():
     uncovered = set(QUERIES) - current_window - last_window
     assert not uncovered, (
         f"queries outside the first-50 window with no row in "
-        f"{os.path.basename(latest)}: {sorted(uncovered)} — rotate them "
-        "into workload._PROMOTED"
+        f"{os.path.basename(latest)}: {sorted(uncovered)} — the derived "
+        "least-recently-sampled ordering should make this impossible; "
+        "check workload._reorder_registry"
     )
+
+
+def test_rotation_self_maintaining_next_round(monkeypatch):
+    """Simulate the NEXT round: append the CURRENT first-50 window as if the
+    driver had just recorded it, re-derive the ordering, and assert the
+    invariant still holds — i.e. rotation needs no manual end-of-round step,
+    ever (the round-7/8 failure mode)."""
+    from xena_gdc_etl_spark import workload
+
+    windows = workload._recorded_windows()
+    if not windows:
+        pytest.skip("no recorded driver windows yet (round 1)")
+    # ordering as derived today
+    current_window = list(QUERIES)[:50]
+    simulated = windows + [set(current_window)]
+    monkeypatch.setattr(workload, "_recorded_windows", lambda: simulated)
+    snap_q, snap_o = dict(workload.QUERIES), dict(workload.ORACLES)
+    try:
+        workload._reorder_registry()
+        next_window = set(list(workload.QUERIES)[:50])
+        uncovered = set(workload.QUERIES) - next_window - set(current_window)
+        assert not uncovered, (
+            f"next-round window would leave {sorted(uncovered)} unsampled "
+            "two rounds running"
+        )
+        # derived ordering must be deterministic (same inputs → same order)
+        order1 = list(workload.QUERIES)
+        workload._reorder_registry()
+        assert list(workload.QUERIES) == order1
+    finally:
+        for registry, snap in ((workload.QUERIES, snap_q), (workload.ORACLES, snap_o)):
+            registry.clear()
+            registry.update(snap)

@@ -81,7 +81,9 @@ def test_explicit_repartition_is_trusted(spark):
     wide = spark.range(1000).repartition(par + 4)
     narrow = spark.range(1000).coalesce(1)
     assert pt.explicit_partition_width(wide) == par + 4
-    assert pt.explicit_partition_width(narrow) == 1
+    # coalesce is NOT a trusted width (its k is only an upper bound):
+    # the probe falls through to the size estimate
+    assert pt.explicit_partition_width(narrow) is None
     # projections/filters on top don't hide the repartition
     assert (
         pt.explicit_partition_width(
@@ -91,6 +93,40 @@ def test_explicit_repartition_is_trusted(spark):
     )
     assert shuffle_count(pt.spread(wide)) == shuffle_count(wide)
     assert shuffle_count(pt.spread(narrow)) == shuffle_count(narrow) + 1
+
+
+def test_coalesce_width_not_trusted(spark):
+    """Round-8 advisor (medium): coalesce(k) emits a Repartition node with
+    shuffle=false whose k is an UPPER bound — a 1-partition frame under
+    .coalesce(par+4) reported width par+4 and skipped the spread, running
+    the explode on one core. The probe must ignore coalesce widths and
+    fall through to the size estimate (small frame → spread fires)."""
+    par = spark.sparkContext.defaultParallelism
+    # NB: .repartition(k).coalesce(m) gets COLLAPSED by Catalyst into one
+    # shuffle Repartition, so build the bare coalesce the pathology uses:
+    # a narrow scan (here range with few splits) under a wide coalesce.
+    inflated = spark.range(0, 1000, 1, numPartitions=2).coalesce(par + 4)
+    node = inflated._jdf.queryExecution().optimizedPlan()
+    assert node.nodeName() == "Repartition" and not node.shuffle()
+    assert pt.explicit_partition_width(inflated) is None
+    assert shuffle_count(pt.spread(inflated)) == shuffle_count(inflated) + 1
+    # a REAL shuffle repartition of the same width is still trusted
+    real = spark.range(1000).repartition(par + 4)
+    assert shuffle_count(pt.spread(real)) == shuffle_count(real)
+
+
+def test_statless_source_sentinel_spreads(spark, monkeypatch):
+    """Round-8 advisor (low): sources without stats (JDBC, some DSv2)
+    report the defaultSizeInBytes sentinel (~Long.MaxValue), which always
+    beats the per-core threshold and silently disabled the spread for
+    exactly the sources likeliest to arrive in one partition. A size at
+    or above SIZE_UNKNOWN_SENTINEL must be treated as unknown → spread."""
+    df = spark.range(1000)
+    monkeypatch.setattr(pt, "estimated_size_bytes", lambda _df: 1 << 62)
+    assert shuffle_count(pt.spread(df)) == shuffle_count(df) + 1
+    # a plausibly-huge but REAL estimate below the sentinel still skips
+    monkeypatch.setattr(pt, "estimated_size_bytes", lambda _df: 1 << 50)
+    assert shuffle_count(pt.spread(df)) == shuffle_count(df)
 
 
 def test_large_scan_skips_spread(spark, sf_dir, monkeypatch):
@@ -106,6 +142,28 @@ def test_small_scan_spreads(spark, sf_dir):
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     assert pt.estimated_size_bytes(df) > 0
     assert shuffle_count(pt.spread(df)) == shuffle_count(df) + 1
+
+
+def test_spread_shuffles_only_consumed_columns(spark, sf_dir):
+    """The spread never shuffles full rows when the caller projects:
+    Catalyst's ColumnPruning pushes a Project BELOW the Repartition, so
+    only the columns the downstream plan consumes cross the wire (the
+    round-8 verdict's 'spread the slim projection' concern is satisfied
+    by the optimizer, pinned here so a regression is loud)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = pt.spread(df).select("doc_id", F.length("text").alias("L"))
+    plan = out._jdf.queryExecution().optimizedPlan()
+    rep = plan
+    while rep.nodeName() != "Repartition":
+        assert rep.children().size() == 1, "no Repartition in spread plan"
+        rep = rep.children().head()
+    below = rep.children().head()
+    assert below.nodeName() == "Project"
+    pruned_cols = below.output().size()
+    assert pruned_cols < len(df.columns), (
+        "spread shuffled the full row; column pruning below Repartition "
+        "regressed"
+    )
 
 
 def test_streaming_frame_untouched(spark):

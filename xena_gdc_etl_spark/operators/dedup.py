@@ -803,9 +803,13 @@ def ngram_jaccard_pairs(
     sizes = (
         postings_all.select(F.explode("ids").alias(id_col), "bucket")
         .groupBy(F.col(id_col))
+        # min/max are plain partial aggs (map-side combine, no distinct
+        # expansion); min==max ⟺ one bucket per doc, same loud failure as
+        # the count_distinct form at a fraction of the cost
         .agg(
             F.count(F.lit(1)).alias("__sz"),
-            F.count_distinct("bucket").alias("__nb"),
+            F.min("bucket").alias("__bmin"),
+            F.max("bucket").alias("__bmax"),
         )
         # assert_true sits INSIDE the sz expression (not a droppable side
         # column Catalyst would prune): it returns null on pass, so the
@@ -814,7 +818,7 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.when(
                 F.assert_true(
-                    F.col("__nb") == 1,
+                    F.col("__bmin").eqNullSafe(F.col("__bmax")),
                     F.concat(
                         F.lit(
                             "ngram_jaccard_pairs: bucket_col must be a "

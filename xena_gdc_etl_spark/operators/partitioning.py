@@ -50,6 +50,14 @@ SPREAD_BYTES_PER_CORE = int(
     os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_CORE", str(16 * 1024 * 1024))
 )
 
+# Catalyst reports ``spark.sql.defaultSizeInBytes`` (Long.MaxValue by
+# default) for relations it cannot estimate — JDBC scans, stat-less DSv2
+# relations. Such a sentinel would always beat the per-core threshold and
+# silently disable the spread for exactly the sources most likely to arrive
+# in a handful of partitions. Anything ≥ 1 EiB is not a real size estimate:
+# treat it as UNKNOWN and keep the documented err-toward-spreading posture.
+SIZE_UNKNOWN_SENTINEL = 1 << 60
+
 # Nodes that neither add nor move partitions: safe to descend through
 # when looking for the node that determines the frame's partitioning.
 _PARTITION_PRESERVING = {"Project", "Filter", "SubqueryAlias", "Generate"}
@@ -75,6 +83,12 @@ def explicit_partition_width(df: DataFrame) -> int | None:
         node = children.head()
     if node.nodeName() in _REPARTITION_NODES:
         try:
+            if node.nodeName() == "Repartition" and not node.shuffle():
+                # coalesce(k): k is only an UPPER bound — coalesce cannot
+                # raise the upstream partition count, so a 1-partition scan
+                # under .coalesce(32) would report width 32 while every row
+                # still sits in one task. Width unknown → size fallback.
+                return None
             return int(node.numPartitions())
         except Exception:
             return None  # RebalancePartitions with no explicit width
@@ -99,6 +113,7 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     width = explicit_partition_width(df)
     if width is not None:
         return df if width >= par else df.repartition(par)
-    if estimated_size_bytes(df) >= par * SPREAD_BYTES_PER_CORE:
+    size = estimated_size_bytes(df)
+    if par * SPREAD_BYTES_PER_CORE <= size < SIZE_UNKNOWN_SENTINEL:
         return df
     return df.repartition(par)

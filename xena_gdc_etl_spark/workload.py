@@ -13,6 +13,8 @@ hash, with columns sorted by name):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3171,88 +3173,70 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Registry ordering. The driver's correctness gate samples the first 50
-# entries of ``queries()`` in dict order, which up to round 2 was decorator
-# order — so the last-registered 11 queries never received a driver oracle
-# row.  Promote those 11 to right after the flagship query; the entries they
-# displace are long-stable (green in rounds 1 and 2, byte-unchanged since).
-# Source-file position of the implementations is unchanged — only the dict
-# iteration order moves.
+# Registry ordering — self-maintaining driver-window rotation.
+#
+# The driver's correctness gate samples the FIRST 50 entries of ``queries()``
+# in dict order each round and records the sampled window as
+# ``CORRECTNESS_r{N}.json`` in the repo root.  House invariant (since round
+# 4): the union of two adjacent rounds' windows must cover every query — no
+# query goes two consecutive rounds unsampled.  Rounds 7 and 8 both tripped
+# the invariant because the order was a hand-maintained ``_PROMOTED`` list
+# that had to be re-edited at round END; per the round-8 verdict the order is
+# now DERIVED from the recorded windows themselves: least-recently-sampled
+# first (never-sampled queries — e.g. ones added this round — sort to the
+# very front), ties broken by total times sampled (ascending) then by
+# registration order, so the ordering is deterministic and needs no manual
+# upkeep.  With 84 queries and a 50-query window this places all queries
+# absent from the latest recorded window inside the next window by
+# construction.  Source-file position of the implementations is unchanged —
+# only dict iteration order moves.  Outside the repo (no CORRECTNESS files)
+# the registration order is kept as-is.
 # --------------------------------------------------------------------------
-_PROMOTED = [
-    # round 8: the 34 rows the round-7 rotation displaced out of the
-    # driver window (each hash-green in r06 and in the local parity
-    # suite) rotate back in — invariant since round 4: no query goes two
-    # consecutive rounds unsampled, so the union of any two adjacent
-    # rounds' driver windows covers every query.
-    "snv_placeholder_filter",
-    "survival_transform",
-    "pheno_coalesce_join",
-    "latest_followup",
-    "field_map",
-    "check_new",
-    "project_info",
-    "earliest_diagnosis",
-    "postprocess_dedup",
-    "xena_eql",
-    "events_window",
-    "sessionize",
-    "dedup_exact",
-    "dedup_minhash",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "minhash_jaccard_est",
-    "dedup_normalized",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "multimodal_features",
-    "scrub_pii",
-    "train_split",
-    "flatten_props",
-    "json_props_agg",
-    "doc_repetition",
-    "contamination",
-    "asof_join",
-    "group_percentiles",
-    "top_docs_per_source",
-    "length_band_filter",
-    # queries whose PLAN changes this round (fill-aware spread probe in
-    # the ANN/dedup/text explode paths; logreg driver-cap rescale by
-    # feature width; ngram posting-frame bucket contract) — fresh driver
-    # rows must land in r08 even though they were green in r07
-    "cosine_topk",
-    "ann_ivf",
-    "ann_ivf_pq",
-    "quality_logreg",
-    "embed_cosine_dup",
-    "semantic_dedup",
-    "dedup_simhash",
-    "simhash_pairs",
-    "ngram_jaccard",
-    "containment_pairs",
-    "pq_adc_score",
-    "logreg_score",
-    "embed_quantize",
-    "cluster_purity",
-    "chunk_documents",
-]
+
+
+def _recorded_windows() -> "list[set[str]]":
+    """Recorded driver windows, oldest→newest, from CORRECTNESS_r*.json."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recs = _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+
+    def _round(p: str) -> int:
+        m = _re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    windows = []
+    for path in sorted(recs, key=_round):
+        try:
+            with open(path) as fh:
+                windows.append(set(_json.load(fh)))
+        except (OSError, ValueError):  # unreadable/partial file: skip it
+            continue
+    return windows
 
 
 def _reorder_registry() -> None:
-    missing = [k for k in _PROMOTED if k not in QUERIES]
-    if missing:  # fail loudly at import: a rename must update this list
-        raise RuntimeError(f"_PROMOTED names not registered: {missing}")
-    order = ["q1_pricing_summary", *_PROMOTED]
-    order += [k for k in QUERIES if k not in order]
+    windows = _recorded_windows()
+    if not windows:
+        return  # round 1 / installed outside the repo: keep decorator order
+    reg_pos = {k: i for i, k in enumerate(QUERIES)}
+    last_sampled = {}  # query -> index of newest window containing it
+    times_sampled = {k: 0 for k in QUERIES}
+    for idx, win in enumerate(windows):
+        for k in win:
+            if k in reg_pos:
+                last_sampled[k] = idx
+                times_sampled[k] += 1
+    order = sorted(
+        QUERIES,
+        key=lambda k: (last_sampled.get(k, -1), times_sampled[k], reg_pos[k]),
+    )
     for registry in (QUERIES, ORACLES):
         snapshot = dict(registry)
         registry.clear()
-        registry.update(
-            {k: snapshot[k] for k in order if k in snapshot}
-        )
+        registry.update({k: snapshot[k] for k in order if k in snapshot})
 
 
 _reorder_registry()
