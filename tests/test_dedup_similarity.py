@@ -191,6 +191,40 @@ def test_connected_components_pairs(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
 
 
+def test_connected_components_iteration_exhaustion_one_row_per_node(spark):
+    """Round-8 advisor (low): if max_iterations exhausts before the star
+    fixpoint, the intermediate edge set can hold multi-parent children and
+    the final left join would silently DUPLICATE node rows. The guard must
+    warn and still emit exactly one row per node (min-parent label)."""
+    import warnings
+
+    # long chain => needs >0 alternation rounds; max_iterations=0 exits
+    # the loop unconverged with the raw canonical edge set as the "star"
+    chain = [(i + 1, i) for i in range(1, 12)]
+    pairs = spark.createDataFrame(chain, ["a", "b"])
+    nodes = spark.createDataFrame([(i,) for i in range(1, 13)], ["doc_id"])
+    stats = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = dd.connected_components(
+            pairs, nodes, driver_max_edges=None, max_iterations=0, stats=stats
+        ).collect()
+    assert stats["converged"] is False
+    assert any("did not converge" in str(w.message) for w in caught)
+    ids = [r.doc_id for r in rows]
+    assert sorted(ids) == list(range(1, 13))  # one row per node, no dups
+    # converged run on the same graph: no warning, correct labels
+    stats2 = {}
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(
+            pairs, nodes, driver_max_edges=None, stats=stats2
+        ).collect()
+    }
+    assert stats2["converged"] is True
+    assert out == {i: 1 for i in range(1, 13)}
+
+
 def test_connected_components_bipartite_matches_pair_form(spark):
     # doc->bucket memberships; components via shared buckets:
     # b1:{10,11}, b2:{11,12}, b3:{20,21} => {10,11,12}, {20,21}, {30}

@@ -231,6 +231,26 @@ def test_write_manifest_digest_sees_paired_duplicate_swap(spark, tmp_path):
     assert mc["partitions"][0]["digest"] != da
 
 
+def test_ann_index_path_validation():
+    """Scheme guard: remote schemes rejected loudly (single-slash form
+    too); colon-in-first-segment relative paths rejected with an error
+    naming the './' escape hatch, which itself parses as local."""
+    import pytest
+
+    from xena_gdc_etl_spark.sources.ann_index import _local_index_paths
+
+    local, uri = _local_index_paths("/tmp/some/idx", "t")
+    assert local == "/tmp/some/idx" and uri == "file:///tmp/some/idx"
+    for bad in ("hdfs://nn/idx", "hdfs:/nn/idx", "s3a://bucket/idx"):
+        with pytest.raises(ValueError, match="local path or file://"):
+            _local_index_paths(bad, "t")
+    # relative path whose first segment contains ':' → loud, with hatch
+    with pytest.raises(ValueError, match="prefix it with './'"):
+        _local_index_paths("my:dir/idx", "t")
+    local, uri = _local_index_paths("./my:dir/idx", "t")
+    assert local.endswith("/my:dir/idx") and uri == "file://" + local
+
+
 def test_ann_index_roundtrip(spark, tmp_path):
     """Saved centroids + PQ codebooks load back bit-identical, reassign
     identically, and an incomplete save (no sentinel) fails loudly."""

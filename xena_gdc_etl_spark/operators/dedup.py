@@ -298,7 +298,11 @@ def connected_components(
                 f"nodes (first few: {[r[0] for r in foreign]}) — the "
                 "pairs ⊆ nodes precondition is violated"
             )
-    if driver_max_edges and edges.count() <= 2 * driver_max_edges:
+    # LIMIT-bounded probe (logreg.py driver-cap pattern): short-circuits
+    # at cap+1 rows instead of a full count over a pair set that is
+    # destined for the distributed path anyway when it is large.
+    cap = 2 * driver_max_edges if driver_max_edges else 0
+    if driver_max_edges and edges.limit(cap + 1).count() <= cap:
         if stats is not None:
             stats["path"] = "driver_union_find"
         pdf = edges.toPandas()
@@ -400,6 +404,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = None
+    converged = False
     for _ in range(max_iterations):
         round_t0 = _time.perf_counter()
         estar = _small_star(_large_star(estar)).localCheckpoint(eager=True)
@@ -410,18 +415,36 @@ def connected_components(
                 round(_time.perf_counter() - round_t0, 3)
             )
         if cur == prev:
+            converged = True
             break
         prev = cur
     edges.unpersist()
+    star = estar.select(F.col("u").alias("node"), F.col("v").alias("__cl"))
+    if not converged:
+        # max_iterations exhausted before the star fixpoint: the edge set
+        # can still hold multi-parent children, and joining it as-is would
+        # SILENTLY duplicate node rows with conflicting cluster_ids.
+        # Practically unreachable (O(log² n) convergence vs 50 rounds),
+        # but fail soft-loud: warn, and collapse to one deterministic
+        # (possibly unconverged) label per node so output stays one row
+        # per node — the old min-label truncation behavior.
+        import warnings
+
+        warnings.warn(
+            "connected_components: alternating-star did not converge "
+            f"within max_iterations={max_iterations}; labels may be "
+            "unconverged (one per node, min-parent)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        star = star.groupBy("node").agg(F.min("__cl").alias("__cl"))
+    if stats is not None:
+        stats["converged"] = converged
     # the converged (child u → root v) star map labels every non-root;
     # roots and edge-free nodes label themselves
     return (
         nodes.select(F.col(id_col).alias("node"))
-        .join(
-            estar.select(F.col("u").alias("node"), F.col("v").alias("__cl")),
-            "node",
-            "left",
-        )
+        .join(star, "node", "left")
         .select(
             F.col("node").alias(id_col),
             F.coalesce("__cl", "node").alias("cluster_id"),

@@ -60,12 +60,16 @@ def _local_index_paths(path: str, what: str) -> "tuple[str, str]":
         # slash) parses with scheme='hdfs' but contains no '://', and a
         # substring guard would silently treat it as a local relative
         # path. One-letter schemes are Windows drive letters ('C:/...'),
-        # which ARE local paths.
+        # which ARE local paths. Deliberate casualty: a relative local
+        # path whose FIRST segment contains a colon ('my:dir/idx') is
+        # rejected too — fail-loud beats guessing, and './my:dir/idx'
+        # parses scheme-less, so the error names that escape hatch.
         raise ValueError(
             f"{what} requires a local path or file:// URI, got {path!r}: "
             "the sentinel is written with local file IO while the tables "
             "go through Spark writers — on a remote filesystem these "
-            "would land in different places"
+            "would land in different places. For a local relative path "
+            "containing ':', prefix it with './'"
         )
     else:
         local = path
