@@ -217,3 +217,98 @@ def test_write_xena_tsv_rejects_overwide_pivot(spark, tmp_path):
         write_xena_tsv(long_df, str(tmp_path / "m"), max_samples=10)
     # at the limit it still writes
     write_xena_tsv(long_df, str(tmp_path / "m2"), max_samples=20)
+
+
+def _write_tsv(path, header, rows):
+    with open(path, "w") as fh:
+        fh.write("\t".join(header) + "\n")
+        for r in rows:
+            fh.write("\t".join(str(v) for v in r) + "\n")
+
+
+def test_cli_postprocess_sample_column_dtype(tmp_path):
+    """End-to-end offline `xge-spark postprocess` on a sample-COLUMN dtype
+    (reference postprocessing.py:78-88): sample columns rename to cases via
+    the injected map; two columns landing on the same case keep ONE value
+    (from the smallest original sample id)."""
+    mdir = tmp_path / "proj" / "Matrices"
+    mdir.mkdir(parents=True)
+    f = mdir / "m.tsv"
+    _write_tsv(
+        f,
+        ["Ensembl_ID", "S1", "S2", "S3"],
+        [["g1", 1.0, 2.0, 3.0], ["g2", 4.0, 5.0, 6.0]],
+    )
+    cases = tmp_path / "cases.tsv"
+    _write_tsv(cases, ["sample", "case"], [["S1", "C1"], ["S2", "C1"], ["S3", "C2"]])
+    res = run_cli(
+        "postprocess", "-p", "CPTAC-3", "-t", "star_counts",
+        "-f", str(f), "--gdc-cases", str(cases),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = tmp_path / "proj" / "Postprocessed_Matrices" / "m.tsv"
+    assert out.exists()
+    import csv
+
+    part = glob.glob(str(out / "part-*.csv"))[0]
+    rows = list(csv.reader(open(part), delimiter="\t"))
+    header, body = rows[0], {r[0]: r[1:] for r in rows[1:]}
+    assert header == ["feature", "C1", "C2"]
+    # C1 keeps S1's values (smallest original sample id), C2 keeps S3's
+    assert body["g1"] == ["1.0", "3.0"] and body["g2"] == ["4.0", "6.0"]
+
+
+def test_cli_postprocess_row_form_dtype(tmp_path):
+    """Row form (reference postprocessing.py:96-101): the 'sample' column
+    values rename to cases; full-duplicate rows collapse, conflicting rows
+    for the same case both survive (drop_duplicates semantics)."""
+    mdir = tmp_path / "proj" / "Matrices"
+    mdir.mkdir(parents=True)
+    f = mdir / "ph.tsv"
+    _write_tsv(
+        f,
+        ["sample", "age", "stage"],
+        [["S1", 40, "ii"], ["S2", 40, "ii"], ["S3", 55, "iv"]],
+    )
+    cases = tmp_path / "cases.tsv"
+    _write_tsv(cases, ["sample", "case"], [["S1", "C1"], ["S2", "C1"], ["S3", "C2"]])
+    res = run_cli(
+        "postprocess", "-p", "CPTAC-3", "-t", "GDC_phenotype",
+        "-f", str(f), "--gdc-cases", str(cases),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = tmp_path / "proj" / "Postprocessed_Matrices" / "ph.tsv"
+    import csv
+
+    part = glob.glob(str(out / "part-*.csv"))[0]
+    rows = list(csv.reader(open(part), delimiter="\t"))
+    header = rows[0]
+    assert header == ["sample", "age", "stage"]
+    body = sorted(rows[1:])
+    # S1+S2 were identical rows -> one C1 row; S3 -> C2
+    assert body == [["C1", "40", "ii"], ["C2", "55", "iv"]]
+
+
+def test_cli_postprocess_suffix_trim_project(tmp_path):
+    """Special projects (postprocessing.py:121-145) rename by suffix trim
+    with NO GDC fetch and NO dedup: BEATAML strips 1 char."""
+    mdir = tmp_path / "proj" / "Matrices"
+    mdir.mkdir(parents=True)
+    f = mdir / "m.tsv"
+    _write_tsv(
+        f,
+        ["Ensembl_ID", "AML-01R", "AML-02R"],
+        [["g1", 1.5, 2.5]],
+    )
+    res = run_cli(
+        "postprocess", "-p", "BEATAML1.0-COHORT", "-t", "star_counts",
+        "-f", str(f),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = tmp_path / "proj" / "Postprocessed_Matrices" / "m.tsv"
+    import csv
+
+    part = glob.glob(str(out / "part-*.csv"))[0]
+    rows = list(csv.reader(open(part), delimiter="\t"))
+    assert rows[0] == ["feature", "AML-01", "AML-02"]
+    assert rows[1] == ["g1", "1.5", "2.5"]

@@ -101,6 +101,29 @@ def create_parser() -> argparse.ArgumentParser:
     meta.add_argument("-m", "--matrix", required=True)
     meta.add_argument("-r", "--release", default="")
 
+    post = sub.add_parser(
+        "postprocess",
+        help="CPTAC-3 postprocess: sample→case rename + dedup "
+        "(reference postprocessing.py:8 create_parser / :110 main)",
+    )
+    post.add_argument("-p", "--project", type=str, required=True, help="The project name.")
+    post.add_argument(
+        "-t", "--datatype", type=str, required=True,
+        help="The Xena data type of the file.",
+    )
+    post.add_argument(
+        "-f", "--file", type=str, required=True,
+        help="Path to the data file (TSV, read like the reference's "
+        "pandas.read_csv sep='\\t').",
+    )
+    post.add_argument(
+        "--gdc-cases",
+        default=None,
+        help="offline sample→case map: parquet or TSV with columns "
+        "(sample, case). Default fetches live from the GDC API "
+        "(requires network).",
+    )
+
     check = sub.add_parser("gdc-check-new", help="summarize impact of updated file ids")
     check.add_argument("--files-table", required=True, help="parquet of file metadata")
     check.add_argument("--id-col", required=True)
@@ -244,6 +267,97 @@ def main(argv: list[str] | None = None) -> int:
         out = f"{options.outdir.rstrip('/')}/{name}"
         write_xena_tsv(merged, out)
         print(f'Merged "{options.datatype}" matrix is ready at {out}')
+        return 0
+
+    if options.subcomm == "postprocess":
+        import os
+
+        from xena_gdc_etl_spark.operators.mapping import (
+            SAMPLE_COLUMN_DTYPES,
+            SUFFIX_TRIM_PROJECTS,
+            postprocess_rename_dedup,
+            trim_sample_suffix,
+        )
+        from xena_gdc_etl_spark.operators.matrix import melt_long
+        from xena_gdc_etl_spark.sources.xena_tsv import (
+            read_xena_tsv,
+            write_xena_tsv,
+        )
+
+        dtype = options.datatype
+        print(
+            f"{options.project} data will be postprocessed for the "
+            f"following datatype: {dtype}."
+        )
+        col_form = dtype in SAMPLE_COLUMN_DTYPES
+        if col_form:
+            # samples are COLUMN names, first column is the feature id
+            long_df = read_xena_tsv(spark, options.file, long=True)
+        else:
+            # row form: first column is 'sample', features are columns.
+            # stack() needs one value type across columns and a phenotype
+            # row mixes ints/strings — read everything as string (the
+            # output is a TSV again, so no precision is at stake)
+            wide = spark.read.options(
+                sep="\t", header=True, nullValue="NA"
+            ).csv(options.file)
+            sample_first = wide.columns[0]
+            long_df = melt_long(
+                wide.withColumnRenamed(sample_first, "sample"),
+                "sample",
+                [c for c in wide.columns if c != sample_first],
+            ).select("sample", "feature", "value")
+
+        trim = SUFFIX_TRIM_PROJECTS.get(options.project)
+        if trim is not None:
+            # special projects: fixed-suffix rename, no GDC fetch, no dedup
+            out_df = trim_sample_suffix(long_df, trim)
+        else:
+            if options.gdc_cases:
+                if options.gdc_cases.endswith(".parquet"):
+                    mapping = spark.read.parquet(options.gdc_cases)
+                else:
+                    mapping = spark.read.options(
+                        sep="\t", header=True
+                    ).csv(options.gdc_cases)
+            else:
+                # live GDC fetch (reference get_gdc_data): cases of the
+                # project with their samples' submitter ids, exploded to
+                # the flat (sample, case) map
+                from pyspark.sql import functions as F
+
+                from xena_gdc_etl_spark.filters import FilterSpec
+                from xena_gdc_etl_spark.sources.gdc_api import fetch_table
+
+                hits = fetch_table(
+                    spark,
+                    "cases",
+                    FilterSpec(
+                        include={"project.project_id": options.project}
+                    ),
+                    fields=["submitter_id", "samples.submitter_id"],
+                )
+                mapping = hits.select(
+                    F.col("submitter_id").alias("case"),
+                    F.explode("samples").alias("__s"),
+                ).select(F.col("__s.submitter_id").alias("sample"), "case")
+            out_df = postprocess_rename_dedup(long_df, dtype, mapping)
+
+        new_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(options.file))),
+            "Postprocessed_Matrices",
+        )
+        os.makedirs(new_dir, exist_ok=True)
+        out = os.path.join(new_dir, os.path.basename(options.file))
+        if col_form:
+            write_xena_tsv(out_df, out)
+        else:
+            # row orientation back out: samples as rows, fields as columns
+            write_xena_tsv(
+                out_df, out, sample_col="feature", feature_col="sample"
+            )
+        print(f"Postprocessed {dtype} data is ready for {options.project}.")
+        print(f"Postprocessed matrix is saved at {out}.")
         return 0
 
     if options.subcomm == "gdc-check-new":

@@ -92,3 +92,89 @@ def list_agg_per_key(
         F.array_sort(F.collect_list(F.col(c))).alias(c) for c in value_cols
     ]
     return df.groupBy(F.col(key_col)).agg(*aggs)
+
+
+# Xena dtypes whose matrices carry SAMPLES AS COLUMN NAMES (the reference's
+# ``sample_columns`` list, postprocessing.py:78); every other dtype is the
+# row form with a 'sample' column.
+SAMPLE_COLUMN_DTYPES = frozenset(
+    {
+        "star_counts",
+        "star_tpm",
+        "star_fpkm",
+        "star_fpkm-uq",
+        "mirna",
+        "gene-level_ascat-ngs",
+        "methylation_epic",
+        "methylation_epic_v2",
+    }
+)
+
+# Projects the reference postprocesses WITHOUT a GDC fetch, by trimming a
+# fixed-length suffix off every sample id (postprocessing.py:121-145).
+SUFFIX_TRIM_PROJECTS = {
+    "BEATAML1.0-COHORT": 1,
+    "CMI-MPC": 4,
+    "CMI-MBC": 4,
+}
+
+
+def trim_sample_suffix(
+    long_df: DataFrame, n: int, sample_col: str = "sample"
+) -> DataFrame:
+    """Strip the last ``n`` characters from every sample id — the
+    reference's special-project rename (postprocessing.py:121-145: BEATAML
+    strips 1 char, CMI-MPC/CMI-MBC strip 4). Pure column expression; no
+    dedup in the reference for these projects, none here."""
+    return long_df.withColumn(
+        sample_col,
+        F.expr(
+            f"substring({sample_col}, 1, length({sample_col}) - {int(n)})"
+        ),
+    )
+
+
+def postprocess_rename_dedup(
+    long_df: DataFrame,
+    data_type: str,
+    sample_to_case: DataFrame,
+    sample_col: str = "sample",
+    feature_col: str = "feature",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sample→case rename + duplicate removal on a long-form matrix — the
+    reference's ``postprocess`` (postprocessing.py:65) re-expressed over
+    (sample, feature, value) rows so it scales past driver memory.
+
+    - Rename: broadcast left join against the (sample, case) map; unmapped
+      ids pass through (``rename_by_mapping``) — the reference's iterative
+      per-column/per-row rename loop collapses into one hash join.
+    - Dedup, sample-column dtypes (postprocessing.py:83-88
+      ``columns.duplicated()`` keep-first): two original sample columns that
+      renamed onto the same case keep ONE value per (feature, case). The
+      reference keeps the first in FILE column order; column order does not
+      survive a shuffle, so the deterministic stand-in is the value from the
+      lexicographically smallest ORIGINAL sample id.
+    - Dedup, row form (postprocessing.py:96-101 ``drop_duplicates()``):
+      full-row duplicates collapse. In long form identical (sample, feature,
+      value) cells ARE the full-row duplicate — distinct() reproduces the
+      reference exactly: rows that renamed onto the same case but differ in
+      any value stay (both survive drop_duplicates there too).
+    """
+    renamed = rename_by_mapping(
+        long_df.withColumn("__orig", F.col(sample_col)),
+        sample_to_case,
+        sample_col,
+        map_from=sample_col,
+        map_to="case",
+    )
+    if data_type in SAMPLE_COLUMN_DTYPES:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(feature_col, sample_col).orderBy("__orig")
+        return (
+            renamed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(sample_col, feature_col, value_col)
+        )
+    return renamed.select(sample_col, feature_col, value_col).distinct()
