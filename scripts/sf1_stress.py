@@ -132,6 +132,47 @@ def main() -> None:
     assert 0 < facts["n_pairs"] <= pair_bound, (facts["n_pairs"], pair_bound)
     facts["pair_bound"] = pair_bound
 
+    # --- distributed CC on the UNGATED candidate set (round-9 task 6) ---
+    # The 1M-edge driver cap exists to divert exactly THIS load: the raw
+    # LSH candidate pair set before the Jaccard gate (~8.5M pairs on this
+    # fixture). Run the alternating-star path on it at the DEFAULT cap
+    # (which diverts naturally, no forcing) and pin its keep count to the
+    # driver union-find on the same edges (cap lifted above the set size).
+    def _cc_ungated_distributed() -> int:
+        st: dict = {}
+        lab = dd.connected_components(
+            pairs.select("a", "b"), docs, stats=st
+        )
+        n = lab.filter(F.col("doc_id") == F.col("cluster_id")).count()
+        _ug = facts.setdefault("_ungated", {})
+        _ug["stats"] = st
+        return n
+
+    facts["n_keeps_ungated_distributed"] = stage(
+        "cc_ungated_distributed(>2M edges)", _cc_ungated_distributed
+    )
+    ug_stats = facts.pop("_ungated")["stats"]
+    assert ug_stats["path"] == "distributed_alternating_star", ug_stats
+    print(json.dumps({"ungated_cc_stats": ug_stats}))
+    facts["ungated_cc_rounds"] = ug_stats["rounds"]
+
+    def _cc_ungated_driver() -> int:
+        lab = dd.connected_components(
+            pairs.select("a", "b"), docs, driver_max_edges=50_000_000
+        )
+        return lab.filter(F.col("doc_id") == F.col("cluster_id")).count()
+
+    facts["n_keeps_ungated_driver"] = stage(
+        "cc_ungated_driver_unionfind", _cc_ungated_driver
+    )
+    assert (
+        facts["n_keeps_ungated_distributed"]
+        == facts["n_keeps_ungated_driver"]
+    ), (
+        facts["n_keeps_ungated_distributed"],
+        facts["n_keeps_ungated_driver"],
+    )
+
     strong = dd.minhash_jaccard_estimate(
         pairs, sig, num_hashes=8, threshold=0.75
     ).persist()
