@@ -312,3 +312,51 @@ def test_cli_postprocess_suffix_trim_project(tmp_path):
     rows = list(csv.reader(open(part), delimiter="\t"))
     assert rows[0] == ["feature", "AML-01", "AML-02"]
     assert rows[1] == ["g1", "1.5", "2.5"]
+
+
+def test_gtf_to_probemap_roundtrip(spark, tmp_path):
+    """Spark twin of the reference's probeMap regeneration script
+    (resources/gencode-v22_to_probeMap.sh): gene rows only, gene_id /
+    gene_name out of the attribute blob, 6-column probeMap; validation
+    catches the defect classes; TSV roundtrips."""
+    from xena_gdc_etl_spark.sources.probemap import (
+        gtf_to_probemap,
+        read_probemap,
+        validate_probemap,
+        write_probemap,
+    )
+
+    gtf = tmp_path / "toy.gtf"
+    gtf.write_text(
+        "##description: toy\n"
+        'chr1\tHAVANA\tgene\t11869\t14409\t.\t+\t.\tgene_id "ENSG01.5"; '
+        'gene_type "lincRNA"; gene_name "DDX11L1";\n'
+        'chr1\tHAVANA\ttranscript\t11869\t14409\t.\t+\t.\tgene_id "ENSG01.5"; '
+        'gene_name "DDX11L1";\n'
+        'chr2\tHAVANA\tgene\t100\t50\t.\t-\t.\tgene_id "ENSG02.1"; '
+        'gene_name "WASH7P";\n'
+    )
+    pm = gtf_to_probemap(spark, str(gtf))
+    rows = {r.id: r for r in pm.collect()}
+    # transcript row dropped; both gene rows kept
+    assert set(rows) == {"ENSG01.5", "ENSG02.1"}
+    assert rows["ENSG01.5"].gene == "DDX11L1"
+    assert rows["ENSG01.5"].chrom == "chr1"
+    assert rows["ENSG01.5"].chromStart == 11869
+    assert rows["ENSG01.5"].chromEnd == 14409
+    assert rows["ENSG01.5"].strand == "+"
+    v = validate_probemap(pm)
+    # the chr2 row is deliberately inverted (start > end)
+    assert v == {
+        "n": 2,
+        "null_ids": 0,
+        "inverted_spans": 1,
+        "bad_strands": 0,
+        "duplicate_ids": 0,
+    }
+    out = tmp_path / "pm"
+    write_probemap(pm, str(out))
+    back = read_probemap(spark, str(out))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in pm.collect()
+    )
