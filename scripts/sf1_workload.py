@@ -13,12 +13,19 @@ every doc ships with 9 near-copies), this fixture preserves the sf0.1
 duplicate/neighbor structure so the scaling exponent measures plan
 behavior, not output-cardinality blowup:
 
-- documents: copy i>0 suffixes EVERY token with "_i", making copies
-  token-disjoint (no cross-copy shingle/minhash/ngram collisions; the
-  within-copy duplicate structure of sf0.1 replicates verbatim).
-- embeddings: copy i>0 shifts the first coordinate by 0.37·i — far
-  outside every cosine threshold the workload uses, so near-neighbor
-  sets stay per-copy.
+- documents: copy i>0 rewrites letters through a Caesar rotation of the
+  alphabet by i (``translate``, bijective per copy) — within-copy
+  duplicate/shingle structure replicates EXACTLY (equal docs stay equal,
+  shingle multisets map 1:1), while cross-copy character shingles almost
+  never coincide (a first attempt that suffixed tokens with "_i" left
+  interior char-5-grams shared across copies, and LSH candidates grew
+  47× instead of 10×).
+- embeddings: copy i>0 rotates the coordinate ARRAY by i positions —
+  cosine is invariant under a shared permutation, so intra-copy
+  neighbor sets replicate exactly, while cross-copy cosines collapse
+  toward 0 (a first attempt that shifted one coordinate by 0.37·i left
+  copies above the τ=0.3 workload threshold and the pair count exploded
+  17,000×, swamping the runtime exponent with output growth).
 - lineitem/orders/customer/supplier/part/events: keys offset by
   i·STRIDE so per-key group sizes and join fan-outs stay constant
   (the TPC-H scaling model: more keys, not denser keys).
@@ -62,10 +69,19 @@ DEFAULT_QUERIES = [
 ]
 
 
-def _replicate(df, id_shifts: dict, text_suffix_col: str | None = None):
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _caesar(i: int) -> tuple[str, str]:
+    rot = _ALPHA[i:] + _ALPHA[:i]
+    return (_ALPHA + _ALPHA.upper(), rot + rot.upper())
+
+
+def _replicate(df, id_shifts: dict, text_rotate_col: str | None = None):
     """COPIES stacked copies; integer key columns in ``id_shifts`` get
-    +i·STRIDE; ``text_suffix_col`` (if set) gets every token suffixed
-    with _i on copies i>0 (token-disjoint, structure-preserving)."""
+    +i·STRIDE; ``text_rotate_col`` (if set) goes through a per-copy
+    Caesar alphabet rotation (bijective → within-copy structure exact,
+    cross-copy shingles disjoint up to digits/punctuation)."""
     parts = []
     for i in range(COPIES):
         sel = []
@@ -73,14 +89,9 @@ def _replicate(df, id_shifts: dict, text_suffix_col: str | None = None):
             col = F.col(c)
             if c in id_shifts:
                 col = (col + F.lit(i * STRIDE)).alias(c)
-            elif c == text_suffix_col and i > 0:
-                col = F.array_join(
-                    F.transform(
-                        F.split(c, " "),
-                        lambda w: F.concat(w, F.lit(f"_{i}")),
-                    ),
-                    " ",
-                ).alias(c)
+            elif c == text_rotate_col and i > 0:
+                src, dst = _caesar(i % 26 or 1)
+                col = F.translate(c, src, dst).alias(c)
             else:
                 col = col.alias(c)
             sel.append(col)
@@ -107,28 +118,32 @@ def build_fixture(spark, sf_dir: str, work_dir: str) -> None:
         ),
         "events": _replicate(cat.events, {"event_id", "user_id"}),
         "documents": _replicate(
-            cat.documents, {"doc_id"}, text_suffix_col="text"
+            cat.documents, {"doc_id"}, text_rotate_col="text"
         ).withColumn("n_chars", F.length("text").cast("long")),
-        "embeddings": None,  # built below (coordinate shift)
+        "embeddings": None,  # built below (array rotation)
     }
     emb_parts = []
     for i in range(COPIES):
-        shift = F.lit(0.37 * i)
-        emb_parts.append(
-            cat.embeddings.select(
+        if i == 0:
+            emb_i = cat.embeddings.select(
+                F.col("vec_id").alias("vec_id"), "embedding", "label"
+            )
+        else:
+            # rotate the coordinate array by i: cosine-invariant within
+            # the copy, ~orthogonal across copies
+            emb_i = cat.embeddings.select(
                 (F.col("vec_id") + F.lit(i * STRIDE)).alias("vec_id"),
                 F.concat(
-                    F.transform(
-                        F.slice("embedding", 1, 1),
-                        lambda x: (x + shift).cast("float"),
-                    ),
                     F.slice(
-                        "embedding", 2, F.size("embedding") - F.lit(1)
+                        "embedding",
+                        i + 1,
+                        F.size("embedding") - F.lit(i),
                     ).cast("array<float>"),
+                    F.slice("embedding", 1, i).cast("array<float>"),
                 ).alias("embedding"),
                 "label",
             )
-        )
+        emb_parts.append(emb_i)
     emb = emb_parts[0]
     for p in emb_parts[1:]:
         emb = emb.unionByName(p)
