@@ -749,3 +749,36 @@ def test_semantic_dedup_clusters_and_keep(spark):
     solo = {r.vec_id: (r.cluster_id, r.keep)
             for r in sim.semantic_dedup(assigned, threshold=1.01).collect()}
     assert all(c == v and k == 1 for v, (c, k) in solo.items())
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """leakage_safe_split contract: every near-dup cluster lands entirely
+    on ONE side of the split (the contamination guard for eval sets), and
+    the assignment is a pure function of the cluster id."""
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.operators.sampling import split_assign
+
+    # two 3-doc clusters + singletons, as (doc_id, cluster_id) labels
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7), (8, 8)],
+        ["doc_id", "cluster_id"],
+    )
+    out = split_assign(labels, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_cluster)
+    # deterministic: re-running yields byte-identical assignments
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r)
+        for r in split_assign(labels, "cluster_id")
+        .select("doc_id", "cluster_id", "split")
+        .collect()
+    )
+    assert a == b

@@ -1537,6 +1537,62 @@ def scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 35c. Leakage-safe split: the contamination guard for EVAL SET
+#      construction — near-duplicate documents must never straddle
+#      train/eval, or the eval set silently measures memorization. The
+#      split key is the near-dup CLUSTER id (LSH connected components off
+#      the shared signature artifact), not the doc id, so whole duplicate
+#      families land on one side; the assignment itself stays the
+#      zero-shuffle md5-bucket projection. Oracle: the dedup_clusters
+#      recursive-CTE closure + the same md5-bucket split expression.
+# --------------------------------------------------------------------------
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig),
+    pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id),
+    ed AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN ed e ON e.src = r.node),
+    cl AS (
+        SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node),
+    wb AS (
+        SELECT doc_id, cluster_id,
+               ('0x'||substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 AS bucket
+        FROM cl)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM wb
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.sampling import split_assign
+
+    clusters = _clusters_df(spark, sf_dir)
+    return split_assign(clusters, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+# --------------------------------------------------------------------------
 # 35. Deterministic train/valid/test split, stratification check: membership
 #     is a pure function of the doc id (md5-bucket), never of partition
 #     order or RNG state — reproducible by any engine, leakage-safe, zero
