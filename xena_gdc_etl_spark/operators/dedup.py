@@ -1061,3 +1061,43 @@ def containment_pairs(
             F.round(common / F.col("__nb"), 6).alias("containment_b"),
         )
     )
+
+
+def cross_source_dup_rates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source CROSS-SOURCE duplication rate: the fraction of a
+    source's documents whose exact text also appears in at least one
+    OTHER source — the between-crawl contamination signal that decides
+    whether two ingests can be mixed without re-deduplicating (a
+    within-source duplicate does not count). Two hash-keyed shuffles:
+    digest → distinct-source count (min/max trick — no count_distinct
+    expansion is needed to test >1, but the count itself is wanted
+    here), then a group back to the source. Text crosses the wire only
+    as its md5 digest.
+    """
+    hashed = docs.select(
+        F.col(source_col).alias("source"), F.md5(text_col).alias("__h")
+    )
+    per_hash = hashed.groupBy("__h").agg(
+        F.count_distinct("source").alias("__ns")
+    )
+    return (
+        hashed.join(per_hash, "__h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__ns") > 1).cast("bigint")).alias("n_cross_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_cross_dup",
+            F.round(F.col("n_cross_dup") / F.col("n_docs"), 6).alias(
+                "cross_dup_rate"
+            ),
+        )
+    )

@@ -274,3 +274,52 @@ def quantile_band_filter(
         .drop(*[rhs[c] for c in group_cols])
         .filter(v.between(F.col("lo"), F.col("hi")))
     )
+
+
+def mixture_temperature(
+    docs: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled source mixture: sampling weight
+    p_i ∝ q_i^(1/T) where q_i is the group's token share — the
+    multilingual up-weighting scheme from XLM-R / mT5 (public method;
+    T=1 keeps natural proportions, T→∞ approaches uniform, so low-
+    resource groups gain share as T rises). Returns per group the token
+    share, the temperature weight, and the implied up/downsample factor
+    (temp_weight / token_share).
+
+    Plan shape is ``mixture_plan``'s: one map-side-partial groupBy to one
+    row per group, a 1-row broadcast total, O(groups) shuffle traffic —
+    the corpus is scanned once and never joined. Shares divide exact
+    integer sums; the power is double math rounded to 6 dp on both
+    engines.
+    """
+    alpha = 1.0 / float(temperature)
+    per_group = docs.groupBy(group_col).agg(
+        F.sum(weight_col).cast("bigint").alias("group_tokens")
+    )
+    powed = per_group.select(
+        F.col(group_col),
+        "group_tokens",
+        F.pow(F.col("group_tokens").cast("double"), F.lit(alpha)).alias(
+            "__p"
+        ),
+    )
+    totals = powed.agg(
+        F.sum("group_tokens").cast("bigint").alias("__total"),
+        F.sum("__p").alias("__ptotal"),
+    )
+    share = F.col("group_tokens") / F.col("__total")
+    tw = F.col("__p") / F.col("__ptotal")
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(group_col),
+            "group_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(tw, 6).alias("temp_weight"),
+            F.round(tw / share, 6).alias("resample_factor"),
+        )
+    )

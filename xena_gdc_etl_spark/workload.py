@@ -2872,6 +2872,76 @@ def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 61b. Temperature-scaled mixture: p_i ∝ q_i^(1/T) over token shares — the
+#      multilingual up-weighting scheme (XLM-R / mT5, public method). Same
+#      O(sources) plan as mixture_plan: one partial-agg groupBy + a 1-row
+#      broadcast total; the corpus is never joined.
+# --------------------------------------------------------------------------
+@query(
+    "mixture_temperature",
+    r"""
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                               x -> x <> '')) AS n_toks
+        FROM documents),
+    g AS (
+        SELECT source, CAST(sum(n_toks) AS BIGINT) AS group_tokens
+        FROM t GROUP BY source),
+    p AS (
+        SELECT source, group_tokens,
+               pow(CAST(group_tokens AS DOUBLE), 0.5) AS pw
+        FROM g),
+    tot AS (
+        SELECT CAST(sum(group_tokens) AS BIGINT) AS total,
+               sum(pw) AS ptotal
+        FROM p)
+    SELECT source, group_tokens,
+           round(group_tokens / total, 6) AS token_share,
+           round(pw / ptotal, 6) AS temp_weight,
+           round((pw / ptotal) / (group_tokens / total), 6)
+               AS resample_factor
+    FROM p CROSS JOIN tot
+    """,
+)
+def mixture_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.sampling import mixture_temperature
+    from xena_gdc_etl_spark.operators.text import _tokens
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return mixture_temperature(docs, "source", "n_tokens", temperature=2.0)
+
+
+# --------------------------------------------------------------------------
+# 61c. Cross-source duplication rate: the fraction of each source's docs
+#      whose exact text also appears in ANOTHER source — the between-crawl
+#      contamination signal (within-source duplicates don't count). Text
+#      crosses the wire only as its md5 digest; two hash-keyed shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "cross_source_overlap",
+    """
+    WITH h AS (SELECT source, md5(text) AS hh FROM documents),
+    ph AS (SELECT hh, count(DISTINCT source) AS ns FROM h GROUP BY hh)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_dup,
+           round(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) / count(*), 6)
+               AS cross_dup_rate
+    FROM h JOIN ph USING (hh)
+    GROUP BY source
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.dedup import cross_source_dup_rates
+
+    return cross_source_dup_rates(Catalog(spark, sf_dir).documents)
+
+
+# --------------------------------------------------------------------------
 # 62. Exact-substring duplication marking (Lee et al. 2022 — the posting-
 #     list form that distributes where suffix arrays don't): per doc, the
 #     count and fraction of its distinct word 8-grams that appear in at
