@@ -1074,23 +1074,23 @@ def cross_source_dup_rates(
     OTHER source — the between-crawl contamination signal that decides
     whether two ingests can be mixed without re-deduplicating (a
     within-source duplicate does not count). Two hash-keyed shuffles:
-    digest → distinct-source count (min/max trick — no count_distinct
-    expansion is needed to test >1, but the count itself is wanted
-    here), then a group back to the source. Text crosses the wire only
-    as its md5 digest.
+    digest → spans-multiple-sources flag (min(source) != max(source):
+    plain partial aggs, no count_distinct expansion — the same trick as
+    ngram_jaccard's bucket contract), then a group back to the source.
+    Text crosses the wire only as its md5 digest.
     """
     hashed = docs.select(
         F.col(source_col).alias("source"), F.md5(text_col).alias("__h")
     )
     per_hash = hashed.groupBy("__h").agg(
-        F.count_distinct("source").alias("__ns")
+        (~F.min("source").eqNullSafe(F.max("source"))).alias("__cross")
     )
     return (
         hashed.join(per_hash, "__h")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("__ns") > 1).cast("bigint")).alias("n_cross_dup"),
+            F.sum(F.col("__cross").cast("bigint")).alias("n_cross_dup"),
         )
         .select(
             "source",
