@@ -352,3 +352,54 @@ def test_containment_and_purity_plan_shape(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
     purity_plan = formatted_plan(QUERIES["cluster_purity"](spark, sf_dir))
     assert "Window" not in purity_plan
+
+
+def test_mixture_temperature_o_sources_traffic(spark, sf_dir):
+    """The corpus collapses to one row per source BEFORE any join; the
+    grand total joins back as a broadcast — shuffle traffic is
+    O(sources), and no Python UDF touches the hot path."""
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    df = QUERIES["mixture_temperature"](spark, sf_dir)
+    assert python_udf_count(df) == 0
+    # the 1-row totals side is a keyless cross join → Catalyst compiles
+    # it to BroadcastNestedLoopJoin with a BroadcastExchange build side
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    # per-source collapse exchange on each branch (the totals branch
+    # re-derives the per-group agg rather than persisting a 20-row frame)
+    # plus the SinglePartition totals exchange — every one of them carries
+    # O(sources) rows after map-side partials, never the corpus
+    assert shuffle_count(df) <= 3
+    read = scan_read_schema(df)
+    assert "doc_id" not in read  # only source + text are consumed
+
+
+def test_cross_source_overlap_text_never_shuffles(spark, sf_dir):
+    """Text leaves the scan stage only as its md5 digest: no exchange in
+    the plan carries the text column, and the scan reads just
+    (source, text)."""
+    from xena_gdc_etl_spark.plans import formatted_plan as _fp
+
+    df = QUERIES["cross_source_overlap"](spark, sf_dir)
+    assert python_udf_count(df) == 0
+    plan = _fp(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    read = scan_read_schema(df)
+    assert set(read) <= {"source", "text"}
+
+
+def test_leakage_safe_split_zero_extra_shuffle(spark, sf_dir):
+    """The split assignment itself is a pure projection over the cluster
+    labels — it must add ZERO shuffles beyond what the cluster labeling
+    already costs."""
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    from xena_gdc_etl_spark.workload import _clusters_df
+
+    clusters = _clusters_df(spark, sf_dir)
+    split = QUERIES["leakage_safe_split"](spark, sf_dir)
+    assert shuffle_count(split) == shuffle_count(clusters)
+    assert python_udf_count(split) == 0
