@@ -8,6 +8,7 @@ the engine's operators, as one lazy-until-write Spark job.
       → contamination guard     (drop docs overlapping the held-out set)
       → mixture rebalance       (downsample over-represented sources)
       → quality-weighted sample (importance sampling by quality score)
+      → leakage-safe split      (train/valid/test keyed on near-dup cluster)
       → sequence_pack           (concat-and-chunk pack layout)
       → partitioned parquet     (hive-partitioned by source)
 
@@ -149,7 +150,18 @@ def curate(
         docs, "doc_id", F.least(F.length("text") / 200.0, F.lit(1.0))
     )
 
-    # 6. pack layout: chunk index + offset under concat-and-chunk, via the
+    # 6. leakage-safe split: train/valid/test keyed on the near-dup
+    #    CLUSTER id (reusing the cluster labels from stage 3), so no
+    #    duplicate family ever straddles train/eval — the assignment is a
+    #    zero-shuffle hash projection
+    from xena_gdc_etl_spark.operators.sampling import split_assign
+
+    docs = docs.join(
+        split_assign(clusters, "cluster_id").select("doc_id", "split"),
+        "doc_id",
+    )
+
+    # 7. pack layout: chunk index + offset under concat-and-chunk, via the
     #    two-pass sharded prefix scan (operators/prefix.py) so no task ever
     #    holds a whole source
     from xena_gdc_etl_spark.operators.prefix import group_prefix_sum
@@ -158,18 +170,22 @@ def curate(
     toks = docs.select(
         "doc_id",
         "source",
+        "split",
         "text",
         F.size(F.filter(F.split("text", WS_RE), lambda t: t != ""))
         .cast("bigint")
         .alias("n_tokens"),
     )
     packed = group_prefix_sum(
-        toks, ["source"], ["doc_id"], "n_tokens", "__cum"
+        # pack WITHIN (source, split): a pack that mixed train and eval
+        # docs would defeat the leakage-safe split at training time
+        toks, ["source", "split"], ["doc_id"], "n_tokens", "__cum"
     ).withColumn(
         "__start", F.col("__cum") - F.col("n_tokens")
     ).select(
         "doc_id",
         "source",
+        "split",
         "text",
         "n_tokens",
         F.floor(F.col("__start") / pack_budget).cast("bigint").alias("pack_id"),
@@ -180,7 +196,7 @@ def curate(
         from xena_gdc_etl_spark.sources.parquet_sink import write_partitioned
 
         write_partitioned(
-            packed, out_dir, partition_by=["source"],
+            packed, out_dir, partition_by=["source", "split"],
             sort_within=["pack_id", "pack_offset"],
         )
     return packed
