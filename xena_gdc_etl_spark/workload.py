@@ -1241,6 +1241,81 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 26b. ANN index-quality gate: recall@5 of the IVF search against the
+#      brute-force exact top-5, per query — the acceptance test run before
+#      trusting an index for semantic dedup / retrieval (public standard
+#      metric). Both rankings reuse the already-registered plans (shared
+#      IVF assignment; Arrow-batched brute force); the comparison itself is
+#      one narrow (query_id, match_id) join + a per-query count.
+# --------------------------------------------------------------------------
+@query(
+    "ann_recall_eval",
+    """
+    WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
+                      round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
+               FROM embeddings v, c),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, centroid_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM assigned WHERE vec_id % 10 = 0),
+    ivf AS (
+        SELECT query_id, match_id FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rn
+            FROM (SELECT q.query_id, v.vec_id AS match_id,
+                         round(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6) AS sim
+                  FROM q JOIN assigned v ON v.centroid_id = q.centroid_id
+                  WHERE v.vec_id <> q.query_id) s)
+        WHERE rn <= 5),
+    exact AS (
+        SELECT query_id, match_id FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rn
+            FROM (SELECT q.query_id, v.vec_id AS match_id,
+                         round(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6) AS sim
+                  FROM q, embeddings v WHERE v.vec_id <> q.query_id) s)
+        WHERE rn <= 5),
+    hits AS (
+        SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM ivf i JOIN exact e
+          ON e.query_id = i.query_id AND e.match_id = i.match_id
+        GROUP BY i.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 5, 6) AS recall_at_5
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = sim.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "match_id"
+    )
+    assigned = _shared_ivf_assigned(spark, sf_dir)
+    approx = sim.ivf_topk(
+        assigned, assigned.filter(F.col("vec_id") % 10 == 0), k=5
+    ).select("query_id", "match_id")
+    hits = exact.join(approx, ["query_id", "match_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        queries_df.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("__n", F.lit(0)) / 5, 6).alias("recall_at_5"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 27. Embedding near-duplicate pairs within IVF cells. τ=0.3 is tuned to
 #     the synthetic fixture's random embeddings (cosine σ≈1/√64): it emits
 #     a few hundred pairs at sf0.01 so the oracle hash-gate verifies actual
