@@ -782,3 +782,39 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         .collect()
     )
     assert a == b
+
+
+def test_ivf_assign_probes_widen_search(spark):
+    """Multi-probe contract: nprobe rows per vector; the first probe is
+    exactly ivf_assign's cell; feeding probes into ivf_topk can only
+    widen the candidate set (top-k sims ≥ single-cell sims per query)."""
+    emb = _emb_df(spark)
+    centroids = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    probes = sim.ivf_assign_probes(emb, centroids, nprobe=2)
+    rows = probes.collect()
+    assert len(rows) == 2 * emb.count()
+    single = {r.vec_id: r.centroid_id for r in sim.ivf_assign(emb, centroids).collect()}
+    # the NEAREST probe per vector == ivf_assign's choice
+    from collections import defaultdict
+
+    by_vec = defaultdict(set)
+    for r in rows:
+        by_vec[r.vec_id].add(r.centroid_id)
+    assert all(single[v] in cells for v, cells in by_vec.items())
+    assert all(cells == {0, 2} for cells in by_vec.values())  # 2 cells total
+
+    assigned = sim.ivf_assign(emb, centroids)
+    q1 = sim.ivf_topk(assigned, assigned.filter(F.col("vec_id") == 1), k=3)
+    q2 = sim.ivf_topk(
+        assigned,
+        sim.ivf_assign_probes(
+            emb.filter(F.col("vec_id") == 1), centroids, nprobe=2
+        ),
+        k=3,
+    )
+    s1 = sorted((r.sim for r in q1.collect()), reverse=True)
+    s2 = sorted((r.sim for r in q2.collect()), reverse=True)
+    assert len(s2) >= len(s1)
+    assert all(b >= a for a, b in zip(s1, s2))  # widened search dominates

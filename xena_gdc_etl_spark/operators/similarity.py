@@ -245,6 +245,77 @@ def ivf_assign(
     return selected.mapInPandas(_assign, schema=out_schema)
 
 
+def ivf_assign_probes(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    max_driver_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+) -> DataFrame:
+    """Multi-probe assignment: one row per (vector, cell) for the
+    ``nprobe`` NEAREST cells (rounded cosine; ties → smaller centroid id)
+    — the standard IVF search widening (probe several cells, not one) that
+    trades candidate volume for recall. Feed the result as
+    ``queries_assigned`` into :func:`ivf_topk`: members live in exactly
+    one cell, so the per-cell candidate sets a multi-probed query sees are
+    disjoint and the global top-k window merges them exactly. Same
+    broadcast-matmul shape as :func:`ivf_assign` — no shuffle, no per-row
+    work.
+    """
+    spark = vectors.sparkSession
+    crows = _collect_bounded(
+        centroids.select(
+            F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
+        ),
+        "the centroid side of ivf_assign_probes",
+        max_driver_rows,
+    )
+    crows.sort(key=lambda r: r.cid)
+    c_ids = np.array([r.cid for r in crows], dtype=np.int64)
+    cm = np.array([r.cv for r in crows], dtype=np.float64)
+    cn = cm / _safe_norms(cm)
+    bc = spark.sparkContext.broadcast((c_ids, cn))
+    n_probe = min(int(nprobe), len(crows))
+
+    in_schema = vectors.select(id_col, vec_col).schema
+    out_schema = StructType(
+        [
+            in_schema[id_col],
+            StructField(centroid_id, LongType()),
+            in_schema[vec_col],
+        ]
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, cmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vm /= _safe_norms(vm)
+            sims = np.round(vm @ cmat.T, 6)
+            # (sim desc, cid asc): ids are sorted ascending, so a stable
+            # argsort on -sims yields the smaller cid first among ties
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_probe),
+                    centroid_id: ids[order].reshape(-1),
+                    vec_col: pdf[vec_col].to_numpy().repeat(n_probe),
+                }
+            )
+
+    selected = vectors.select(id_col, vec_col)
+    if not selected.isStreaming:
+        selected = _spread_to_cores(
+            selected, spark.sparkContext.defaultParallelism
+        )
+    return selected.mapInPandas(_probe, schema=out_schema)
+
+
 def ivf_topk(
     assigned: DataFrame,
     queries_assigned: DataFrame,

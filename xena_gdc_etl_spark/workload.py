@@ -1241,6 +1241,55 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 26c. Multi-probe IVF search: the query probes its ``nprobe``=2 nearest
+#      cells instead of one — the standard IVF recall/cost dial (members
+#      stay single-cell, so per-cell candidate sets are disjoint and the
+#      global top-k window merges them exactly). Oracle: the query
+#      assignment keeps rn <= 2 cells.
+# --------------------------------------------------------------------------
+@query(
+    "ann_ivf_nprobe",
+    """
+    WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
+                      round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
+               FROM embeddings v, c),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+    q AS (
+        SELECT vec_id AS query_id, centroid_id, qv FROM (
+            SELECT s.vec_id, s.centroid_id,
+                   CAST(s.embedding AS DOUBLE[]) AS qv,
+                   row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.centroid_id) AS rn
+            FROM scored s WHERE s.vec_id % 10 = 0)
+        WHERE rn <= 2),
+    s AS (SELECT q.query_id, v.vec_id AS match_id,
+                 round(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6) AS sim
+          FROM q JOIN assigned v ON v.centroid_id = q.centroid_id
+          WHERE v.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rn
+          FROM s)
+    SELECT query_id, match_id, sim, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
+    """,
+)
+def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    probes = sim.ivf_assign_probes(
+        emb.filter(F.col("vec_id") % 10 == 0), centroids, nprobe=2
+    )
+    return sim.ivf_topk(_shared_ivf_assigned(spark, sf_dir), probes, k=5)
+
+
+# --------------------------------------------------------------------------
 # 26b. ANN index-quality gate: recall@5 of the IVF search against the
 #      brute-force exact top-5, per query — the acceptance test run before
 #      trusting an index for semantic dedup / retrieval (public standard
