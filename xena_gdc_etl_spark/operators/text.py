@@ -974,3 +974,41 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def token_entropy(
+    tf: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy — the distributional-
+    diversity quality signal: templated/boilerplate documents concentrate
+    mass on few tokens (low H), natural prose spreads it (higher H). The
+    dual of :func:`repetition_stats` (which flags repeated BIGRAM mass):
+    entropy sees skew even when no single n-gram repeats verbatim.
+
+    Input is the (id, tok, tf) token-statistics artifact from
+    :func:`doc_term_freqs` — over the workload's doc_id-partitioned shared
+    build this aggregate is ZERO-shuffle (clustering already satisfied).
+    H = log2(n) − Σ tf·log2(tf) / n, all double math rounded at 6 dp, so
+    the oracle reproduces it bit-for-bit at display precision.
+    """
+    n = F.sum("tf").cast("double")
+    return (
+        tf.groupBy(F.col(id_col))
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(
+                F.col("tf").cast("double")
+                * F.log2(F.col("tf").cast("double"))
+            ).alias("__tlog"),
+            n.alias("__n"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log2(F.col("__n")) - F.col("__tlog") / F.col("__n"), 6
+            ).alias("entropy"),
+        )
+    )

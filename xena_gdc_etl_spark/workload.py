@@ -1965,6 +1965,36 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 40b. Per-doc token (unigram) Shannon entropy off the shared tf artifact —
+#      the distributional-diversity quality signal: templated docs
+#      concentrate mass on few tokens (low H). Zero-shuffle over the
+#      doc_id-partitioned artifact.
+# --------------------------------------------------------------------------
+@query(
+    "token_entropy",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(CAST(sum(tf) AS DOUBLE))
+                 - sum(CAST(tf AS DOUBLE) * log2(CAST(tf AS DOUBLE)))
+                   / CAST(sum(tf) AS DOUBLE), 6) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import token_entropy
+
+    return token_entropy(_shared_doc_tf(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # 41. As-of join (backward): each purchase event picks up the latest click
 #     at-or-before it by the same user. Union + carry-forward window — one
 #     shuffle on the user key; no native ASOF in Spark. Oracle: DuckDB ASOF
