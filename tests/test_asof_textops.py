@@ -493,3 +493,50 @@ def test_bigram_lm_known_values(spark):
     # docs with <2 tokens have no bigrams and drop out
     short = spark.createDataFrame([(5, "solo")], ["doc_id", "text"])
     assert tx.bigram_logprob_scores(short).count() == 0
+
+
+def test_token_entropy_known_values(spark):
+    """H=0 for a single repeated token; H=1 bit for a 50/50 pair; uniform
+    4 tokens → 2 bits. Computed off the (doc_id, tok, tf) artifact."""
+    from xena_gdc_etl_spark.operators.text import doc_term_freqs, token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),
+            (1, "a a b b"),
+            (2, "a b c d"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy)
+        for r in token_entropy(doc_term_freqs(docs)).collect()
+    }
+    assert out[0] == (4, 1, 0.0)
+    assert out[1] == (4, 2, 1.0)
+    assert out[2] == (4, 4, 2.0)
+
+
+def test_mixture_temperature_limits(spark):
+    """T=1 reproduces natural shares (resample_factor 1 everywhere);
+    higher T compresses the spread toward uniform (low-resource factor
+    rises above 1, high-resource falls below)."""
+    from xena_gdc_etl_spark.operators.sampling import mixture_temperature
+
+    docs = spark.createDataFrame(
+        [("big", 900), ("small", 100)],
+        ["source", "n_tokens"],
+    )
+    t1 = {
+        r.source: r
+        for r in mixture_temperature(docs, temperature=1.0).collect()
+    }
+    assert t1["big"].resample_factor == 1.0
+    assert t1["small"].resample_factor == 1.0
+    t4 = {
+        r.source: r
+        for r in mixture_temperature(docs, temperature=4.0).collect()
+    }
+    assert t4["small"].resample_factor > 1.0 > t4["big"].resample_factor
+    # weights still sum to 1
+    assert abs(t4["small"].temp_weight + t4["big"].temp_weight - 1.0) < 1e-6
