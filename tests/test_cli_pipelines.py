@@ -360,3 +360,33 @@ def test_gtf_to_probemap_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in pm.collect()
     )
+
+
+def test_cases_sample_mapping_flattens_hits(spark):
+    """The live postprocess path's hits→(sample, case) derivation, tested
+    offline with a constructed nested hits frame (the get_gdc_data shape:
+    case submitter_id + samples[].submitter_id)."""
+    import json as _json
+
+    from xena_gdc_etl_spark.sources.gdc_api import cases_sample_mapping
+
+    hits = spark.read.json(
+        spark.sparkContext.parallelize(
+            [
+                _json.dumps(
+                    {
+                        "submitter_id": "C1",
+                        "samples": [
+                            {"submitter_id": "S1"},
+                            {"submitter_id": "S2"},
+                        ],
+                    }
+                ),
+                _json.dumps(
+                    {"submitter_id": "C2", "samples": [{"submitter_id": "S3"}]}
+                ),
+            ]
+        )
+    )
+    out = sorted((r.sample, r.case) for r in cases_sample_mapping(hits).collect())
+    assert out == [("S1", "C1"), ("S2", "C1"), ("S3", "C2")]

@@ -324,10 +324,11 @@ def main(argv: list[str] | None = None) -> int:
                 # live GDC fetch (reference get_gdc_data): cases of the
                 # project with their samples' submitter ids, exploded to
                 # the flat (sample, case) map
-                from pyspark.sql import functions as F
-
                 from xena_gdc_etl_spark.filters import FilterSpec
-                from xena_gdc_etl_spark.sources.gdc_api import fetch_table
+                from xena_gdc_etl_spark.sources.gdc_api import (
+                    cases_sample_mapping,
+                    fetch_table,
+                )
 
                 hits = fetch_table(
                     spark,
@@ -337,10 +338,7 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     fields=["submitter_id", "samples.submitter_id"],
                 )
-                mapping = hits.select(
-                    F.col("submitter_id").alias("case"),
-                    F.explode("samples").alias("__s"),
-                ).select(F.col("__s.submitter_id").alias("sample"), "case")
+                mapping = cases_sample_mapping(hits)
             out_df = postprocess_rename_dedup(long_df, dtype, mapping)
 
         new_dir = os.path.join(

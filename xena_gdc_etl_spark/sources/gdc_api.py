@@ -94,3 +94,16 @@ def fetch_table(
 
     pages = spark.sparkContext.parallelize(range(n_pages), n_pages)
     return spark.read.json(pages.flatMap(_fetch))
+
+
+def cases_sample_mapping(hits: DataFrame) -> DataFrame:
+    """Flatten `cases` search hits (submitter_id + samples.submitter_id,
+    the reference's get_gdc_data shape — postprocessing.py:41-62) into
+    the flat (sample, case) map the postprocess rename consumes. Pure
+    projection + explode over the nested hits frame."""
+    from pyspark.sql import functions as F
+
+    return hits.select(
+        F.col("submitter_id").alias("case"),
+        F.explode("samples").alias("__s"),
+    ).select(F.col("__s.submitter_id").alias("sample"), "case")
