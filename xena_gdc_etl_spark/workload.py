@@ -3466,11 +3466,14 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first (never-sampled queries — e.g. ones added this round — sort to the
 # very front), ties broken by total times sampled (ascending) then by
 # registration order, so the ordering is deterministic and needs no manual
-# upkeep.  With 84 queries and a 50-query window this places all queries
+# upkeep.  With ~90 queries and a 50-query window this places all queries
 # absent from the latest recorded window inside the next window by
-# construction.  Source-file position of the implementations is unchanged —
-# only dict iteration order moves.  Outside the repo (no CORRECTNESS files)
-# the registration order is kept as-is.
+# construction (the two-round invariant holds while the registry stays
+# ≤ 100 = 2 windows; tests/test_parity.py fails loudly past that point,
+# at which the invariant itself needs a third round).  Source-file
+# position of the implementations is unchanged — only dict iteration
+# order moves.  Outside the repo (no CORRECTNESS files) the registration
+# order is kept as-is.
 # --------------------------------------------------------------------------
 
 
