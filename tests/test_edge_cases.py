@@ -412,3 +412,39 @@ def test_cell_label_purity_majority_and_ties(spark):
     assert out[0].majority_label == 7 and out[0].purity == round(2 / 3, 6)
     assert out[1].majority_label == 3 and out[1].n_majority == 1
     assert out[2].purity == 1.0 and out[2].n_members == 1
+
+
+def test_all_queries_survive_empty_corpus(spark, tmp_path):
+    """Empty-in → empty-out across the whole registry: a filter that
+    matches nothing (or an empty ingest) must not kill a pipeline with a
+    cryptic numpy AxisError mid-plan (round-9 sweep found 10 such crashes
+    in the assign/top-k driver-side collections). The two TRAINERS are the
+    deliberate exception: training on an empty corpus raises a clear
+    ValueError instead of producing meaningless state."""
+    import glob
+    import os
+
+    import pytest
+
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_empty")
+    os.makedirs(dst, exist_ok=True)
+    for p in glob.glob(src + "/*.parquet"):
+        spark.read.parquet(p).limit(0).write.mode("overwrite").parquet(
+            os.path.join(dst, os.path.basename(p))
+        )
+
+    trainers = {"ann_ivf_pq", "quality_logreg"}
+    failures = []
+    for name, fn in QUERIES.items():
+        if name in trainers:
+            with pytest.raises(ValueError):
+                fn(spark, dst).count()
+            continue
+        try:
+            fn(spark, dst).count()
+        except Exception as e:  # noqa: BLE001 - collecting for the report
+            failures.append((name, repr(e)[:120]))
+    assert not failures, failures

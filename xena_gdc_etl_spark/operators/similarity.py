@@ -106,6 +106,12 @@ def cosine_topk(
         "the query side of cosine_topk",
         max_driver_rows,
     )
+    if not qrows:
+        # empty-in → empty-out: a filter that matches no queries must not
+        # kill the pipeline (np.stack/argmax on empty raises AxisError)
+        return spark.createDataFrame(
+            [], "query_id bigint, match_id bigint, sim double, rank bigint"
+        )
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     qm = np.array([r.qv for r in qrows], dtype=np.float64)
     qn = qm / _safe_norms(qm)
@@ -200,13 +206,6 @@ def ivf_assign(
         "the centroid side of ivf_assign",
         max_driver_rows,
     )
-    # sorted by centroid id so argmax's first-max rule == smallest-id tiebreak
-    crows.sort(key=lambda r: r.cid)
-    c_ids = np.array([r.cid for r in crows], dtype=np.int64)
-    cm = np.array([r.cv for r in crows], dtype=np.float64)
-    cn = cm / _safe_norms(cm)
-    bc = spark.sparkContext.broadcast((c_ids, cn))
-
     in_schema = vectors.select(id_col, vec_col, *keep_cols).schema
     out_schema = StructType(
         [
@@ -216,6 +215,16 @@ def ivf_assign(
             *[in_schema[c] for c in keep_cols],
         ]
     )
+    if not crows:
+        # empty-in → empty-out: an empty centroid frame (empty corpus
+        # upstream) must not crash with a numpy AxisError mid-pipeline
+        return spark.createDataFrame([], out_schema)
+    # sorted by centroid id so argmax's first-max rule == smallest-id tiebreak
+    crows.sort(key=lambda r: r.cid)
+    c_ids = np.array([r.cid for r in crows], dtype=np.int64)
+    cm = np.array([r.cv for r in crows], dtype=np.float64)
+    cn = cm / _safe_norms(cm)
+    bc = spark.sparkContext.broadcast((c_ids, cn))
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, cmat = bc.value
@@ -272,13 +281,6 @@ def ivf_assign_probes(
         "the centroid side of ivf_assign_probes",
         max_driver_rows,
     )
-    crows.sort(key=lambda r: r.cid)
-    c_ids = np.array([r.cid for r in crows], dtype=np.int64)
-    cm = np.array([r.cv for r in crows], dtype=np.float64)
-    cn = cm / _safe_norms(cm)
-    bc = spark.sparkContext.broadcast((c_ids, cn))
-    n_probe = min(int(nprobe), len(crows))
-
     in_schema = vectors.select(id_col, vec_col).schema
     out_schema = StructType(
         [
@@ -287,6 +289,15 @@ def ivf_assign_probes(
             in_schema[vec_col],
         ]
     )
+    if not crows:
+        # empty-in → empty-out, matching ivf_assign's empty posture
+        return spark.createDataFrame([], out_schema)
+    crows.sort(key=lambda r: r.cid)
+    c_ids = np.array([r.cid for r in crows], dtype=np.int64)
+    cm = np.array([r.cv for r in crows], dtype=np.float64)
+    cn = cm / _safe_norms(cm)
+    bc = spark.sparkContext.broadcast((c_ids, cn))
+    n_probe = min(int(nprobe), len(crows))
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, cmat = bc.value
@@ -866,6 +877,12 @@ def pq_topk(
         "the query side of pq_topk",
         DEFAULT_MAX_BROADCAST_ROWS,
     )
+    if not qrows:
+        # empty-in → empty-out (see cosine_topk): no queries, no rows
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, match_id bigint, adc_dist double, rank bigint",
+        )
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     qm = np.array([r.qv for r in qrows], dtype=np.float64)
     sub = codebooks[0].shape[1]
