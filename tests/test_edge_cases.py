@@ -448,3 +448,41 @@ def test_all_queries_survive_empty_corpus(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 - collecting for the report
             failures.append((name, repr(e)[:120]))
     assert not failures, failures
+
+
+def test_all_queries_survive_null_payloads(spark, tmp_path):
+    """Dirty-ingest posture: 50% null text / null embeddings must not
+    crash any registered query (round-9 sweep found the whole embedding
+    family dying on np.stack of None). Null vectors/payloads are DROPPED
+    at operator entrances — SQL-aggregate null semantics."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_nulls")
+    os.makedirs(dst, exist_ok=True)
+    for p in glob.glob(src + "/*.parquet"):
+        name = os.path.basename(p)
+        df = spark.read.parquet(p)
+        if name == "documents.parquet":
+            df = df.withColumn(
+                "text", F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+            )
+        if name == "embeddings.parquet":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 2 == 0, F.col("embedding")),
+            )
+        df.write.mode("overwrite").parquet(os.path.join(dst, name))
+
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, dst).count()
+        except Exception as e:  # noqa: BLE001 - collecting for the report
+            failures.append((name, repr(e)[:120]))
+    assert not failures, failures

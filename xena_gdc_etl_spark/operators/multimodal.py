@@ -86,6 +86,10 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     task decodes a bounded byte volume.
     """
 
+    # a media row without bytes has nothing to decode: dropped, not
+    # crashed on (len(None)/md5(None) inside the Arrow batch otherwise)
+    media = media.filter(F.col("payload").isNotNull())
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]

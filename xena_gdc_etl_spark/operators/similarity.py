@@ -99,8 +99,11 @@ def cosine_topk(
     finishes. The corpus never shuffles.
     """
     spark = vectors.sparkSession
+    # null vectors carry no geometry: dropped on BOTH sides (aggregate-
+    # style null semantics — a dirty ingest must not crash the plan)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     qrows = _collect_bounded(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ),
         "the query side of cosine_topk",
@@ -199,8 +202,10 @@ def ivf_assign(
     event-time column for the streaming purity twin).
     """
     spark = vectors.sparkSession
+    # null vectors/centroids are dropped, not crashed on (see cosine_topk)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     crows = _collect_bounded(
-        centroids.select(
+        centroids.filter(F.col(vec_col).isNotNull()).select(
             F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
         ),
         "the centroid side of ivf_assign",
@@ -274,8 +279,10 @@ def ivf_assign_probes(
     work.
     """
     spark = vectors.sparkSession
+    # null vectors/centroids are dropped, not crashed on (see cosine_topk)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     crows = _collect_bounded(
-        centroids.select(
+        centroids.filter(F.col(vec_col).isNotNull()).select(
             F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
         ),
         "the centroid side of ivf_assign_probes",
@@ -445,9 +452,8 @@ def ivf_train(
     (doubles round-trip the driver exactly, so results are bit-identical
     to the joined form for a fixed partitioning).
     """
-    dim = len(
-        vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-    )
+    vectors = vectors.filter(F.col(vec_col).isNotNull())  # nulls dropped
+    dim = len(vectors.select(vec_col).first()[0])
     init = (
         vectors.orderBy(id_col)
         .limit(k)
@@ -709,7 +715,8 @@ def pq_train(
     assignments and sums inside Arrow batches; the driver folds m×k
     running sums, never rows.
     """
-    probe = vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    vectors = vectors.filter(F.col(vec_col).isNotNull())  # nulls dropped
+    probe = vectors.select(vec_col).first()
     if probe is None:
         raise ValueError(
             f"pq_train needs at least one non-null '{vec_col}' vector; "
@@ -803,6 +810,7 @@ def pq_encode(
     (id, array<int> of length m) — the 8-bit-per-subspace compressed corpus.
     """
     spark = vectors.sparkSession
+    vectors = vectors.filter(F.col(vec_col).isNotNull())  # nulls dropped
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     bc = spark.sparkContext.broadcast(codebooks)
@@ -871,7 +879,7 @@ def pq_topk(
     spark = codes.sparkSession
     m = len(codebooks)
     qrows = _collect_bounded(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ),
         "the query side of pq_topk",
@@ -980,9 +988,9 @@ def ivf_pq_train(
     """
     spark = vectors.sparkSession
     n_init = max(n_cells, k_codebook)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())  # nulls dropped
     init_rows = (
         vectors.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
         .orderBy(id_col)
         .limit(n_init)
         .collect()
@@ -1108,6 +1116,7 @@ def ivf_pq_encode(
     argmin of rounded squared distance.
     """
     spark = vectors.sparkSession
+    vectors = vectors.filter(F.col(vec_col).isNotNull())  # nulls dropped
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     bc = spark.sparkContext.broadcast((c_ids, c_norm, codebooks))
@@ -1194,10 +1203,18 @@ def ivf_pq_topk(
     # fused single-scan inverted file (assignment + codes in one pass)
     inverted = ivf_pq_encode(vectors, c_ids, cn, books, id_col, vec_col)
     qrows = _collect_bounded(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
         "the query side of ivf_pq_topk",
         DEFAULT_MAX_BROADCAST_ROWS,
     )
+    if not qrows:
+        # empty-in → empty-out (see cosine_topk)
+        return queries.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, match_id bigint, adc_dist double, rank bigint",
+        )
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     qm = np.array([r.qv for r in qrows], dtype=np.float64)
     qn = qm / _safe_norms(qm)
