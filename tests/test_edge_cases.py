@@ -486,3 +486,73 @@ def test_all_queries_survive_null_payloads(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 - collecting for the report
             failures.append((name, repr(e)[:120]))
     assert not failures, failures
+
+
+def test_all_queries_survive_one_row_and_unicode(spark, tmp_path):
+    """Two more registry-wide robustness fixtures (round-9 sweeps, both
+    clean at introduction): (a) exactly ONE row per table — windows,
+    lags, self-joins, percentiles on a single row; (b) adversarial text:
+    combining marks, emoji, regex metachars, full-width CJK, zero-width
+    joiners, single-char and empty-but-not-null strings. The one
+    documented exception: the IVF-PQ trainer needs >= n_cells vectors
+    and says so."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    one = str(tmp_path / "sf_one")
+    os.makedirs(one, exist_ok=True)
+    for p in glob.glob(src + "/*.parquet"):
+        spark.read.parquet(p).limit(1).write.mode("overwrite").parquet(
+            os.path.join(one, os.path.basename(p))
+        )
+    failures = []
+    for name, fn in QUERIES.items():
+        if name == "ann_ivf_pq":
+            with pytest.raises(ValueError, match="need at least"):
+                fn(spark, one).count()
+            continue
+        try:
+            fn(spark, one).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(("one-row", name, repr(e)[:120]))
+
+    uni = str(tmp_path / "sf_uni")
+    os.makedirs(uni, exist_ok=True)
+    evil = [
+        "héllo wörld é́ combining",
+        "emoji \U0001F600\U0001F680 mixed ascii",
+        "regex .*+?()[]{}|\\^$ metachars",
+        "tabs\tand\rweird\fws nbsp",
+        "ＣＪＫ全角 ｶﾀｶﾅ 中文字符 テスト",
+        "zero​width​joiners",
+        "a",
+        "",
+    ]
+    for p in glob.glob(src + "/*.parquet"):
+        name = os.path.basename(p)
+        df = spark.read.parquet(p)
+        if name == "documents.parquet":
+            n = len(evil)
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.element_at(
+                        F.array(*[F.lit(t) for t in evil]),
+                        (F.col("doc_id") % n + 1).cast("int"),
+                    ),
+                ).otherwise(F.col("text")),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        df.write.mode("overwrite").parquet(os.path.join(uni, name))
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, uni).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(("unicode", name, repr(e)[:120]))
+    assert not failures, failures
