@@ -556,3 +556,53 @@ def test_all_queries_survive_one_row_and_unicode(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             failures.append(("unicode", name, repr(e)[:120]))
     assert not failures, failures
+
+
+def test_all_queries_survive_hot_keys_and_null_keys(spark, tmp_path):
+    """Skew/dirty-key fixture: 90% of events on ONE user and 90% of docs
+    in ONE source, 5% null user_id/source, 40% byte-identical texts (hot
+    LSH buckets, hot content hash). Every registered query must complete
+    — the hot-key-safe plans (sharded windows, bucket caps, salting) are
+    exactly what this exercises. Clean at introduction (round-9 sweep)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_skew")
+    os.makedirs(dst, exist_ok=True)
+    for p in glob.glob(src + "/*.parquet"):
+        name = os.path.basename(p)
+        df = spark.read.parquet(p)
+        if name == "events.parquet":
+            df = df.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 20 == 0, F.lit(None).cast("long"))
+                .when(F.col("event_id") % 10 < 9, F.lit(7))
+                .otherwise(F.col("user_id")),
+            )
+        if name == "documents.parquet":
+            df = df.withColumn(
+                "source",
+                F.when(F.col("doc_id") % 20 == 0, F.lit(None).cast("string"))
+                .when(F.col("doc_id") % 10 < 9, F.lit("hot"))
+                .otherwise(F.col("source")),
+            ).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 < 2,
+                    F.lit("the same boilerplate template text repeated " * 4),
+                ).otherwise(F.col("text")),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        df.write.mode("overwrite").parquet(os.path.join(dst, name))
+
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, dst).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, repr(e)[:120]))
+    assert not failures, failures
