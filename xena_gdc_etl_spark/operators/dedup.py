@@ -1082,15 +1082,24 @@ def cross_source_dup_rates(
     hashed = docs.select(
         F.col(source_col).alias("source"), F.md5(text_col).alias("__h")
     )
-    per_hash = hashed.groupBy("__h").agg(
+    # collapse to one row per (source, digest) FIRST: every later stage —
+    # the cross-flag aggregate and the join — then runs over the
+    # deduplicated frame, which at corpus scale (duplicates are the norm)
+    # is far smaller than the raw row stream
+    per_sh = hashed.groupBy("source", "__h").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_hash = per_sh.groupBy("__h").agg(
         (~F.min("source").eqNullSafe(F.max("source"))).alias("__cross")
     )
     return (
-        hashed.join(per_hash, "__h")
+        per_sh.join(per_hash, "__h")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("__cross").cast("bigint")).alias("n_cross_dup"),
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("__cross"), F.col("__c")).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_cross_dup"),
         )
         .select(
             "source",
