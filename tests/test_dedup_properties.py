@@ -87,3 +87,70 @@ def test_jaccard_estimate_bounds(spark, texts):
     est = dd.minhash_jaccard_estimate(pairs, sig, threshold=0.0).collect()
     for r in est:
         assert 0.0 <= r.est_jaccard <= 1.0
+
+
+_sid = st.sampled_from(["S1", "S2", "S3", "S4", "S5"])
+_case_map = st.fixed_dictionaries(
+    {}, optional={s: st.sampled_from(["C1", "C2"]) for s in
+                  ["S1", "S2", "S3", "S4", "S5"]}
+)
+
+
+@_SLOW
+@given(
+    cells=st.lists(
+        st.tuples(
+            _sid,
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    mapping=_case_map,
+)
+def test_postprocess_rename_dedup_properties(spark, cells, mapping):
+    """For ANY long matrix and ANY sample→case map: (a) column-dtype
+    output has exactly one row per (feature, renamed sample) and its
+    value comes from the lexicographically smallest original sample that
+    renamed onto it; (b) row-form output equals the distinct set of
+    renamed cells (reference drop_duplicates semantics)."""
+    from xena_gdc_etl_spark.operators.mapping import postprocess_rename_dedup
+
+    long_df = spark.createDataFrame(
+        [(s, g, float(v)) for s, g, v in cells],
+        ["sample", "feature", "value"],
+    )
+    mdf = spark.createDataFrame(
+        list(mapping.items()) or [("__none__", "__none__")],
+        ["sample", "case"],
+    )
+
+    def rn(s):
+        return mapping.get(s, s)
+
+    # column form
+    out = postprocess_rename_dedup(long_df, "star_counts", mdf).collect()
+    got = {(r.feature, r.sample): r.value for r in out}
+    assert len(got) == len(out)  # one row per (feature, renamed sample)
+    expected = {}
+    for s, g, v in cells:
+        key = (g, rn(s))
+        prev = expected.get(key)
+        if prev is None or s < prev[0]:
+            expected[key] = (s, float(v))
+    # the reference keeps ONE column per duplicated name; with several
+    # cells from the SAME original sample+feature the kept value is any
+    # of that sample's values — compare at sample granularity
+    assert set(got) == set(expected)
+    for key, (src_sample, _v) in expected.items():
+        src_vals = {
+            float(v) for s, g, v in cells
+            if s == src_sample and g == key[0]
+        }
+        assert got[key] in src_vals
+    # row form: distinct renamed cells
+    out2 = postprocess_rename_dedup(long_df, "GDC_phenotype", mdf).collect()
+    got2 = {(r.sample, r.feature, r.value) for r in out2}
+    assert len(got2) == len(out2)
+    assert got2 == {(rn(s), g, float(v)) for s, g, v in cells}
