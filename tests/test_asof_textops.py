@@ -540,3 +540,39 @@ def test_mixture_temperature_limits(spark):
     assert t4["small"].resample_factor > 1.0 > t4["big"].resample_factor
     # weights still sum to 1
     assert abs(t4["small"].temp_weight + t4["big"].temp_weight - 1.0) < 1e-6
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The whole point of content-defined chunking: a prefix insertion
+    changes only the chunk it lands in — every later chunk re-emerges
+    byte-identical (fixed-size chunking would shift them all). Also:
+    chunk concatenation reconstructs the token stream exactly; empty
+    docs produce no rows."""
+    from xena_gdc_etl_spark.operators.text import content_defined_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, base), (1, ""), (2, "solo")], ["doc_id", "text"]
+    )
+    out = sorted(
+        content_defined_chunks(docs, divisor=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc  # empty doc → no chunks
+    assert [r.chunk for r in by_doc[2]] == ["solo"]
+    # reconstruction
+    assert " ".join(r.chunk for r in by_doc[0]) == base
+    assert [r.chunk_id for r in by_doc[0]] == list(range(len(by_doc[0])))
+    assert all(r.n_tokens == len(r.chunk.split()) for r in out if r.chunk)
+
+    shifted = spark.createDataFrame(
+        [(0, "xprefix " + base)], ["doc_id", "text"]
+    )
+    c1 = [r.chunk for r in content_defined_chunks(docs.filter("doc_id=0"), divisor=3).collect()]
+    c2 = [r.chunk for r in content_defined_chunks(shifted, divisor=3).collect()]
+    # all but the first chunk survive the insertion verbatim, in order
+    assert c1[1:] == c2[1:]
+    assert c1[0] != c2[0]

@@ -1012,3 +1012,92 @@ def token_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking: cut AFTER every token whose portable
+    hash ≡ 0 (mod ``divisor``) — the rsync/FastCDC boundary trick at word
+    granularity. Because each cut depends only on the token under it,
+    inserting or deleting text shifts at most the chunks it touches;
+    fixed-size chunking (:func:`chunk_documents`) re-aligns EVERY later
+    chunk, defeating chunk-level dedup. Expected chunk length ≈
+    ``divisor`` tokens.
+
+    Plan: pure scan-stage Column program, zero shuffles — tokenize, cut
+    positions via a filtered sequence, chunk spans via ``zip_with`` over
+    staged cut arrays, one ``posexplode`` to rows. The token and cut
+    arrays are STAGED as real projected columns before any lambda
+    references them: a free array EXPRESSION inside a higher-order
+    lambda re-evaluates per element (the O(m²k) trap documented at
+    :func:`winnow_fingerprints`); a staged column is computed once per
+    row. Hash is the md5-prefix fold used by the minhash family, so the
+    oracle reproduces it exactly.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_RE), lambda t: t != ""
+    )
+    staged = docs.select(
+        F.col(id_col), toks.alias("__toks")
+    ).select(
+        F.col(id_col),
+        "__toks",
+        F.size("__toks").alias("__n"),
+        # 1-based positions whose token closes a chunk; the when() guard
+        # keeps element_at off the empty array (a trailing `i <= size`
+        # conjunct would NOT short-circuit inside the lambda)
+        F.when(
+            F.size("__toks") >= 1,
+            F.filter(
+                F.sequence(F.lit(1), F.size("__toks")),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.element_at(F.col("__toks"), i)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % divisor
+                == 0,
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("__cuts"),
+    )
+    spans = staged.select(
+        F.col(id_col),
+        "__toks",
+        F.zip_with(
+            F.concat(F.array(F.lit(1)), F.transform("__cuts", lambda c: c + 1)),
+            F.concat("__cuts", F.array(F.col("__n"))),
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ).alias("__spans"),
+    )
+    return (
+        spans.select(
+            F.col(id_col),
+            "__toks",
+            F.posexplode(
+                F.filter("__spans", lambda sp: sp["e"] >= sp["s"])
+            ).alias("chunk_id", "__sp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.col("__sp.e") - F.col("__sp.s") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    "__toks",
+                    F.col("__sp.s"),
+                    F.col("__sp.e") - F.col("__sp.s") + 1,
+                ),
+                " ",
+            ).alias("chunk"),
+        )
+    )

@@ -3191,6 +3191,55 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     windows (size 64, stride 48) with a per-chunk content hash. One
 #     generate-explode, shuffle-free.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# 64b. Content-defined chunking: cut after every token whose portable md5
+#      fold ≡ 0 (mod 8) — shift-robust chunk boundaries (rsync/FastCDC at
+#      word granularity): an insertion re-chunks only the chunks it
+#      touches, where fixed-size chunking re-aligns every later chunk and
+#      defeats chunk-level dedup. Zero-shuffle scan-stage program.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_chunks",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    cu AS (
+        SELECT doc_id, toks,
+               list_filter(range(1, len(toks) + 1),
+                           i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT
+                                % 8 = 0) AS cuts
+        FROM t WHERE len(toks) >= 1),
+    sp AS (
+        SELECT doc_id, toks,
+               list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+               list_append(cuts, len(toks)) AS ends
+        FROM cu),
+    e AS (
+        SELECT doc_id, toks, starts, ends,
+               unnest(range(1, len(starts) + 1)) AS k
+        FROM sp),
+    c AS (
+        SELECT doc_id, starts[k] AS s, ends[k] AS e2, toks
+        FROM e WHERE ends[k] >= starts[k])
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS BIGINT) AS chunk_id,
+           CAST(e2 - s + 1 AS BIGINT) AS n_tokens,
+           array_to_string(toks[s:e2], ' ') AS chunk
+    FROM c
+    """,
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import content_defined_chunks
+
+    return content_defined_chunks(
+        Catalog(spark, sf_dir).documents, divisor=8
+    )
+
+
 @query(
     "chunk_documents",
     r"""
