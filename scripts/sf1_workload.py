@@ -82,6 +82,15 @@ def _replicate(df, id_shifts: dict, text_rotate_col: str | None = None):
     +i·STRIDE; ``text_rotate_col`` (if set) goes through a per-copy
     Caesar alphabet rotation (bijective → within-copy structure exact,
     cross-copy shingles disjoint up to digits/punctuation)."""
+    # The per-copy caesar rotation is only bijective across copies while
+    # COPIES <= 26: copy 26 would wrap to rotation 1 and its shingles
+    # would collide with copy 1's, silently re-introducing the cross-copy
+    # candidate blowup the fixture was tuned to avoid. Enforce the
+    # invariant instead of assuming it (round-9 advisor finding).
+    assert COPIES <= 26, (
+        f"COPIES={COPIES} > 26: caesar rotations wrap and cross-copy "
+        "shingles collide — pick a bijective per-copy substitution first"
+    )
     parts = []
     for i in range(COPIES):
         sel = []

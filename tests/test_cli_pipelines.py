@@ -213,10 +213,10 @@ def test_write_xena_tsv_rejects_overwide_pivot(spark, tmp_path):
             "CAST(id AS DOUBLE) AS value",
         )
     )
-    with pytest.raises(ValueError, match="distinct 'sample'"):
-        write_xena_tsv(long_df, str(tmp_path / "m"), max_samples=10)
+    with pytest.raises(ValueError, match="max_columns"):
+        write_xena_tsv(long_df, str(tmp_path / "m"), max_columns=10)
     # at the limit it still writes
-    write_xena_tsv(long_df, str(tmp_path / "m2"), max_samples=20)
+    write_xena_tsv(long_df, str(tmp_path / "m2"), max_columns=20)
 
 
 def _write_tsv(path, header, rows):
@@ -229,14 +229,16 @@ def _write_tsv(path, header, rows):
 def test_cli_postprocess_sample_column_dtype(tmp_path):
     """End-to-end offline `xge-spark postprocess` on a sample-COLUMN dtype
     (reference postprocessing.py:78-88): sample columns rename to cases via
-    the injected map; two columns landing on the same case keep ONE value
-    (from the smallest original sample id)."""
+    the injected map; two columns landing on the same case keep the FIRST
+    in FILE column order (columns.duplicated() semantics — the file order
+    here is deliberately NOT lexicographic to pin that), and the original
+    index header ('Ensembl_ID') survives to the output."""
     mdir = tmp_path / "proj" / "Matrices"
     mdir.mkdir(parents=True)
     f = mdir / "m.tsv"
     _write_tsv(
         f,
-        ["Ensembl_ID", "S1", "S2", "S3"],
+        ["Ensembl_ID", "S2", "S1", "S3"],
         [["g1", 1.0, 2.0, 3.0], ["g2", 4.0, 5.0, 6.0]],
     )
     cases = tmp_path / "cases.tsv"
@@ -253,8 +255,9 @@ def test_cli_postprocess_sample_column_dtype(tmp_path):
     part = glob.glob(str(out / "part-*.csv"))[0]
     rows = list(csv.reader(open(part), delimiter="\t"))
     header, body = rows[0], {r[0]: r[1:] for r in rows[1:]}
-    assert header == ["feature", "C1", "C2"]
-    # C1 keeps S1's values (smallest original sample id), C2 keeps S3's
+    assert header == ["Ensembl_ID", "C1", "C2"]
+    # C1 keeps S2's values (first in FILE order, though S1 < S2
+    # lexicographically), C2 keeps S3's
     assert body["g1"] == ["1.0", "3.0"] and body["g2"] == ["4.0", "6.0"]
 
 
@@ -289,6 +292,42 @@ def test_cli_postprocess_row_form_dtype(tmp_path):
     assert body == [["C1", "40", "ii"], ["C2", "55", "iv"]]
 
 
+def test_cli_postprocess_row_form_conflicting_duplicates(tmp_path):
+    """Row form, CONFLICTING duplicates (round-9 advisor medium): two
+    samples rename onto the same case but differ in a value — the
+    reference's drop_duplicates() keeps BOTH rows, and the wide-native
+    write must not pivot-collapse them into one row of mixed values."""
+    mdir = tmp_path / "proj" / "Matrices"
+    mdir.mkdir(parents=True)
+    f = mdir / "ph.tsv"
+    _write_tsv(
+        f,
+        ["sample", "age", "stage"],
+        [["S1", 40, "ii"], ["S2", 40, "iii"], ["S3", 55, "iv"]],
+    )
+    cases = tmp_path / "cases.tsv"
+    _write_tsv(cases, ["sample", "case"], [["S1", "C1"], ["S2", "C1"], ["S3", "C2"]])
+    res = run_cli(
+        "postprocess", "-p", "CPTAC-3", "-t", "GDC_phenotype",
+        "-f", str(f), "--gdc-cases", str(cases),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = tmp_path / "proj" / "Postprocessed_Matrices" / "ph.tsv"
+    import csv
+
+    part = glob.glob(str(out / "part-*.csv"))[0]
+    rows = list(csv.reader(open(part), delimiter="\t"))
+    assert rows[0] == ["sample", "age", "stage"]
+    body = sorted(rows[1:])
+    # C1 appears TWICE — once per conflicting source row — like the
+    # reference; C2 once
+    assert body == [
+        ["C1", "40", "ii"],
+        ["C1", "40", "iii"],
+        ["C2", "55", "iv"],
+    ]
+
+
 def test_cli_postprocess_suffix_trim_project(tmp_path):
     """Special projects (postprocessing.py:121-145) rename by suffix trim
     with NO GDC fetch and NO dedup: BEATAML strips 1 char."""
@@ -310,7 +349,7 @@ def test_cli_postprocess_suffix_trim_project(tmp_path):
 
     part = glob.glob(str(out / "part-*.csv"))[0]
     rows = list(csv.reader(open(part), delimiter="\t"))
-    assert rows[0] == ["feature", "AML-01", "AML-02"]
+    assert rows[0] == ["Ensembl_ID", "AML-01", "AML-02"]
     assert rows[1] == ["g1", "1.5", "2.5"]
 
 

@@ -76,6 +76,21 @@ def test_ngram_jaccard_multi_bucket_doc_fails_loudly(spark):
         dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
 
 
+def test_ngram_jaccard_all_null_bucket_fails_loudly(spark):
+    # round-9 advisor: an all-NULL bucket column (a broken bucket
+    # expression) must also trip the contract — min/max are both NULL
+    # and a bare eqNullSafe would silently pass
+    rows = [
+        (0, "abcdefghij klmnop", None),
+        (1, "abcdefghij klmnop", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    with pytest.raises(Exception, match="multiple buckets"):
+        dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+
+
 def _emb_df(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),

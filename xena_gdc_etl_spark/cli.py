@@ -272,15 +272,18 @@ def main(argv: list[str] | None = None) -> int:
     if options.subcomm == "postprocess":
         import os
 
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+
         from xena_gdc_etl_spark.operators.mapping import (
             SAMPLE_COLUMN_DTYPES,
             SUFFIX_TRIM_PROJECTS,
             postprocess_rename_dedup,
             trim_sample_suffix,
         )
-        from xena_gdc_etl_spark.operators.matrix import melt_long
         from xena_gdc_etl_spark.sources.xena_tsv import (
             read_xena_tsv,
+            write_wide_tsv,
             write_xena_tsv,
         )
 
@@ -291,27 +294,46 @@ def main(argv: list[str] | None = None) -> int:
         )
         col_form = dtype in SAMPLE_COLUMN_DTYPES
         if col_form:
-            # samples are COLUMN names, first column is the feature id
-            long_df = read_xena_tsv(spark, options.file, long=True)
+            # samples are COLUMN names, first column is the feature id.
+            # __col_idx carries each sample column's FILE position so
+            # keep-first dedup matches the reference's
+            # columns.duplicated() file-order semantics; the original
+            # index header (e.g. 'Ensembl_ID') is preserved on write.
+            wide = spark.read.options(
+                sep="\t", header=True, nullValue="NA"
+            ).csv(options.file)
+            index_header = wide.columns[0]
+            long_df = read_xena_tsv(
+                spark, options.file, long=True, with_ordinal=True
+            )
         else:
             # row form: first column is 'sample', features are columns.
-            # stack() needs one value type across columns and a phenotype
-            # row mixes ints/strings — read everything as string (the
-            # output is a TSV again, so no precision is at stake)
+            # The reference renames the sample column then
+            # drop_duplicates() on FULL rows (postprocessing.py:96-101) —
+            # two rows renamed onto the same case that differ in any
+            # value BOTH survive. That is a wide-native distinct(); a
+            # long melt + per-cell pivot would collapse the conflict
+            # with an arbitrary F.first (round-9 advisor finding), so
+            # the row form stays wide end-to-end. Everything reads as
+            # string (the output is a TSV again, no precision at stake).
             wide = spark.read.options(
                 sep="\t", header=True, nullValue="NA"
             ).csv(options.file)
             sample_first = wide.columns[0]
-            long_df = melt_long(
-                wide.withColumnRenamed(sample_first, "sample"),
-                "sample",
-                [c for c in wide.columns if c != sample_first],
-            ).select("sample", "feature", "value")
 
         trim = SUFFIX_TRIM_PROJECTS.get(options.project)
         if trim is not None:
             # special projects: fixed-suffix rename, no GDC fetch, no dedup
-            out_df = trim_sample_suffix(long_df, trim)
+            if col_form:
+                out_df = trim_sample_suffix(long_df, trim)
+            else:
+                out_df = wide.withColumn(
+                    sample_first,
+                    F.expr(
+                        f"substring(`{sample_first}`, 1, "
+                        f"length(`{sample_first}`) - {int(trim)})"
+                    ),
+                )
         else:
             if options.gdc_cases:
                 if options.gdc_cases.endswith(".parquet"):
@@ -339,7 +361,30 @@ def main(argv: list[str] | None = None) -> int:
                     fields=["submitter_id", "samples.submitter_id"],
                 )
                 mapping = cases_sample_mapping(hits)
-            out_df = postprocess_rename_dedup(long_df, dtype, mapping)
+            if col_form:
+                out_df = postprocess_rename_dedup(
+                    long_df, dtype, mapping, order_col="__col_idx"
+                )
+            else:
+                # wide-native reference twin: rename sample ids via the
+                # broadcast (sample, case) map, then full-row distinct
+                m = mapping.select(
+                    F.col("sample").alias("__from"),
+                    F.col("case").alias("__to"),
+                ).distinct()
+                out_df = (
+                    wide.join(
+                        broadcast(m),
+                        on=wide[sample_first] == F.col("__from"),
+                        how="left",
+                    )
+                    .withColumn(
+                        sample_first,
+                        F.coalesce(F.col("__to"), F.col(sample_first)),
+                    )
+                    .drop("__from", "__to")
+                    .distinct()
+                )
 
         new_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(options.file))),
@@ -348,12 +393,11 @@ def main(argv: list[str] | None = None) -> int:
         os.makedirs(new_dir, exist_ok=True)
         out = os.path.join(new_dir, os.path.basename(options.file))
         if col_form:
-            write_xena_tsv(out_df, out)
+            write_xena_tsv(out_df, out, feature_header=index_header)
         else:
-            # row orientation back out: samples as rows, fields as columns
-            write_xena_tsv(
-                out_df, out, sample_col="feature", feature_col="sample"
-            )
+            # row orientation verbatim: no pivot, conflicting duplicate
+            # rows for one case all survive, headers preserved
+            write_wide_tsv(out_df.select(*wide.columns), out)
         print(f"Postprocessed {dtype} data is ready for {options.project}.")
         print(f"Postprocessed matrix is saved at {out}.")
         return 0

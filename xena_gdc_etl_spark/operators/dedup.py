@@ -841,7 +841,12 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.when(
                 F.assert_true(
-                    F.col("__bmin").eqNullSafe(F.col("__bmax")),
+                    # isNotNull conjunct: an all-NULL bucket column (a
+                    # broken bucket expression) must fail loudly too —
+                    # min/max are both NULL there and eqNullSafe alone
+                    # would silently pass (round-9 advisor finding)
+                    F.col("__bmin").isNotNull()
+                    & F.col("__bmin").eqNullSafe(F.col("__bmax")),
                     F.concat(
                         F.lit(
                             "ngram_jaccard_pairs: bucket_col must be a "

@@ -141,6 +141,7 @@ def postprocess_rename_dedup(
     sample_col: str = "sample",
     feature_col: str = "feature",
     value_col: str = "value",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Sample→case rename + duplicate removal on a long-form matrix — the
     reference's ``postprocess`` (postprocessing.py:65) re-expressed over
@@ -152,9 +153,11 @@ def postprocess_rename_dedup(
     - Dedup, sample-column dtypes (postprocessing.py:83-88
       ``columns.duplicated()`` keep-first): two original sample columns that
       renamed onto the same case keep ONE value per (feature, case). The
-      reference keeps the first in FILE column order; column order does not
-      survive a shuffle, so the deterministic stand-in is the value from the
-      lexicographically smallest ORIGINAL sample id.
+      reference keeps the first in FILE column order. Pass ``order_col`` —
+      a column carrying each cell's ORIGINAL file column ordinal (e.g.
+      ``read_xena_tsv(..., with_ordinal=True)``'s ``__col_idx``) — to
+      reproduce that keep-first exactly; without it the deterministic
+      stand-in is the lexicographically smallest ORIGINAL sample id.
     - Dedup, row form (postprocessing.py:96-101 ``drop_duplicates()``):
       full-row duplicates collapse. In long form identical (sample, feature,
       value) cells ARE the full-row duplicate — distinct() reproduces the
@@ -171,7 +174,10 @@ def postprocess_rename_dedup(
     if data_type in SAMPLE_COLUMN_DTYPES:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(feature_col, sample_col).orderBy("__orig")
+        order = (
+            [F.col(order_col), F.col("__orig")] if order_col else ["__orig"]
+        )
+        w = Window.partitionBy(feature_col, sample_col).orderBy(*order)
         return (
             renamed.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

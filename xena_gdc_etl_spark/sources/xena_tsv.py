@@ -22,10 +22,18 @@ def read_xena_tsv(
     path: str,
     id_col: str | None = None,
     long: bool = True,
+    with_ordinal: bool = False,
 ) -> DataFrame:
     """Read a Xena TSV. With ``long=True`` returns the engine-native long
     form (sample, feature, value) where ``feature`` is the first column's
     values and samples are the remaining column names.
+
+    ``with_ordinal=True`` additionally carries ``__col_idx`` — each cell's
+    original FILE column position — so downstream keep-first dedup
+    (``postprocess_rename_dedup(order_col='__col_idx')``) can reproduce the
+    reference's ``columns.duplicated()`` file-order semantics exactly.
+    The ordinal map is tiny (one row per column header, already
+    driver-side) and joins in broadcast.
     """
     wide = spark.read.options(
         sep="\t", header=True, inferSchema=True, nullValue="NA"
@@ -42,9 +50,21 @@ def read_xena_tsv(
         wide, "__feature_id", value_cols, feature_name="sample",
         value_name="value",
     )
-    return melted.withColumnRenamed("__feature_id", "feature").select(
+    out = melted.withColumnRenamed("__feature_id", "feature").select(
         "sample", "feature", "value"
     )
+    if with_ordinal:
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+
+        ordinals = spark.createDataFrame(
+            [(c, i) for i, c in enumerate(value_cols)],
+            "sample string, __col_idx int",
+        )
+        out = out.join(broadcast(ordinals), "sample", "left").select(
+            "sample", "feature", "value", "__col_idx"
+        )
+    return out
 
 
 def write_xena_tsv(
@@ -53,34 +73,60 @@ def write_xena_tsv(
     sample_col: str = "sample",
     feature_col: str = "feature",
     value_col: str = "value",
-    max_samples: int = 50_000,
+    max_columns: int = 50_000,
+    feature_header: str | None = None,
 ) -> None:
     """Export a long matrix as a Xena-style TSV directory (features as the
     index column, one column per sample — the reference's matrix layout).
     Pivot width = number of samples; exporting is only sane for bounded
     sample sets, which is exactly the reference's use case (TCGA cohorts
-    top out near 11k samples; pan-cancer ~12.6k). ``max_samples`` turns an
-    over-wide pivot — a driver-OOM-by-collect otherwise — into an
-    actionable error, checked with a ``limit(max+1)`` count so the guard
-    job itself is bounded.
+    top out near 11k samples; pan-cancer ~12.6k). The distinct sample list
+    becomes the output HEADER, so it is collected driver-side through the
+    bounded-collect guard (similarity._collect_bounded): an over-wide
+    pivot — a driver-OOM-by-collect otherwise — fails with an actionable
+    error naming the ``max_columns`` knob.
+
+    ``feature_header`` renames the output's first (index) column; the
+    reference preserves the input matrix's index header (e.g.
+    'Ensembl_ID') through ``set_index``/``to_csv``, so postprocessing
+    passes the original name through here.
     """
     from pyspark.sql import functions as F
 
-    distinct_samples = long_df.select(sample_col).distinct()
-    if distinct_samples.limit(max_samples + 1).count() > max_samples:
-        raise ValueError(
-            f"write_xena_tsv: >{max_samples} distinct {sample_col!r} values; "
-            "a pivot this wide is not driver-sized (and not a sane TSV) — "
-            "export a bounded cohort or raise max_samples"
+    from xena_gdc_etl_spark.operators.similarity import _collect_bounded
+
+    try:
+        sample_rows = _collect_bounded(
+            long_df.select(sample_col).distinct().orderBy(sample_col),
+            f"write_xena_tsv: the distinct {sample_col!r} set (the output "
+            "header)",
+            max_columns,
         )
-    samples = [
-        r[0] for r in distinct_samples.orderBy(sample_col).collect()
-    ]
+    except ValueError as e:
+        raise ValueError(
+            f"{e} — a pivot this wide is not driver-sized (and not a sane "
+            "TSV); export a bounded cohort or raise max_columns"
+        ) from None
+    samples = [r[0] for r in sample_rows]
     wide = (
         long_df.groupBy(feature_col)
         .pivot(sample_col, [str(s) for s in samples])
         .agg(F.first(value_col))
     )
+    if feature_header:
+        wide = wide.withColumnRenamed(feature_col, feature_header)
     wide.coalesce(1).write.options(sep="\t", header=True, nullValue="NA").mode(
         "overwrite"
     ).csv(path)
+
+
+def write_wide_tsv(wide_df: DataFrame, path: str) -> None:
+    """Write an already-wide DataFrame as a Xena-style TSV directory,
+    verbatim — no pivot, no per-cell aggregation, column order and row
+    multiplicity preserved. This is the row-form postprocess sink: the
+    reference's ``drop_duplicates()`` keeps BOTH rows when two samples
+    rename onto the same case but differ in any value, and a pivot with
+    ``F.first`` would silently collapse them (round-9 advisor finding)."""
+    wide_df.coalesce(1).write.options(
+        sep="\t", header=True, nullValue="NA"
+    ).mode("overwrite").csv(path)
