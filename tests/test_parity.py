@@ -61,16 +61,23 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def _coverage_rounds(n_queries: int, window: int = 50) -> int:
+    """K = ⌈N/window⌉: the generalized house invariant is that every query
+    is sampled at least once in any K consecutive driver rounds."""
+    return -(-n_queries // window)
+
+
 def test_driver_window_rotation_invariant():
     """The driver's correctness gate samples the FIRST 50 registered
-    queries. House invariant since round 4: the union of two adjacent
-    rounds' windows must cover every query — no query goes two
-    consecutive rounds unsampled. Mechanically: everything OUTSIDE the
-    current first-50 window must have a row in the most recent recorded
-    driver window (CORRECTNESS_r{N}.json). Since round 9 the registry
-    order is DERIVED from the recorded windows (least-recently-sampled
-    first, workload._reorder_registry), so this holds by construction;
-    the test stays as the loud backstop."""
+    queries. House invariant (round 4, generalized round 10): every query
+    is sampled at least once in any ⌈N/50⌉ consecutive rounds — for
+    N ≤ 100 that is the original two-round rule. Mechanically: everything
+    OUTSIDE the current first-50 window must have a row in the union of
+    the most recent ⌈N/50⌉−1 recorded driver windows
+    (CORRECTNESS_r{N}.json). Since round 9 the registry order is DERIVED
+    from the recorded windows (least-recently-sampled first,
+    workload._reorder_registry), so this holds by construction; the test
+    stays as the loud backstop."""
     import glob
     import json
     import os
@@ -80,48 +87,122 @@ def test_driver_window_rotation_invariant():
     recs = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     if not recs:
         pytest.skip("no recorded driver windows yet (round 1)")
-    latest = max(
-        recs, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-    )
-    with open(latest) as fh:
-        last_window = set(json.load(fh))
+    k = _coverage_rounds(len(QUERIES))
+    newest_first = sorted(
+        recs,
+        key=lambda p: int(
+            re.search(r"r(\d+)", os.path.basename(p)).group(1)
+        ),
+        reverse=True,
+    )[: k - 1]
+    recent_union: set = set()
+    for p in newest_first:
+        with open(p) as fh:
+            recent_union |= set(json.load(fh))
     current_window = set(list(QUERIES)[:50])
-    uncovered = set(QUERIES) - current_window - last_window
+    uncovered = set(QUERIES) - current_window - recent_union
     assert not uncovered, (
-        f"queries outside the first-50 window with no row in "
-        f"{os.path.basename(latest)}: {sorted(uncovered)} — the derived "
-        "least-recently-sampled ordering should make this impossible; "
-        "check workload._reorder_registry"
+        f"queries outside the first-50 window with no row in the last "
+        f"{k - 1} recorded window(s) "
+        f"({[os.path.basename(p) for p in newest_first]}): "
+        f"{sorted(uncovered)} — the derived least-recently-sampled "
+        "ordering should make this impossible; check "
+        "workload._reorder_registry"
     )
 
 
-def test_rotation_self_maintaining_next_round(monkeypatch):
-    """Simulate the NEXT round: append the CURRENT first-50 window as if the
-    driver had just recorded it, re-derive the ordering, and assert the
-    invariant still holds — i.e. rotation needs no manual end-of-round step,
-    ever (the round-7/8 failure mode)."""
+def _simulate_rounds(workload, base_windows, keys, n_rounds):
+    """Drive _reorder_registry forward ``n_rounds`` rounds: each round
+    re-derives the order from the windows so far and records the first-50
+    window, exactly like the driver. Returns the simulated windows."""
+    windows = list(base_windows)
+    simulated = []
+    reg_snapshot = list(keys)
+    for _ in range(n_rounds):
+        wins = windows + simulated
+        # re-derive on a scratch registry each round
+        workload.QUERIES.clear()
+        workload.QUERIES.update({k: None for k in reg_snapshot})
+        workload.ORACLES.clear()
+        saved = workload._recorded_windows
+        workload._recorded_windows = lambda w=wins: list(w)
+        try:
+            workload._reorder_registry()
+        finally:
+            workload._recorded_windows = saved
+        simulated.append(set(list(workload.QUERIES)[:50]))
+    return simulated
+
+
+def test_rotation_self_maintaining_future_rounds(monkeypatch):
+    """Simulate the NEXT ⌈N/50⌉ rounds on the LIVE registry: append each
+    derived first-50 window as if the driver had recorded it, re-derive,
+    and assert every sliding ⌈N/50⌉-round window covers all queries —
+    i.e. rotation needs no manual end-of-round step, ever (the round-7/8
+    failure mode), at any registry size."""
     from xena_gdc_etl_spark import workload
 
     windows = workload._recorded_windows()
     if not windows:
         pytest.skip("no recorded driver windows yet (round 1)")
-    # ordering as derived today
-    current_window = list(QUERIES)[:50]
-    simulated = windows + [set(current_window)]
-    monkeypatch.setattr(workload, "_recorded_windows", lambda: simulated)
+    keys = list(QUERIES)
+    k = _coverage_rounds(len(keys))
     snap_q, snap_o = dict(workload.QUERIES), dict(workload.ORACLES)
     try:
-        workload._reorder_registry()
-        next_window = set(list(workload.QUERIES)[:50])
-        uncovered = set(workload.QUERIES) - next_window - set(current_window)
-        assert not uncovered, (
-            f"next-round window would leave {sorted(uncovered)} unsampled "
-            "two rounds running"
+        # current window counts as round 0; simulate k more rounds
+        current_window = set(keys[:50])
+        sim = _simulate_rounds(
+            workload, windows + [current_window], keys, k
         )
+        all_wins = [current_window] + sim
+        for i in range(len(all_wins) - k + 1):
+            covered = set().union(*all_wins[i : i + k])
+            uncovered = set(keys) - covered
+            assert not uncovered, (
+                f"rounds {i}..{i + k - 1} would leave {sorted(uncovered)} "
+                f"unsampled {k} rounds running"
+            )
         # derived ordering must be deterministic (same inputs → same order)
+        workload.QUERIES.clear()
+        workload.QUERIES.update(snap_q)
+        workload.ORACLES.clear()
+        workload.ORACLES.update(snap_o)
+        workload._reorder_registry()
         order1 = list(workload.QUERIES)
         workload._reorder_registry()
         assert list(workload.QUERIES) == order1
+    finally:
+        for registry, snap in ((workload.QUERIES, snap_q), (workload.ORACLES, snap_o)):
+            registry.clear()
+            registry.update(snap)
+
+
+def test_rotation_covers_105_entry_registry():
+    """The round-9 verdict's ceiling: the old invariant only held while the
+    registry stayed ≤ 100 = 2×50. Prove the generalized ⌈N/50⌉-round
+    coverage on a synthetic 105-entry registry (K = 3): starting from NO
+    recorded windows, every sliding 3-round window of the derived rotation
+    covers all 105 keys, over enough rounds to see several full cycles."""
+    from xena_gdc_etl_spark import workload
+
+    keys = [f"synth_q{i:03d}" for i in range(105)]
+    k = _coverage_rounds(len(keys))
+    assert k == 3
+    snap_q, snap_o = dict(workload.QUERIES), dict(workload.ORACLES)
+    try:
+        sim = _simulate_rounds(workload, [], keys, 9)
+        for i in range(len(sim) - k + 1):
+            covered = set().union(*sim[i : i + k])
+            uncovered = set(keys) - covered
+            assert not uncovered, (
+                f"synthetic rounds {i}..{i + k - 1} leave "
+                f"{sorted(uncovered)[:5]}... unsampled"
+            )
+        # and at <=100 entries the original two-round rule still holds
+        keys2 = [f"small_q{i:03d}" for i in range(91)]
+        sim2 = _simulate_rounds(workload, [], keys2, 6)
+        for i in range(len(sim2) - 1):
+            assert not (set(keys2) - sim2[i] - sim2[i + 1])
     finally:
         for registry, snap in ((workload.QUERIES, snap_q), (workload.ORACLES, snap_o)):
             registry.clear()
