@@ -210,14 +210,23 @@ def main() -> None:
     # a start offset per query lets a judge correlate any row with the
     # probe series (and the host's own telemetry) without re-running.
     query_at_sec: dict[str, float] = {}
+    # Per-query trial spread: BASELINE gates on min-of-N, but a single
+    # driver run cannot tell "this query regressed" from "this query is
+    # noisy" without the band. trial_spread carries [min, max] over the
+    # TRIALS; noise_band = max − min is the query's own within-run
+    # variability, so a driver value inside [min, min + band] is
+    # auto-adjudicable as noise (the round-9 minhash_jaccard_est /
+    # asof_join re-adjudication loop).
+    trial_spread: dict[str, list[float]] = {}
     for i, (name, fn) in enumerate(QUERIES.items(), start=1):
         query_at_sec[name] = round(time.time() - run_t0, 2)
-        best = float("inf")
+        trials: list[float] = []
         for _ in range(TRIALS):
             start = time.perf_counter()
             consume(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            trials.append(time.perf_counter() - start)
+        timings[name] = round(min(trials), 4)
+        trial_spread[name] = [round(min(trials), 4), round(max(trials), 4)]
         positions[name] = i
         if _PROBE_EVERY > 0 and i % _PROBE_EVERY == 0:
             probe_q1(i)
@@ -245,6 +254,9 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    noise_band = {
+        k: round(mx - mn, 4) for k, (mn, mx) in trial_spread.items()
+    }
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -253,6 +265,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "trials": TRIALS,
+                "trial_spread": trial_spread,
+                "noise_band": noise_band,
                 "drift_probes": probes,
                 "query_at_sec": query_at_sec,
                 "queries_drift_normalized": _drift_normalize(
@@ -261,7 +276,7 @@ def main() -> None:
             },
             fh,
         )
-    print(_stdout_line(timings, total, sf), flush=True)
+    print(_stdout_line(timings, total, sf, noise_band), flush=True)
 
 
 _PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "15"))
@@ -325,12 +340,25 @@ _PINNED = (
 )
 
 
-def _stdout_line(timings: dict, total: float, sf: float) -> str:
+def _stdout_line(
+    timings: dict, total: float, sf: float, noise_band: dict | None = None
+) -> str:
     """One compact JSON line ≤ _LINE_BUDGET bytes. Degrades explicitly:
-    4→3→2 decimals, then elides the fastest non-pinned queries with an
-    "elided" count pointing at bench_detail.json — never silently."""
+    4→3→2 decimals, then drops the noise_band dict, then elides the
+    fastest non-pinned queries with an "elided" count pointing at
+    bench_detail.json — never silently.
 
-    def render(t: dict, elided: int, digits: int) -> str:
+    noise_band (stdout copy): only the queries whose within-run spread is
+    LARGE relative to their min (>25% and >0.1s) — exactly the rows a
+    judge would otherwise re-adjudicate by hand; the full per-query bands
+    are always in bench_detail.json."""
+    noisy = {
+        k: round(v, 3)
+        for k, v in (noise_band or {}).items()
+        if k in timings and v > max(0.25 * timings[k], 0.1)
+    }
+
+    def render(t: dict, elided: int, digits: int, with_band: bool) -> str:
         # flagship literally first and its end-of-run repeat literally
         # last; warm/build lines and the other queries in between
         ordered = sorted(
@@ -343,15 +371,22 @@ def _stdout_line(timings: dict, total: float, sf: float) -> str:
             "queries": {k: round(t[k], digits) for k in ordered},
             "sf": sf,
         }
+        if with_band and noisy:
+            payload["noise_band"] = {
+                k: noisy[k] for k in ordered if k in noisy
+            }
         if elided:
             payload["elided"] = elided
             payload["detail"] = "bench_detail.json"
         return json.dumps(payload, separators=(",", ":"))
 
     for digits in (4, 3, 2):
-        line = render(timings, 0, digits)
+        line = render(timings, 0, digits, with_band=True)
         if len(line) <= _LINE_BUDGET:
             return line
+    line = render(timings, 0, 2, with_band=False)
+    if len(line) <= _LINE_BUDGET:
+        return line
     # Elide fastest-first (least signal), keeping the flagship pair; the
     # count + detail pointer make the cut auditable.
     order = sorted(
@@ -360,10 +395,15 @@ def _stdout_line(timings: dict, total: float, sf: float) -> str:
     kept = dict(timings)
     for i, victim in enumerate(order, start=1):
         del kept[victim]
-        line = render(kept, i, 2)
+        line = render(kept, i, 2, with_band=False)
         if len(line) <= _LINE_BUDGET:
             return line
-    return render({k: timings[k] for k in _PINNED if k in timings}, len(order), 2)
+    return render(
+        {k: timings[k] for k in _PINNED if k in timings},
+        len(order),
+        2,
+        with_band=False,
+    )
 
 
 if __name__ == "__main__":
