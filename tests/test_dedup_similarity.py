@@ -520,6 +520,69 @@ def test_ivf_train_converges_and_deterministic(spark):
         ), (cid, vec, again[cid])
 
 
+def test_cc_dispatch_default_is_the_measured_crossover():
+    """The driver/distributed dispatch cap is a measured constant
+    (scripts/cc_crossover.py; BASELINE §cc-crossover): driver strictly
+    faster ≤ 2M edges on both bracket shapes, distributed faster by the
+    real 8.5M-edge sf1 graph. Pin the default to the documented
+    measurement so a drive-by edit can't silently detach them; both
+    dispatch sides' LABEL parity is pinned by test_cc_property and the
+    boundary tests above."""
+    import inspect
+
+    assert dd.CC_DRIVER_MAX_EDGES == 2_000_000
+    for fn in (dd.connected_components, dd.connected_components_bipartite):
+        sig = inspect.signature(fn)
+        assert (
+            sig.parameters["driver_max_edges"].default
+            == dd.CC_DRIVER_MAX_EDGES
+        ), fn.__name__
+
+
+def test_ivf_train_step_is_the_trainer_round_body(spark):
+    """ivf_train(iterations=1) must equal ivf_train_step run on the
+    trainer's own init state (the k smallest-id vectors) — the factored
+    step IS the round body, so the oracle-gated kmeans_round query
+    really gates the trainer's numerics."""
+    pts = [(i, [0.9 + 0.01 * i, 1.1 - 0.01 * i]) for i in range(4)] + [
+        (i + 4, [10.0 + 0.05 * i, 9.9 - 0.05 * i]) for i in range(4)
+    ]
+    vecs = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    trained = {
+        r.centroid_id: r.embedding
+        for r in sim.ivf_train(vecs, k=2, iterations=1).collect()
+    }
+    init = spark.createDataFrame(
+        [(0, pts[0][1]), (1, pts[1][1])],
+        "centroid_id long, embedding array<double>",
+    )
+    stepped = {
+        r.centroid_id: r.embedding
+        for r in sim.ivf_train_step(vecs, init).collect()
+    }
+    assert set(stepped) == set(trained)
+    for cid in trained:
+        assert all(
+            abs(a - b) < 1e-12 for a, b in zip(trained[cid], stepped[cid])
+        ), (cid, trained[cid], stepped[cid])
+
+
+def test_ivf_train_step_empty_cell_keeps_previous(spark):
+    """A cell that attracts no vectors keeps its frozen centroid with
+    n_members = 0 (ivf_train's keep-previous rule)."""
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.01])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    out = {r.centroid_id: r for r in sim.ivf_train_step(vecs, cents).collect()}
+    assert out[0].n_members == 2
+    assert out[1].n_members == 0 and out[1].embedding == [-1.0, 0.0]
+
+
 def test_resize_media_deterministic_dims(spark):
     media = mm.attach_binary_payload(docs_df(spark, ["hello world", "spark engine"]))
     out = {r.media_id: r for r in mm.resize_media(media, width=8, height=4).collect()}

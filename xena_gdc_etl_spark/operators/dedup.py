@@ -16,6 +16,20 @@ from xena_gdc_etl_spark.functions import md5_hash60
 from xena_gdc_etl_spark.operators.text import WS_CLASS, WS_RE
 
 
+# Driver-union-find vs distributed-alternating-star dispatch cap for the
+# connected-components operators, CHOSEN FROM MEASUREMENT
+# (scripts/cc_crossover.py, local[32]; cc_crossover.json + BASELINE.md
+# §cc-crossover): the driver path is strictly faster through 2M edges on
+# both bracket shapes (clustered 16.4s vs 30.1s, chained 29.9s vs 88.8s at
+# 2M), while the REAL 8.49M-edge sf1 LSH graph flips (distributed 21.5s vs
+# driver 24.6s, BASELINE §sf1) — the crossover sits between 2M and 8.5M,
+# so the default stays at the largest size where the driver side measured
+# faster everywhere. Collect volume at the cap is 2×2M ids ≈ tens of MB —
+# far below driver-memory relevance; above it the distributed path is the
+# safe-and-soon-faster choice.
+CC_DRIVER_MAX_EDGES = 2_000_000
+
+
 def _py(v):
     """numpy scalar → plain python (createDataFrame rejects np types)."""
     return v.item() if hasattr(v, "item") else v
@@ -225,7 +239,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 50,
-    driver_max_edges: "int | None" = 1_000_000,
+    driver_max_edges: "int | None" = CC_DRIVER_MAX_EDGES,
     validate: bool = False,
     stats: "dict | None" = None,
 ) -> DataFrame:
@@ -250,12 +264,16 @@ def connected_components(
 
     - pair set ≤ ``driver_max_edges`` (one cheap count probe): the GATED
       pair list — already reduced from the corpus by LSH + a similarity
-      threshold — collects to the driver (two ids per edge; ≈32 MB at the
-      default cap) and a union-find labels it in milliseconds, replacing
-      an O(diameter)-round loop whose every round costs a join + groupBy
-      + checkpoint + convergence job. Same small-frame economics as the
+      threshold — collects to the driver (two ids per edge; ≈64 MB at the
+      default cap) and a union-find labels it directly, replacing an
+      O(rounds) loop whose every round costs a join + groupBy +
+      checkpoint + convergence job. Same small-frame economics as the
       prefix-scan and logreg fallbacks. The full node set never collects:
       non-edge nodes stay distributed and keep their own id as label.
+      The default cap is the MEASURED dispatch crossover (see
+      ``CC_DRIVER_MAX_EDGES`` above): driver strictly faster ≤ 2M edges
+      on both bracket shapes, distributed faster by 8.5M (real sf1 LSH
+      graph).
     - otherwise: alternating large-star/small-star contraction (Kiveris
       et al., "Connected Components in MapReduce and Beyond", SoCC'14)
       — O(log² n) rounds on ANY graph shape, each round two partial-
@@ -505,7 +523,7 @@ def connected_components_bipartite(
     id_col: str = "doc_id",
     bucket_col: str = "bkey",
     max_iterations: int = 50,
-    driver_max_edges: "int | None" = 1_000_000,
+    driver_max_edges: "int | None" = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Duplicate clusters straight from the doc–bucket assignment table.
 
