@@ -186,6 +186,37 @@ def quantize_int8(
     )
 
 
+def suggest_n_cells(
+    corpus_rows: int,
+    target_cell_rows: int = 4096,
+    min_cells: int = 1,
+    max_cells: int = DEFAULT_MAX_BROADCAST_ROWS,
+) -> int:
+    """Scale the IVF cell count with the corpus instead of fixing it.
+
+    The within-cell pair stage of embedding dedup costs O(Σ cell²) total
+    work ≈ O(rows²/n_cells); holding the PER-CELL population near
+    ``target_cell_rows`` (n_cells ≈ rows/target) makes that stage
+    O(rows × target) — linear in the corpus — which is the difference
+    between a plan that survives a 100× scale-up and one that quietly
+    goes quadratic (the round-9 BASELINE §sf1 residual: a fixed
+    n_cells=8 means cells grow ∝ corpus). Clamped to
+    [min_cells, max_cells]: the centroid matrix is collected/broadcast
+    driver-side, so the ceiling is the bounded-collect broadcast cap.
+
+    This is the dedup/assignment-cost knob; for pure ANN recall-vs-speed
+    the classical sqrt-ish rules also apply — callers tuning recall
+    should still run ``ann_recall_eval`` against their choice.
+    """
+    import math
+
+    if corpus_rows < 0:
+        raise ValueError("corpus_rows must be >= 0")
+    if target_cell_rows <= 0:
+        raise ValueError("target_cell_rows must be > 0")
+    return max(min_cells, min(max_cells, math.ceil(corpus_rows / target_cell_rows)))
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -497,6 +528,57 @@ def ivf_train(
             # previous centroid instead of silently vanishing
             cents[r[centroid_id]] = [r[f"c{i}"] for i in range(dim)]
     return _centroid_frame()
+
+
+def ivf_train_step(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """ONE Lloyd round under a FIXED centroid state, returned as a
+    DataFrame — the per-round body of :func:`ivf_train` factored out so
+    the trainer's numerics can be oracle-gated: assignment (rounded-6
+    cosine, smallest-centroid-id tiebreak — ``ivf_assign``) followed by
+    the element-wise per-cell mean of the RAW vectors, all
+    SQL-expressible once the centroid state is frozen. Cells that
+    attract no vectors keep their previous centroid (``ivf_train``'s
+    keep-previous rule) with ``n_members = 0``.
+
+    Output: (centroid_id, n_members, ``vec_col`` = updated centroid).
+    Fully distributed — one broadcast-matmul assignment pass + one
+    partial-aggregated groupBy; nothing corpus-sized reaches the driver.
+    """
+    dim = len(centroids.select(vec_col).first()[0])
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id=centroid_id,
+    )
+    agg = assigned.groupBy(centroid_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        *[
+            F.avg(F.col(vec_col).getItem(i)).alias(f"__c{i}")
+            for i in range(dim)
+        ],
+    )
+    new_vec = F.array(*[F.col(f"__c{i}") for i in range(dim)])
+    return (
+        centroids.select(
+            F.col(centroid_id),
+            F.col(vec_col).cast("array<double>").alias("__prev"),
+        )
+        .join(agg, centroid_id, "left")
+        .select(
+            F.col(centroid_id),
+            F.coalesce("n_members", F.lit(0)).cast("long").alias(
+                "n_members"
+            ),
+            F.when(F.col("n_members").isNotNull(), new_vec)
+            .otherwise(F.col("__prev"))
+            .alias(vec_col),
+        )
+    )
 
 
 # One cap-configured notice per process (INFO): see cosine_dup_pairs.

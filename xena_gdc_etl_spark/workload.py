@@ -2673,6 +2673,107 @@ def pq_adc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 56e. One k-means training ROUND under FROZEN centroid state — the
+#      oracle-gated half of the IVF trainer, closing the rows-only gap the
+#      same way pq_adc_score closed PQ's: iterated float k-means is not
+#      SQL-expressible, but a SINGLE Lloyd round under fixed centroids is
+#      plain arithmetic (rounded-6 cosine argmax with smallest-id
+#      tiebreak, then a per-cell element-wise mean). Frozen centroids are
+#      Walsh sign patterns at ±0.125 (exact binary fractions; mutually
+#      orthogonal, so assignments are well-separated and rounded-6 ties
+#      are structural, not fp-luck). The updated centroid serializes as a
+#      %.6f CSV (the driver's canonicalizer rejects array cells); the
+#      ``round(x,6) + 0.0`` on BOTH sides collapses -0.0 → 0.0 before
+#      formatting. Empty cells keep their previous (frozen) centroid with
+#      n_members = 0, matching ivf_train's keep-previous rule — a unit
+#      test pins ivf_train(iterations=1) == ivf_train_step(init state).
+# --------------------------------------------------------------------------
+_KM_CELLS, _KM_DIM = 8, 64
+
+
+def _kmeans_frozen_centroids() -> list[list[float]]:
+    return [
+        [
+            0.125 * (1.0 if bin(i & c).count("1") % 2 == 0 else -1.0)
+            for i in range(_KM_DIM)
+        ]
+        for c in range(_KM_CELLS)
+    ]
+
+
+def _kmeans_round_sql() -> str:
+    cents = _kmeans_frozen_centroids()
+    vals = ",\n           ".join(
+        f"({c}, [{', '.join(repr(v) for v in cents[c])}])"
+        for c in range(_KM_CELLS)
+    )
+    return rf"""
+    WITH cents(centroid_id, cv) AS (VALUES {vals}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE embedding IS NOT NULL),
+    sims AS (
+        SELECT v.vec_id, cents.centroid_id,
+               round(list_dot_product(e, cv)
+                     / (sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS sim
+        FROM v CROSS JOIN cents),
+    assign AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT vec_id, centroid_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, centroid_id) AS rn
+              FROM sims)
+        WHERE rn = 1),
+    counts AS (SELECT centroid_id, count(*) AS n FROM assign GROUP BY 1),
+    dims AS (
+        SELECT a.centroid_id, t.i, avg(v.e[CAST(t.i AS INT)]) AS m
+        FROM assign a JOIN v USING (vec_id)
+        CROSS JOIN range(1, {_KM_DIM + 1}) t(i)
+        GROUP BY 1, 2),
+    upd AS (
+        SELECT centroid_id,
+               string_agg(printf('%.6f', round(m, 6) + 0.0), ','
+                          ORDER BY i) AS csv
+        FROM dims GROUP BY 1)
+    SELECT c.centroid_id,
+           CAST(coalesce(n.n, 0) AS BIGINT) AS n_members,
+           coalesce(u.csv,
+                    array_to_string(list_transform(c.cv,
+                        x -> printf('%.6f', round(x, 6) + 0.0)),
+                        ',')) AS centroid_csv
+    FROM cents c
+    LEFT JOIN counts n USING (centroid_id)
+    LEFT JOIN upd u USING (centroid_id)
+    ORDER BY 1
+    """
+
+
+@query("kmeans_round", _kmeans_round_sql())
+def kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(_kmeans_frozen_centroids())],
+        "centroid_id long, embedding array<double>",
+    )
+    stepped = sim.ivf_train_step(emb, cents)
+    return stepped.select(
+        "centroid_id",
+        "n_members",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: F.format_string(
+                    "%.6f", F.round(x, 6) + F.lit(0.0)
+                ),
+            ),
+        ).alias("centroid_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 56b. Quality-classifier training (fastText-style lightweight filter,
 #      trained in-engine): logistic regression over the engine's own
 #      quality features, predicting the English-document signal. Each
