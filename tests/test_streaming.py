@@ -230,6 +230,53 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_incremental_dedup_within_stream_watermark(
+    spark, tmp_path
+):
+    """With ts_col set, a re-arrival of the SAME new content inside the
+    watermark horizon is dropped (dropDuplicatesWithinWatermark on the
+    digest keeps the first arrival), while distinct content and
+    landed-corpus probing behave as before."""
+    import datetime
+
+    from xena_gdc_etl_spark.streaming import streaming_incremental_dedup
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (10, "fresh content alpha", t0),
+        (11, "fresh content beta", t0),
+        (12, "fresh content alpha", t0 + datetime.timedelta(minutes=5)),
+        (13, "landed content", t0),
+    ]
+    new_dir = str(tmp_path / "new_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(new_dir)
+    landed = spark.createDataFrame(
+        [("landed content",)], "text string"
+    ).select(F.md5("text").alias("h"), F.lit(1).cast("bigint").alias("dup_of"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(new_dir)
+    q = (
+        streaming_incremental_dedup(stream, landed, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("inc_dedup_wm_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.doc_id: r.dup_of
+        for r in spark.table("inc_dedup_wm_sink").collect()
+    }
+    # doc 12 (re-arrival of doc 10's content) is dropped; doc 13 probes
+    # the landed index; 10/11 pass as novel
+    assert set(got) == {10, 11, 13}
+    assert got[13] == 1 and got[10] is None and got[11] is None
+
+
 def test_streaming_heavy_hitters_matches_batch_counts(
     spark, events_stream_dir
 ):

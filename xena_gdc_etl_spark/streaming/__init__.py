@@ -178,16 +178,31 @@ def streaming_incremental_dedup(
     landed_index: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ts_col: str | None = None,
+    within_stream_watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming twin of the ``incremental_dedup`` query: every arriving
     document probes the landed corpus's (content hash → keeper id) index
     via a stream-static left join. The stream side carries only its
-    digest through the join; there is NO streaming state to evict — the
-    static index is the state, re-resolved per micro-batch (and
-    broadcast when it fits), so a continuously-fed pipeline can run this
-    indefinitely. Batch twin: workload.py ``incremental_dedup``.
+    digest through the join; the static index is re-resolved per
+    micro-batch (and broadcast when it fits), so a continuously-fed
+    pipeline can run this indefinitely. Batch twin: workload.py
+    ``incremental_dedup``.
+
+    ``ts_col`` additionally dedups WITHIN the stream:
+    ``dropDuplicatesWithinWatermark`` on the digest keeps the FIRST
+    arrival of each new content hash and drops re-arrivals inside the
+    watermark horizon — the landed index only knows yesterday's corpus,
+    so without this two copies of the same new document arriving today
+    both pass. State is one digest per distinct new content, evicted
+    when the watermark passes (bounded — the 100 TB requirement a plain
+    ``dropDuplicates`` on a stream violates by keeping state forever).
     """
     hashed = new_docs.withColumn("__h", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        hashed = hashed.withWatermark(
+            ts_col, within_stream_watermark
+        ).dropDuplicatesWithinWatermark(["__h"])
     index = landed_index.select(
         F.col("h").alias("__h"), F.col("dup_of")
     )
