@@ -61,6 +61,28 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_operators_md_in_sync():
+    """OPERATORS.md is GENERATED from the registry
+    (scripts/gen_operators_md.py); a stale page — a query added, an
+    oracle gained, a twin renamed — fails here with the regeneration
+    command in the message."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_operators_md", os.path.join(repo, "scripts", "gen_operators_md.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    with open(os.path.join(repo, "OPERATORS.md")) as fh:
+        committed = fh.read()
+    assert committed == gen.build(), (
+        "OPERATORS.md is stale — run `python scripts/gen_operators_md.py` "
+        "and commit the result"
+    )
+
+
 def _coverage_rounds(n_queries: int, window: int = 50) -> int:
     """K = ⌈N/window⌉: the generalized house invariant is that every query
     is sampled at least once in any K consecutive driver rounds."""
