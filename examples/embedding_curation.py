@@ -33,10 +33,11 @@ def curate_embeddings(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str | None = None,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     m: int = 4,
     k_codebook: int = 8,
     dup_threshold: float = 0.3,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """Returns the deduplicated, compressed vector index; writes it (plus
     the dataset manifest) when ``out_dir`` is set."""
@@ -44,6 +45,15 @@ def curate_embeddings(
     from xena_gdc_etl_spark.operators import similarity as sim
 
     emb = Catalog(spark, sf_dir).embeddings
+
+    # 0. cell count scales WITH the corpus (n_cells ≈ rows/target, so the
+    #    within-cell pair stage stays O(rows × target) instead of going
+    #    quadratic as cells fatten) — suggest_n_cells documents the math;
+    #    pass an explicit n_cells to override
+    if n_cells is None:
+        n_cells = max(
+            2, sim.suggest_n_cells(emb.count(), target_cell_rows)
+        )
 
     # 1. train the layout state (offline in a real deployment): IVF
     #    centroids + PQ codebooks from one fused scan per round
