@@ -530,6 +530,44 @@ def ivf_train(
     return _centroid_frame()
 
 
+def norm_outliers(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Embedding health screen: per-vector L2 norm, its z-score against
+    the corpus norm distribution, and an outlier flag (|z| > threshold).
+    Collapsed/exploded embeddings (near-zero or huge norms — encoder
+    failures, wrong preprocessing) are the vector-side analog of the
+    text quality filters and should be screened before dedup/ANN, where
+    they distort cells and cosine thresholds.
+
+    Plan: one scan computing the norm (codegen higher-order aggregate,
+    no Python), a 1-row mean/stddev aggregate broadcast back, zero
+    shuffles of the corpus. stddev is the SAMPLE one (stddev_samp) —
+    matched exactly by the oracle.
+    """
+    e = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    with_norm = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), norm.alias("__norm")
+    )
+    stats = with_norm.agg(
+        F.avg("__norm").alias("__mu"),
+        F.stddev_samp("__norm").alias("__sd"),
+    )
+    z = (F.col("__norm") - F.col("__mu")) / F.col("__sd")
+    return with_norm.join(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.round("__norm", 6).alias("norm"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > z_threshold).cast("int").alias("is_outlier"),
+    )
+
+
 def ivf_train_step(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -334,6 +334,63 @@ def tfidf_keywords(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query term set
+    (Robertson & Walker's public ranking function) — the retrieval-scored
+    slice step of a curation pipeline (e.g. "pull the docs most about X
+    for a domain mix").
+
+    score(d) = Σ_{t∈Q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+               · tf · (k1+1) / (tf + k1 · (1 − b + b · dl/avgdl))
+
+    Plan shape at 100 TB: the term-frequency frame filters to the |Q|
+    query terms FIRST (a posting-list slice — the only rows that ever
+    join), df is a |Q|-row broadcast, N and avgdl are a 1-row broadcast
+    aggregate, and the per-doc length frame joins on the tf frame's own
+    doc_id partitioning. No collect, no window; one small join per side.
+    ``tf``: optionally a prebuilt :func:`doc_term_freqs` frame (the
+    materialize-once seam all unigram consumers share).
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    if tf is None:
+        tf = doc_term_freqs(docs, id_col, text_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    q = tf.filter(F.col("tok").isin(list(query_terms)))
+    df = q.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        1.0
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    w = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        q.join(F.broadcast(df), "tok")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(w), 6).alias("bm25"))
+    )
+
+
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -580,11 +637,13 @@ def scrub_pii(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Redact common PII patterns and report per-doc redaction counts —
     the pre-training scrub step. Chained ``regexp_replace`` (codegen JVM
     regex, no Python); counts measured before replacement so they reflect
-    the original text.
+    the original text. ``keep_cols``: extra input columns carried through
+    unchanged (e.g. ``source`` for the per-source density rollup).
     """
     scrubbed = F.col(text_col)
     count_cols = []
@@ -596,7 +655,10 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
     return docs.select(
-        F.col(id_col), *count_cols, scrubbed.alias("scrubbed_text")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *count_cols,
+        scrubbed.alias("scrubbed_text"),
     )
 
 

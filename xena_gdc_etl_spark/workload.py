@@ -3603,6 +3603,215 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 70. BM25 retrieval scoring against a fixed query term set — the
+#     "pull the docs most about X" slice of a domain-mix build. The tf
+#     frame filters to the |Q| query terms FIRST (posting-list slice);
+#     df is a |Q|-row broadcast, N/avgdl a 1-row broadcast; ordering by
+#     (rounded score desc, doc_id) is deterministic across engines.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("vector", "hash", "merge")
+
+
+@query(
+    "bm25_topk",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    q(tok) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+    df AS (SELECT tok, count(*) AS df FROM tf JOIN q USING (tok) GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * (1.2 + 1)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+               ) AS score
+        FROM tf t JOIN q USING (tok) JOIN df d USING (tok)
+        JOIN dl l USING (doc_id) CROSS JOIN stats s
+        GROUP BY 1)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import text as tx
+
+    docs = Catalog(spark, sf_dir).documents
+    scored = tx.bm25_scores(
+        docs, list(_BM25_TERMS), tf=_shared_doc_tf(spark, sf_dir)
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+
+
+# --------------------------------------------------------------------------
+# 71. Per-source PII density rollup — the corpus diagnostic that decides
+#     which sources need scrubbing (or dropping) before a mix freeze.
+#     Reuses scrub_pii's counts (codegen JVM regex); one partial-agged
+#     groupBy over the per-doc counts.
+# --------------------------------------------------------------------------
+@query(
+    "pii_rate",
+    r"""
+    WITH per AS (
+        SELECT source, n_chars,
+               length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+               length(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS ni,
+               length(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS np
+        FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+           CAST(sum(ne + ni + np) AS BIGINT) AS pii_hits,
+           round(sum(ne + ni + np) * 1000.0 / sum(n_chars), 6) AS pii_per_kchar
+    FROM per GROUP BY 1
+    """,
+)
+def pii_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import scrub_pii
+
+    docs = Catalog(spark, sf_dir).documents
+    per = scrub_pii(docs, keep_cols=("source", "n_chars"))
+    hits = F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((hits > 0).cast("int")).cast("bigint").alias("pii_docs"),
+        F.sum(hits).cast("bigint").alias("pii_hits"),
+        F.round(F.sum(hits) * 1000.0 / F.sum("n_chars"), 6).alias(
+            "pii_per_kchar"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# 72. Embedding norm outliers — the vector-side health screen (collapsed
+#     or exploded embeddings distort IVF cells and cosine thresholds).
+#     One scan for the norm, a broadcast 1-row mean/stddev, no corpus
+#     shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL),
+    s AS (SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM n)
+    SELECT vec_id,
+           round(nrm, 6) AS norm,
+           round((nrm - mu) / sd, 6) AS z,
+           CAST(CASE WHEN abs((nrm - mu) / sd) > 2.0 THEN 1 ELSE 0 END AS INT)
+               AS is_outlier
+    FROM n CROSS JOIN s
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    return sim.norm_outliers(Catalog(spark, sf_dir).embeddings)
+
+
+# --------------------------------------------------------------------------
+# 73. Prefix dedup — duplicate groups keyed by the digest of the first
+#     128 NORMALIZED characters (the cheap boilerplate-header catcher
+#     CCNet-style pipelines run before the full MinHash pass; docs that
+#     differ only past their shared preamble group together). Same
+#     digest-only shuffle economics as dedup_exact.
+# --------------------------------------------------------------------------
+@query(
+    "prefix_dup",
+    r"""
+    SELECT md5(substring(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')),
+               1, 128)) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = dd._spread(Catalog(spark, sf_dir).documents)
+    return dd.dedup_exact(
+        docs.withColumn(
+            "text", F.substring(dd.normalize_text("text"), 1, 128)
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 74. Per-source language mix — docs per (source, lang), Shannon entropy
+#     of the distribution, and the majority language with its share. The
+#     mixture-planning diagnostic for multilingual corpora. Two partial-
+#     agged groupBys over counts; the per-source total joins back on a
+#     frame of |sources| rows.
+# --------------------------------------------------------------------------
+@query(
+    "source_lang_entropy",
+    """
+    WITH sl AS (SELECT source, lang, count(*) AS cnt
+                FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, sum(cnt) AS n FROM sl GROUP BY 1),
+    ent AS (
+        SELECT sl.source,
+               round(-sum((cnt * 1.0 / n) * ln(cnt * 1.0 / n)), 6) AS lang_entropy,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM sl JOIN tot USING (source) GROUP BY 1),
+    top AS (
+        SELECT source, lang AS top_lang, cnt
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY cnt DESC, lang) AS rn
+              FROM sl)
+        WHERE rn = 1)
+    SELECT e.source,
+           CAST(t2.n AS BIGINT) AS n_docs,
+           e.n_langs,
+           e.lang_entropy,
+           t.top_lang,
+           round(t.cnt * 1.0 / t2.n, 6) AS top_share
+    FROM ent e JOIN top t USING (source) JOIN tot t2 USING (source)
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = sl.groupBy("source").agg(F.sum("cnt").alias("n"))
+    joined = sl.join(F.broadcast(tot), "source")
+    p = F.col("cnt") / F.col("n")
+    ent = joined.groupBy("source").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "lang")
+    top = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("cnt") / F.col("n"), 6).alias("top_share"),
+            F.col("n").cast("bigint").alias("n_docs"),
+        )
+    )
+    return ent.join(top, "source").select(
+        "source", "n_docs", "n_langs", "lang_entropy", "top_lang",
+        "top_share",
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — self-maintaining driver-window rotation.
 #
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
