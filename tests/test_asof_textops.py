@@ -576,3 +576,33 @@ def test_cdc_chunks_shift_robust(spark):
     # all but the first chunk survive the insertion verbatim, in order
     assert c1[1:] == c2[1:]
     assert c1[0] != c2[0]
+
+
+def test_bm25_scores_hand_computed(spark):
+    """Two docs, one query term: tf/df/length arithmetic checked against a
+    hand-computed BM25 value (k1=1.2, b=0.75)."""
+    import math
+
+    from xena_gdc_etl_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog cat"), (1, "dog mouse"), (2, "bird")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["cat"]).collect()}
+    # only doc 0 contains 'cat'
+    assert set(out) == {0}
+    n, df, tf, dl, avgdl = 3, 1, 2, 3, (3 + 2 + 1) / 3
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert abs(out[0] - round(want, 6)) < 1e-9
+
+
+def test_bm25_scores_rejects_empty_terms(spark):
+    import pytest
+
+    from xena_gdc_etl_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_scores(docs, [])

