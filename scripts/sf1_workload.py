@@ -66,6 +66,10 @@ DEFAULT_QUERIES = [
     "contamination",
     "postprocess_dedup",
     "vocab_overlap",
+    # round-10 additions (the heavier of the new queries)
+    "kmeans_round",
+    "bm25_topk",
+    "prefix_dup",
 ]
 
 

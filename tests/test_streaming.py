@@ -309,6 +309,42 @@ def test_streaming_heavy_hitters_matches_batch_counts(
     assert [(r.ws, r.user_id, r.cnt) for r in top] == exp_top
 
 
+def test_streaming_pii_rate_matches_batch(spark, tmp_path):
+    """Per-(window, source) PII counts over a bounded replay equal the
+    batch ``pii_rate`` rollup (single window covering all docs), and the
+    downstream ratio (pii_hits·1000/n_chars) finalizes identically."""
+    import datetime
+
+    from xena_gdc_etl_spark.streaming import streaming_pii_rate
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    t0 = datetime.datetime(2026, 1, 1, 12, 30, 0)
+    stamped = docs.withColumn("ts", F.lit(t0))
+    new_dir = str(tmp_path / "docs_stream")
+    stamped.write.parquet(new_dir)
+    stream = spark.readStream.schema(stamped.schema).parquet(new_dir)
+    got = _run_stream(spark, streaming_pii_rate(stream))
+    rolled = {
+        r.source: (r.n_docs, r.pii_docs, r.pii_hits, r.n_chars)
+        for r in got.collect()
+    }
+    batch = {
+        r.source: (r.n_docs, r.pii_docs, r.pii_hits)
+        for r in QUERIES["pii_rate"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rolled) == set(batch)
+    for src, (n, pd_, ph, nc) in rolled.items():
+        assert (n, pd_, ph) == batch[src], src
+    # the on-read ratio finalize equals the batch query's ratio column
+    batch_ratio = {
+        r.source: r.pii_per_kchar
+        for r in QUERIES["pii_rate"](spark, "/root/testdata/sf0.001").collect()
+    }
+    for src, (_n, _pd, ph, nc) in rolled.items():
+        assert abs(round(ph * 1000.0 / nc, 6) - batch_ratio[src]) < 1e-9
+
+
 def test_streaming_cluster_purity_matches_batch(spark, tmp_path):
     """The watermark-bounded per-(window, cell, label) counts plus the
     downstream finalize cut equal the batch cell_label_purity on a

@@ -211,6 +211,59 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_pii_rate(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    source_col: str = "source",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the ``pii_rate`` rollup: per (window, source)
+    PII hit counts over an arriving document feed — the live scrubbing
+    monitor a continuously-fed corpus runs (a source whose PII density
+    jumps is a crawl regression you want the same hour, not at the next
+    mix freeze). The per-doc regex counts are scan-stage codegen exactly
+    as in the batch operator; state is only the watermark-bounded
+    windowed aggregate. Emits counts, not the final ratio — ratios of
+    sums don't merge incrementally, so the tiny per-window division runs
+    on read (``finalize``-style), same two-tier shape as
+    ``streaming_heavy_hitters``.
+    """
+    from xena_gdc_etl_spark.operators.text import PII_PATTERNS
+
+    hits = None
+    for name, pattern, _tok in PII_PATTERNS:
+        c = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).cast("bigint")
+        hits = c if hits is None else hits + c
+    return (
+        docs.withColumn("__hits", hits)
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration), F.col(source_col)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("__hits") > 0).cast("int"))
+            .cast("bigint")
+            .alias("pii_docs"),
+            F.sum("__hits").cast("bigint").alias("pii_hits"),
+            F.sum(chars_col).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col(source_col),
+            "n_docs",
+            "pii_docs",
+            "pii_hits",
+            "n_chars",
+        )
+    )
+
+
 def streaming_heavy_hitters(
     events: DataFrame,
     ts_col: str = "ts",
