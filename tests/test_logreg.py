@@ -128,3 +128,34 @@ def test_registered_query_scores_every_doc(spark, sf_dir):
     other = [r.p_en for r in rows if r.is_en == 0]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_train_step_is_the_trainer_round_body(spark):
+    """logistic_train(iterations=1) must equal logistic_train_step run
+    from the trainer's own init (zeros) — the factored step IS the round
+    body, so the oracle-gated logreg_round query really gates the
+    trainer's numerics."""
+    w, b = logreg.logistic_train(
+        _df(spark, 1), ["f0", "f1"], "y", iterations=1, lr=0.5
+    )
+    stepped = {
+        r.coef: r.new_value
+        for r in logreg.logistic_train_step(
+            _df(spark, 1), ["f0", "f1"], "y", [0.0, 0.0], 0.0, lr=0.5
+        ).collect()
+    }
+    assert abs(stepped["bias"] - round(b, 6)) < 1e-9
+    assert abs(stepped["f0"] - round(w[0], 6)) < 1e-9
+    assert abs(stepped["f1"] - round(w[1], 6)) < 1e-9
+
+
+def test_train_step_no_python_one_aggregate(spark):
+    """The step is scan-stage Column math + one partial aggregate — no
+    Python eval anywhere in its plan."""
+    from xena_gdc_etl_spark.plans import formatted_plan, python_udf_count
+
+    df = logreg.logistic_train_step(
+        _df(spark, 2), ["f0", "f1"], "y", [0.5, -0.5], 0.1
+    )
+    assert python_udf_count(df) == 0
+    assert "ArrowEvalPython" not in formatted_plan(df)

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-__all__ = ["logistic_train", "logistic_predict"]
+__all__ = ["logistic_train", "logistic_train_step", "logistic_predict"]
 
 
 def _sigmoid(z: Column) -> Column:
@@ -168,6 +168,63 @@ def logistic_train(
         b -= lr * row["g_b"] / n_total
         w = w - lr * np.array([row[g] for g in gcols]) / n_total
     return [float(v) for v in w], float(b)
+
+
+def logistic_train_step(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    weights: Sequence[float],
+    bias: float,
+    lr: float = 1.0,
+) -> DataFrame:
+    """ONE full-batch GD round under FROZEN weights, as a DataFrame —
+    the per-round body of :func:`logistic_train` factored so the
+    trainer's numerics can be oracle-gated (the iterated trainer stays
+    rows-only; a single round under fixed state is plain arithmetic):
+
+        err  = sigmoid(w·x + b) − y
+        b'   = b − lr · avg(err)
+        w_j' = w_j − lr · avg(err · x_j)
+
+    Returns (coef, new_value) rows — 'bias' plus one per feature,
+    rounded at 6. Entirely JVM-side: the error is a scan-stage Column
+    expression under literal weights and the gradient is ONE partial
+    aggregate (d+1 avg columns); no Python, no shuffle beyond the 1-row
+    agg. A unit test pins ``logistic_train(iterations=1)`` ==
+    step-from-zeros (tests/test_logreg.py).
+    """
+    feature_cols = list(feature_cols)
+    weights = [float(w) for w in weights]
+    err = _sigmoid(_dot(weights, feature_cols, bias)) - F.col(
+        label_col
+    ).cast("double")
+    agg = df.agg(
+        F.avg(err).alias("__gb"),
+        *[
+            F.avg(err * F.col(c)).alias(f"__g{i}")
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+    updates = [
+        F.struct(
+            F.lit("bias").alias("coef"),
+            F.round(F.lit(float(bias)) - lr * F.col("__gb"), 6).alias(
+                "new_value"
+            ),
+        )
+    ] + [
+        F.struct(
+            F.lit(c).alias("coef"),
+            F.round(F.lit(weights[i]) - lr * F.col(f"__g{i}"), 6).alias(
+                "new_value"
+            ),
+        )
+        for i, c in enumerate(feature_cols)
+    ]
+    return agg.select(F.explode(F.array(*updates)).alias("u")).select(
+        "u.coef", "u.new_value"
+    )
 
 
 def logistic_predict(

@@ -2885,6 +2885,71 @@ def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 56f. One logistic-GD ROUND under FROZEN weights — the oracle-gated half
+#      of the quality_logreg trainer, mirroring kmeans_round's treatment
+#      of the IVF trainer: iterated float GD is not SQL-expressible, but
+#      a single round under fixed state is — err = sigmoid(w·x+b) − y
+#      (scan-stage Column math under literal weights), then new coef =
+#      old − lr·avg(err·x) in ONE partial aggregate. Same frozen
+#      binary-fraction weights and unrounded features as logreg_score;
+#      the exp() 1-ulp hazard is absorbed by round-6 on the OUTPUT
+#      (gradient averages are O(0.1), far from the boundary).
+# --------------------------------------------------------------------------
+def _logreg_round_sql() -> str:
+    w1, w2, w3 = _LOGREG_W
+    lr = 0.5
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, lang, text, length(text) AS n_chars,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS toks
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(lang = 'en' AS BIGINT) AS is_en,
+               least(length(toks) / 100.0, 1.0) AS f_len,
+               (n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars AS punct_ratio,
+               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio
+        FROM t),
+    g AS (
+        SELECT (1.0 / (1.0 + exp(-({_LOGREG_B!r} + {w1!r} * f_len
+                                   + {w2!r} * punct_ratio
+                                   + {w3!r} * stopword_ratio)))) - is_en AS err,
+               f_len, punct_ratio, stopword_ratio
+        FROM f)
+    SELECT 'bias' AS coef, round({_LOGREG_B!r} - {lr!r} * avg(err), 6) AS new_value FROM g
+    UNION ALL
+    SELECT 'f_len', round({w1!r} - {lr!r} * avg(err * f_len), 6) FROM g
+    UNION ALL
+    SELECT 'punct_ratio', round({w2!r} - {lr!r} * avg(err * punct_ratio), 6) FROM g
+    UNION ALL
+    SELECT 'stopword_ratio', round({w3!r} - {lr!r} * avg(err * stopword_ratio), 6) FROM g
+    """
+
+
+@query("logreg_round", _logreg_round_sql())
+def logreg_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import logreg
+    from xena_gdc_etl_spark.operators.text import raw_quality_ratios
+
+    docs = Catalog(spark, sf_dir).documents
+    n_toks, punct_ratio, stop_ratio = raw_quality_ratios("text")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("double").alias("is_en"),
+        F.least(n_toks / 100.0, F.lit(1.0)).alias("f_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+    return logreg.logistic_train_step(
+        feats,
+        ["f_len", "punct_ratio", "stopword_ratio"],
+        "is_en",
+        list(_LOGREG_W),
+        _LOGREG_B,
+        lr=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
 # 57. Unigram-LM fluency score (CCNet-style perplexity proxy): mean negative
 #     log-probability of each doc's tokens under the corpus's own unigram
 #     model. The per-doc tf stage collapses the token stream before any
