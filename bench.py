@@ -218,6 +218,7 @@ def main() -> None:
     # auto-adjudicable as noise (the round-9 minhash_jaccard_est /
     # asof_join re-adjudication loop).
     trial_spread: dict[str, list[float]] = {}
+    retried: list[str] = []
     for i, (name, fn) in enumerate(QUERIES.items(), start=1):
         query_at_sec[name] = round(time.time() - run_t0, 2)
         trials: list[float] = []
@@ -225,6 +226,19 @@ def main() -> None:
             start = time.perf_counter()
             consume(fn(spark, SF_DIR))
             trials.append(time.perf_counter() - start)
+        # Adaptive retry: when the base trials disagree by >30% of the min
+        # (and >0.1s absolute), the min is not yet trustworthy — exactly
+        # the mechanism behind the recurring minhash_jaccard_est /
+        # asof_join false-weak flags (sub-second queries whose noise band
+        # is proportionally largest). Two extra trials cost milliseconds
+        # on the queries that need them and nothing on the ones that
+        # don't; the retry is recorded in bench_detail.json.
+        if max(trials) - min(trials) > max(0.3 * min(trials), 0.1):
+            retried.append(name)
+            for _ in range(_RETRY_TRIALS):
+                start = time.perf_counter()
+                consume(fn(spark, SF_DIR))
+                trials.append(time.perf_counter() - start)
         timings[name] = round(min(trials), 4)
         trial_spread[name] = [round(min(trials), 4), round(max(trials), 4)]
         positions[name] = i
@@ -266,6 +280,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "trials": TRIALS,
+                "retried": retried,
                 "trial_spread": trial_spread,
                 "noise_band": noise_band,
                 "drift_probes": probes,
@@ -280,6 +295,9 @@ def main() -> None:
 
 
 _PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "15"))
+# extra trials when the base trials disagree by >30% (see the adaptive
+# retry in the query loop)
+_RETRY_TRIALS = int(os.environ.get("SPARK_GRAFT_RETRY_TRIALS", "2"))
 
 
 def _drift_normalize(
