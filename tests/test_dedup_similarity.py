@@ -77,12 +77,44 @@ def test_ngram_jaccard_multi_bucket_doc_fails_loudly(spark):
 
 
 def test_ngram_jaccard_all_null_bucket_fails_loudly(spark):
-    # round-9 advisor: an all-NULL bucket column (a broken bucket
-    # expression) must also trip the contract — min/max are both NULL
-    # and a bare eqNullSafe would silently pass
+    # round-9 advisor: a bucket column that is NULL on EVERY row is a
+    # broken bucket expression and must fail loudly (min/max are both
+    # NULL per doc and a bare eqNullSafe would silently pass it)
     rows = [
         (0, "abcdefghij klmnop", None),
         (1, "abcdefghij klmnop", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    with pytest.raises(Exception, match="NULL on every row"):
+        dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+
+
+def test_ngram_jaccard_partial_null_bucket_is_legitimate(spark):
+    # a PER-DOC null bucket is real data (corpora have null sources) —
+    # NULL is one bucket key; docs inside it pair normally and the query
+    # must not raise (the skew/dirty-key robustness suite's posture)
+    rows = [
+        (0, "abcdefghij klmnop", None),
+        (1, "abcdefghij klmnop", None),
+        (2, "abcdefghij klmnop", "s1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert {(r.a, r.b) for r in out} == {(0, 1)}  # null bucket pairs 0-1
+
+
+def test_ngram_jaccard_mixed_null_bucket_doc_fails_loudly(spark):
+    # a doc spanning the NULL bucket AND a named one is still the
+    # multi-bucket contract violation — null-skipping min/max alone
+    # would miss it (__has_null catches it)
+    rows = [
+        (0, "abcdefghij klmnop", None),
+        (0, "abcdefghij klmnop", "s1"),
+        (1, "abcdefghij klmnop", "s1"),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, source string"

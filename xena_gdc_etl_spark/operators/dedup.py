@@ -841,16 +841,40 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # Broken-expression guard (round-9 advisor): a bucket column that is
+    # NULL on EVERY row (with rows present) is a broken bucket expression
+    # — min/max are both NULL per doc and eqNullSafe alone would pass it
+    # silently. A PER-DOC null bucket stays legitimate (real corpora have
+    # null sources — NULL is one bucket key, and the skew/dirty-key
+    # robustness suite pins that); only the all-rows-NULL case raises.
+    # 1-row aggregate over the already-checkpointed posting frame,
+    # broadcast-joined so it is load-bearing, not prunable.
+    guard = postings_all.agg(
+        F.when(
+            F.assert_true(
+                (F.count("bucket") > 0) | (F.count(F.lit(1)) == 0),
+                F.lit(
+                    "ngram_jaccard_pairs: bucket_col is NULL on every row "
+                    "— broken bucket expression (pass F.lit(...) for a "
+                    "single global bucket)"
+                ),
+            ).isNull(),
+            F.lit(1),
+        ).alias("__bucket_ok")
+    )
     sizes = (
         postings_all.select(F.explode("ids").alias(id_col), "bucket")
         .groupBy(F.col(id_col))
         # min/max are plain partial aggs (map-side combine, no distinct
-        # expansion); min==max ⟺ one bucket per doc, same loud failure as
-        # the count_distinct form at a fraction of the cost
+        # expansion); min==max (null-safe) ⟺ one non-null bucket per doc,
+        # same loud failure as the count_distinct form at a fraction of
+        # the cost; __has_null catches the NULL+'a' mixed-bucket doc that
+        # null-skipping min/max alone would miss
         .agg(
             F.count(F.lit(1)).alias("__sz"),
             F.min("bucket").alias("__bmin"),
             F.max("bucket").alias("__bmax"),
+            F.max(F.col("bucket").isNull().cast("int")).alias("__has_null"),
         )
         # assert_true sits INSIDE the sz expression (not a droppable side
         # column Catalyst would prune): it returns null on pass, so the
@@ -859,12 +883,11 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.when(
                 F.assert_true(
-                    # isNotNull conjunct: an all-NULL bucket column (a
-                    # broken bucket expression) must fail loudly too —
-                    # min/max are both NULL there and eqNullSafe alone
-                    # would silently pass (round-9 advisor finding)
-                    F.col("__bmin").isNotNull()
-                    & F.col("__bmin").eqNullSafe(F.col("__bmax")),
+                    F.col("__bmin").eqNullSafe(F.col("__bmax"))
+                    & ~(
+                        (F.col("__has_null") == 1)
+                        & F.col("__bmin").isNotNull()
+                    ),
                     F.concat(
                         F.lit(
                             "ngram_jaccard_pairs: bucket_col must be a "
@@ -883,10 +906,13 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "a")
         .join(sb, "b")
+        .join(F.broadcast(guard))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+                (F.col("inter") * F.col("__bucket_ok"))
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
