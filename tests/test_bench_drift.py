@@ -96,3 +96,23 @@ def test_empty_or_zero_probes_degrade_gracefully():
         )
         == {}
     )
+
+
+def test_stdout_line_carries_noise_band_for_noisy_rows_only():
+    b = _load_bench()
+    t = {"q1_pricing_summary": 1.0, "steady": 0.5, "noisy": 0.4, "q1_end_repeat": 1.1}
+    nb = {"q1_pricing_summary": 0.01, "steady": 0.05, "noisy": 0.3, "q1_end_repeat": 0.0}
+    import json
+
+    line = json.loads(b._stdout_line(t, 3.0, 0.1, nb))
+    # only rows whose spread exceeds 25% of min AND 0.1s absolute
+    assert line["noise_band"] == {"noisy": 0.3}
+    # band dict drops before any query elision when the budget tightens
+    os.environ["SPARK_GRAFT_LINE_BUDGET"] = "170"
+    try:
+        b2 = _load_bench()
+        line2 = json.loads(b2._stdout_line(t, 3.0, 0.1, nb))
+        assert "noise_band" not in line2
+        assert set(line2["queries"]) == set(t)  # nothing elided yet
+    finally:
+        del os.environ["SPARK_GRAFT_LINE_BUDGET"]
