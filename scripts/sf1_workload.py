@@ -239,12 +239,24 @@ def main() -> None:
             r["exponent"] = round(math.log(max(ratio, 1e-9)) / math.log(10), 2)
 
     out = {"metric": "sf1_workload", "copies": COPIES, "results": results}
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "..", "sf1_workload.json"),
-        "w",
-    ) as fh:
-        json.dump(out, fh, indent=1)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "sf1_workload.json"
+    )
+    # MERGE into the existing record: a subset run (e.g. just the queries
+    # added this round) must not clobber the rows from earlier full runs
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+        merged = dict(prior.get("results", {}))
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(results)
+    with open(path, "w") as fh:
+        json.dump(
+            {"metric": "sf1_workload", "copies": COPIES, "results": merged},
+            fh,
+            indent=1,
+        )
     print(json.dumps(out))
 
 
