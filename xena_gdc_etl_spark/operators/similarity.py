@@ -574,6 +574,7 @@ def ivf_train_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """ONE Lloyd round under a FIXED centroid state, returned as a
     DataFrame — the per-round body of :func:`ivf_train` factored out so
@@ -588,7 +589,10 @@ def ivf_train_step(
     Fully distributed — one broadcast-matmul assignment pass + one
     partial-aggregated groupBy; nothing corpus-sized reaches the driver.
     """
-    dim = len(centroids.select(vec_col).first()[0])
+    if dim is None:
+        # one tiny job; callers that know their dimension pass it and
+        # skip this probe
+        dim = len(centroids.select(vec_col).first()[0])
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col,
         centroid_id=centroid_id,

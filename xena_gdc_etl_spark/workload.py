@@ -2757,7 +2757,7 @@ def kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, v) for c, v in enumerate(_kmeans_frozen_centroids())],
         "centroid_id long, embedding array<double>",
     )
-    stepped = sim.ivf_train_step(emb, cents)
+    stepped = sim.ivf_train_step(emb, cents, dim=_KM_DIM)
     return stepped.select(
         "centroid_id",
         "n_members",
