@@ -107,12 +107,34 @@ def test_stdout_line_carries_noise_band_for_noisy_rows_only():
     line = json.loads(b._stdout_line(t, 3.0, 0.1, nb))
     # only rows whose spread exceeds 25% of min AND 0.1s absolute
     assert line["noise_band"] == {"noisy": 0.3}
-    # band dict drops before any query elision when the budget tightens
-    os.environ["SPARK_GRAFT_LINE_BUDGET"] = "170"
+    # the band OUTLIVES query elision when the budget tightens — an
+    # elided noisy row keeps its band (adjudication data beats
+    # completeness; the detail file has the elided timings)
+    t_many = {f"q{i:02d}": 1.0 for i in range(30)}
+    t_many["q1_pricing_summary"] = 1.0
+    t_many["noisy"] = 0.4
+    nb_many = {"noisy": 0.3}
+    full = b._stdout_line(t_many, 31.0, 0.1, nb_many)
+    os.environ["SPARK_GRAFT_LINE_BUDGET"] = str(len(full) - 60)
     try:
         b2 = _load_bench()
-        line2 = json.loads(b2._stdout_line(t, 3.0, 0.1, nb))
-        assert "noise_band" not in line2
-        assert set(line2["queries"]) == set(t)  # nothing elided yet
+        line2 = json.loads(b2._stdout_line(t_many, 31.0, 0.1, nb_many))
+        assert line2.get("noise_band") == {"noisy": 0.3}
+        assert line2.get("elided", 0) >= 1
+        assert "noisy" not in line2["queries"]  # elided fastest-first...
     finally:
         del os.environ["SPARK_GRAFT_LINE_BUDGET"]
+
+
+def test_stdout_band_caps_at_eight_noisiest():
+    b = _load_bench()
+    t = {f"q{i}": 1.0 for i in range(20)}
+    t["q1_pricing_summary"] = 1.0
+    nb = {f"q{i}": 0.3 + 0.01 * i for i in range(20)}
+    import json
+
+    line = json.loads(b._stdout_line(t, 21.0, 0.1, nb))
+    band = line["noise_band"]
+    assert len(band) == 8
+    # the eight with the largest relative band survive (q12..q19)
+    assert set(band) == {f"q{i}" for i in range(12, 20)}
