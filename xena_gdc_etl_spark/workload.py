@@ -3877,6 +3877,131 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 75. Chunk-level duplicate rate per source — sub-document boilerplate
+#     measurement: disjoint 64-token chunks (stride = size), duplicate
+#     share = 1 − distinct/total chunk hashes. Docs that exact-dedup
+#     clean can still be 40% shared paragraphs; this is the diagnostic
+#     that catches it. Chunks carry only (source, hash) into the agg.
+# --------------------------------------------------------------------------
+@query(
+    "chunk_dedup_rate",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_transform(
+                   list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                               x -> x <> ''),
+                   tk -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_transform(
+                                    list_filter(string_split(tk, ''), c -> c <> ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                            (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        FROM documents),
+    n AS (
+        SELECT doc_id, source, th,
+               CASE WHEN len(th) <= 0 THEN 0
+                    ELSE 1 + CAST(ceil(greatest(len(th) - 64, 0) / 64.0) AS BIGINT)
+               END AS n_chunks
+        FROM t),
+    e AS (SELECT doc_id, source, th,
+                 unnest(range(1, n_chunks + 1)) AS chunk_id
+          FROM n),
+    c AS (
+        SELECT source,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       th[((chunk_id - 1) * 64 + 1):((chunk_id - 1) * 64 + 64)]),
+                   (a, b) -> (a * 131 + b) % 1000000007) AS chunk_hash
+        FROM e)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT chunk_hash) * 1.0 / count(*), 6)
+               AS dup_rate
+    FROM c GROUP BY 1
+    """,
+)
+def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import token_chunks
+
+    docs = Catalog(spark, sf_dir).documents
+    chunks = token_chunks(docs, chunk_size=64, stride=64)
+    return (
+        chunks.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count_distinct("chunk_hash").cast("bigint").alias(
+                "n_distinct"
+            ),
+            F.round(
+                1.0
+                - F.count_distinct("chunk_hash")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 76. Duplicate-cluster size histogram — the shape report on the LSH
+#     connected components (how much of the corpus sits in 2-member
+#     pairs vs boilerplate mega-clusters) that decides keep-policy and
+#     cap tuning. Two partial-agged groupBys over the shared cluster
+#     labels; reduced frame = #distinct sizes.
+# --------------------------------------------------------------------------
+@query(
+    "dup_cluster_stats",
+    f"""
+    WITH RECURSIVE sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig),
+    pr AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id),
+    ed AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN ed e ON e.src = r.node),
+    cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+           FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM cl GROUP BY 1)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size
+    """,
+)
+def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = _clusters_df(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — self-maintaining driver-window rotation.
 #
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
