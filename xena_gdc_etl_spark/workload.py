@@ -4002,6 +4002,222 @@ def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 77. Adjacent-bigram PMI collocations — phrase mining for tokenizer /
+#     vocab work (which word pairs behave as units). PMI = ln of the
+#     bigram's probability over its unigrams' independence expectation;
+#     min-support 5 cuts the noise tail. The bigram expansion is a
+#     zero-shuffle zip of two array slices; unigram marginals reuse the
+#     shared tf frame; the two totals are 1-row broadcasts. Identical
+#     ln-term association on both engines; round-6 output.
+# --------------------------------------------------------------------------
+@query(
+    "cooccurrence_pmi",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    uni AS (
+        SELECT tok, count(*) AS c FROM (SELECT unnest(toks) AS tok FROM t)
+        GROUP BY 1),
+    n_uni AS (SELECT sum(c) AS n FROM uni),
+    bi AS (
+        SELECT z[1] AS tok_a, z[2] AS tok_b, count(*) AS c_ab
+        FROM (SELECT unnest(list_zip(toks[1:len(toks) - 1],
+                                     toks[2:len(toks)])) AS z
+              FROM t WHERE len(toks) >= 2) zz
+        GROUP BY 1, 2),
+    n_bi AS (SELECT sum(c_ab) AS n FROM bi),
+    scored AS (
+        SELECT tok_a, tok_b, c_ab,
+               ln(c_ab * 1.0 / n_bi.n)
+                 - ln(ua.c * 1.0 / n_uni.n)
+                 - ln(ub.c * 1.0 / n_uni.n) AS pmi
+        FROM bi
+        JOIN uni ua ON ua.tok = bi.tok_a
+        JOIN uni ub ON ub.tok = bi.tok_b
+        CROSS JOIN n_uni CROSS JOIN n_bi
+        WHERE c_ab >= 5)
+    SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+           round(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY round(pmi, 6) DESC, tok_a, tok_b
+    LIMIT 50
+    """,
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import WS_RE
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), WS_RE), lambda x: x != ""
+    )
+    staged = docs.select(toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = staged.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, F.size("__toks") - 1),
+                F.slice("__toks", 2, F.size("__toks") - 1),
+                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    bi = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    tf = _shared_doc_tf(spark, sf_dir)
+    uni = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("__nu"))
+    n_bi = bi.agg(F.sum("c_ab").alias("__nb"))
+    pmi = (
+        F.log(F.col("c_ab") * 1.0 / F.col("__nb"))
+        - F.log(F.col("ca") * 1.0 / F.col("__nu"))
+        - F.log(F.col("cb") * 1.0 / F.col("__nu"))
+    )
+    return (
+        bi.filter(F.col("c_ab") >= 5)
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb")), "tok_b")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# 78. PQ recall gate — ann_recall_eval's twin for the PQ/ADC layout:
+#     recall@10 of the frozen-codebook ADC ranking against the exact
+#     squared-L2 top-10 (ADC approximates Euclidean, so Euclidean is the
+#     honest baseline, not cosine). This is the accept/reject gate for a
+#     trained codebook before it ships. The exact half runs on the fixed
+#     query sample (brute force IS the baseline; deployment runs it on a
+#     pinned sample — caller choice, same posture as ann_recall_eval).
+# --------------------------------------------------------------------------
+def _pq_recall_sql() -> str:
+    # reuse the pq_adc CTE chain, then intersect with the exact-L2 top-10
+    books = _pq_frozen_codebooks()
+    vals = ",\n           ".join(
+        f"({j}, {c}, [{', '.join(repr(v) for v in books[j][c])}])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    return rf"""
+    WITH cb(j, c, cv) AS (VALUES {vals}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    d AS (
+        SELECT v.vec_id, cb.j, cb.c,
+               list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                   i -> (e[CAST(cb.j * {_PQ_SUB} + i AS INT)] - cv[CAST(i AS INT)])
+                      * (e[CAST(cb.j * {_PQ_SUB} + i AS INT)] - cv[CAST(i AS INT)]))) AS d2
+        FROM v CROSS JOIN cb),
+    codes AS (
+        SELECT vec_id, j, c AS code
+        FROM (SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY round(d2, 9), c) AS rn
+              FROM d)
+        WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, j, c, d2 FROM d WHERE vec_id % 50 = 0),
+    adc AS (
+        SELECT query_id, match_id FROM (
+            SELECT dist.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY adc_dist, match_id) AS rn
+            FROM (SELECT qd.query_id, codes.vec_id AS match_id,
+                         round(sum(qd.d2), 6) AS adc_dist
+                  FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.c
+                  WHERE codes.vec_id <> qd.query_id
+                  GROUP BY qd.query_id, codes.vec_id) dist)
+        WHERE rn <= 10),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+    exact AS (
+        SELECT query_id, match_id FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY d2, match_id) AS rn
+            FROM (SELECT q.query_id, v.vec_id AS match_id,
+                         round(list_sum(list_transform(range(1, {_PQ_M * _PQ_SUB + 1}),
+                             i -> (q.qe[CAST(i AS INT)] - v.e[CAST(i AS INT)])
+                                * (q.qe[CAST(i AS INT)] - v.e[CAST(i AS INT)]))), 6) AS d2
+                  FROM q, v WHERE v.vec_id <> q.query_id) s)
+        WHERE rn <= 10),
+    hits AS (
+        SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM adc a JOIN exact e
+          ON e.query_id = a.query_id AND e.match_id = a.match_id
+        GROUP BY a.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10, 6) AS recall_at_10
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@query("ann_pq_recall_eval", _pq_recall_sql())
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql import Window
+
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    books = [np.array(b) for b in _pq_frozen_codebooks()]
+    emb = Catalog(spark, sf_dir).embeddings
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    adc = sim.pq_topk(
+        sim.pq_encode(emb, books), queries_df, books, k=10, round_digits=6
+    ).select("query_id", "match_id")
+    # exact squared-L2 top-10: 10-query broadcast side, zip_with d2 in
+    # codegen, per-query window over the tiny joined frame
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "qe",
+                F.col("embedding").cast("array<double>"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "match_id")
+    exact = (
+        emb.select(F.col("vec_id").alias("match_id"), "embedding")
+        .join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", d2.alias("d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", "match_id")
+    )
+    hits = exact.join(adc, ["query_id", "match_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("__n", F.lit(0)) / 10, 6).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — self-maintaining driver-window rotation.
 #
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
