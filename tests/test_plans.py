@@ -439,3 +439,34 @@ def test_source_lang_entropy_broadcast_totals(spark, sf_dir):
     df = QUERIES["source_lang_entropy"](spark, sf_dir)
     assert uses_broadcast_join(df)
     assert python_udf_count(df) == 0
+
+
+def test_pmi_min_support_before_joins_no_python(spark, sf_dir):
+    # the c_ab >= 5 support cut must run before the marginal joins (the
+    # bigram tail is the bulk); no Python anywhere; totals broadcast
+    df = QUERIES["cooccurrence_pmi"](spark, sf_dir)
+    assert python_udf_count(df) == 0
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the support filter appears below (later in the text than) the first
+    # join node in the formatted tree's operator list
+    assert "5" in plan  # literal present; structural cut pinned below
+    import re
+
+    # find a Filter containing c_ab >= 5 and assert at least one join
+    # consumes its output (filter id < join id in the numbered tree)
+    m_f = re.search(r"\((\d+)\) Filter[\s\S]*?c_ab#\d+L? >= 5", plan)
+    joins = [int(x) for x in re.findall(r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)]
+    assert m_f and joins, "expected a support filter and joins in the plan"
+    # formatted plans number leaves upward: the filter feeding a join has
+    # a LOWER id than the join that consumes it
+    assert int(m_f.group(1)) < max(joins)
+
+
+def test_pq_recall_no_python_in_exact_half(spark, sf_dir):
+    # the exact-L2 half is zip_with/aggregate codegen over a broadcast
+    # 10-row query side; only the ADC half uses Arrow-batched pandas
+    df = QUERIES["ann_pq_recall_eval"](spark, sf_dir)
+    assert python_udf_count(df) == 0  # row-at-a-time Python: none
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
