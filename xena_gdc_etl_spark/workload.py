@@ -4218,6 +4218,44 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 79. Salted enrichment join + rollup — the manual hot-key scatter
+#     (operators/skew.py) registered under the driver gate: the event
+#     stream's skewed user key joins the customer dim with an explicit
+#     n_salts=8 scatter (deterministic row-hash salt on the big side,
+#     exploded replicas on the dim side), proving salted results ==
+#     plain-join results against the oracle. AQE's skew handler covers
+#     sort-merge joins; the manual scatter is the tool for the cases it
+#     doesn't reach (broadcast-ineligible dims, stateful stages).
+# --------------------------------------------------------------------------
+@query(
+    "salted_event_enrich",
+    """
+    SELECT e.user_id, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def salted_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    events = cat.events.select("user_id", "value")
+    dim = cat.customer.select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return (
+        salted_join(events, dim, ["user_id"], n_salts=8)
+        .groupBy("user_id", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — self-maintaining driver-window rotation.
 #
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
