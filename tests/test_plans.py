@@ -466,7 +466,13 @@ def test_pmi_min_support_before_joins_no_python(spark, sf_dir):
 def test_pq_recall_no_python_in_exact_half(spark, sf_dir):
     # the exact-L2 half is zip_with/aggregate codegen over a broadcast
     # 10-row query side; only the ADC half uses Arrow-batched pandas
+    from xena_gdc_etl_spark.plans import window_specs
+
     df = QUERIES["ann_pq_recall_eval"](spark, sf_dir)
     assert python_udf_count(df) == 0  # row-at-a-time Python: none
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+    # the exact top-k must be the two-stage sharded shape: a lone
+    # per-query window would pull a corpus of distances into one task
+    specs = window_specs(df)
+    assert any("__shard" in s for s in specs), specs

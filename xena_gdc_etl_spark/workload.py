@@ -4192,12 +4192,28 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    w = Window.partitionBy("query_id").orderBy("d2", "match_id")
-    exact = (
+    # two-stage sharded top-k (the house vocab_overlap/top_docs shape): a
+    # per-(query, shard) window prunes to shards×10 rows before the tiny
+    # per-query window — a lone per-query window would pull the whole
+    # corpus's distances for one query into one task at scale
+    scored = (
         emb.select(F.col("vec_id").alias("match_id"), "embedding")
         .join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
-        .select("query_id", "match_id", d2.alias("d2"))
-        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            "query_id",
+            "match_id",
+            d2.alias("d2"),
+            F.pmod(F.xxhash64("match_id"), F.lit(64)).alias("__shard"),
+        )
+    )
+    w_local = Window.partitionBy("query_id", "__shard").orderBy(
+        "d2", "match_id"
+    )
+    w_final = Window.partitionBy("query_id").orderBy("d2", "match_id")
+    exact = (
+        scored.withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= 10)
+        .withColumn("__rn", F.row_number().over(w_final))
         .filter(F.col("__rn") <= 10)
         .select("query_id", "match_id")
     )
