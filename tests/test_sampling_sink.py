@@ -328,3 +328,54 @@ def test_ann_index_roundtrip(spark, tmp_path):
     ) == sorted((r.centroid_id, tuple(r.embedding)) for r in cents.collect())
     with pytest.raises(ValueError, match="file://"):
         save_ann_index(cents, "file://otherhost/idx")
+
+
+def test_token_stats_artifact_roundtrip(spark, tmp_path):
+    """save → load round-trips the tf frame, the vocab rollup matches a
+    fresh aggregation, and the manifest carries the corpus totals."""
+    from xena_gdc_etl_spark.operators.text import doc_term_freqs
+    from xena_gdc_etl_spark.sources.token_stats import (
+        load_token_stats,
+        save_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "a")],
+        "doc_id long, text string",
+    )
+    tf = doc_term_freqs(docs)
+    man = save_token_stats(tf, str(tmp_path / "stats"))
+    assert man == {
+        "format_version": 1,
+        "tokenizer": "ws_lower_v1",
+        "n_docs": 3,
+        "n_tokens": 6,
+        "n_vocab": 3,
+    }
+    tf2, vocab, man2 = load_token_stats(spark, str(tmp_path / "stats"))
+    assert man2 == man
+    assert sorted(map(tuple, tf2.collect())) == sorted(map(tuple, tf.collect()))
+    v = {r.tok: (r.tf, r.doc_freq) for r in vocab.collect()}
+    assert v == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
+
+
+def test_token_stats_artifact_guards(spark, tmp_path):
+    """Incomplete artifacts (no sentinel), tokenizer mismatches, and
+    remote schemes all fail loudly."""
+    import pytest
+
+    from xena_gdc_etl_spark.operators.text import doc_term_freqs
+    from xena_gdc_etl_spark.sources.token_stats import (
+        load_token_stats,
+        save_token_stats,
+    )
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    tf = doc_term_freqs(docs)
+    with pytest.raises(FileNotFoundError, match="_stats.json"):
+        load_token_stats(spark, str(tmp_path / "nowhere"))
+    save_token_stats(tf, str(tmp_path / "s2"))
+    with pytest.raises(ValueError, match="tokenizer"):
+        load_token_stats(spark, str(tmp_path / "s2"), tokenizer="bpe_v9")
+    with pytest.raises(ValueError, match="local"):
+        save_token_stats(tf, "hdfs://nn/stats")
