@@ -606,3 +606,71 @@ def test_bm25_scores_rejects_empty_terms(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="at least one query term"):
         bm25_scores(docs, [])
+
+
+_bm25_docs = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_bm25_docs, terms=st.sets(st.sampled_from(["a", "b", "c", "ab", "ca"]), min_size=1, max_size=3))
+def test_bm25_matches_pure_python_reference(spark, texts, terms):
+    """Property parity: the distributed BM25 equals a from-scratch python
+    implementation (same tokenization, same k1/b, round-6) on arbitrary
+    tiny corpora — including empty docs, docs with no query terms, and
+    single-token corpora."""
+    import math
+    import re
+
+    from xena_gdc_etl_spark.operators.text import bm25_scores
+
+    k1, b = 1.2, 0.75
+    toks = {
+        i: [t for t in re.split(r"[ \t\n\r\f]+", txt.lower()) if t]
+        for i, txt in enumerate(texts)
+    }
+    tfs = {
+        i: {t: ts.count(t) for t in set(ts)} for i, ts in toks.items() if ts
+    }
+    if not tfs:
+        # all-empty corpus: the operator yields no rows
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        assert bm25_scores(docs, sorted(terms)).count() == 0
+        return
+    n = len(tfs)
+    avgdl = sum(len(toks[i]) for i in tfs) / n
+    df = {
+        q: sum(1 for i in tfs if q in tfs[i]) for q in terms
+    }
+    want = {}
+    for i, tf in tfs.items():
+        s = 0.0
+        hit = False
+        for q in terms:
+            if q in tf and df[q]:
+                hit = True
+                idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                dl = len(toks[i])
+                s += idf * tf[q] * (k1 + 1) / (
+                    tf[q] + k1 * (1 - b + b * dl / avgdl)
+                )
+        if hit:
+            want[i] = round(s, 6)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.bm25 for r in bm25_scores(docs, sorted(terms)).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
