@@ -88,3 +88,31 @@ def test_embedding_curation_example(spark, tmp_path):
         assert r.scale > 0 and len(r.q) == 64
     m = json.load(open(os.path.join(out, "_manifest.json")))
     assert m["total_rows"] == len(rows)
+
+
+def test_token_stats_build_example(spark, sf_dir, tmp_path):
+    """The build→persist→consume loop runs end-to-end: the consumer scores
+    off the LOADED artifact identically to scoring off a fresh tf frame."""
+    from xena_gdc_etl_spark.operators.text import (
+        doc_term_freqs,
+        unigram_logprob_scores,
+    )
+    from xena_gdc_etl_spark.sources.token_stats import (
+        load_token_stats,
+        save_token_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "stats")
+    save_token_stats(doc_term_freqs(docs), out)
+    tf, _vocab, man = load_token_stats(spark, out)
+    assert man["n_docs"] == docs.count()
+    fresh = {
+        r.doc_id: r.lm_score
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    loaded = {
+        r.doc_id: r.lm_score
+        for r in unigram_logprob_scores(docs, tf=tf).collect()
+    }
+    assert fresh == loaded
