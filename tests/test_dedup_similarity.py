@@ -949,3 +949,24 @@ def test_ivf_assign_probes_widen_search(spark):
     s2 = sorted((r.sim for r in q2.collect()), reverse=True)
     assert len(s2) >= len(s1)
     assert all(b >= a for a, b in zip(s1, s2))  # widened search dominates
+
+
+def test_suggest_n_cells_scaling_and_clamps():
+    """n_cells ≈ rows/target, clamped to [min_cells, broadcast cap];
+    degenerate inputs fail loudly."""
+    import pytest
+
+    assert sim.suggest_n_cells(0) == 1
+    assert sim.suggest_n_cells(4096) == 1
+    assert sim.suggest_n_cells(4097) == 2
+    assert sim.suggest_n_cells(1_000_000, target_cell_rows=1000) == 1000
+    # ceiling: the centroid matrix is driver-collected/broadcast
+    assert (
+        sim.suggest_n_cells(10**12, target_cell_rows=1)
+        == sim.DEFAULT_MAX_BROADCAST_ROWS
+    )
+    assert sim.suggest_n_cells(100, min_cells=8) == 8
+    with pytest.raises(ValueError):
+        sim.suggest_n_cells(-1)
+    with pytest.raises(ValueError):
+        sim.suggest_n_cells(10, target_cell_rows=0)
