@@ -453,6 +453,122 @@ def ivf_topk(
     )
 
 
+# Mean-path selection for the Lloyd-round cell mean: the column path
+# builds ONE F.avg(vec[i]) aggregate column PER DIMENSION — fine at the
+# fixture's d=64, but at real embedding widths (768–4096) that is
+# thousands of codegen aggregate expressions per training round: a
+# plan-size/compile cliff that only bites at deployment. Above this
+# threshold the mean folds through the same Arrow (sum, count) partial
+# shape pq_train already uses, whose plan size is O(1) in d. 256 keeps
+# every in-repo fixture on the zero-Python codegen path while routing
+# real embedding widths to the partial path; the two paths are
+# equivalence-pinned at d=64 and the plan shapes are pinned at d=512
+# (tests/test_trainer_mean_path.py).
+IVF_MEAN_ARROW_MIN_DIM = 256
+
+
+def _cell_mean_agg(
+    assigned: DataFrame,
+    dim: int,
+    centroid_id: str = "centroid_id",
+    vec_col: str = "embedding",
+    mean_path: str = "auto",
+) -> DataFrame:
+    """Element-wise per-cell mean of the raw vectors — the shared round
+    body of :func:`ivf_train` / :func:`ivf_train_step`. Returns one row
+    per NON-EMPTY cell: (centroid_id, n_members bigint, __mean
+    array<double>).
+
+    Two plans, same numbers (both are sum-then-divide in doubles;
+    association differs only at ulp level across paths/partitionings,
+    absorbed by the trainers' round-6 output contract):
+
+    - ``"column"`` (auto-selected for dim <= IVF_MEAN_ARROW_MIN_DIM):
+      d ``avg`` aggregate columns — map-side partial, whole-stage
+      codegen, no Python — re-packed into one array.
+    - ``"arrow"`` (auto-selected above): a ``mapInPandas`` partial emits
+      at most one (cell, count, sum-vector) row per cell per batch —
+      ONE array column instead of d scalar aggregate expressions, so
+      the generated plan does not grow with d — folded per cell by an
+      ``applyInPandas`` over the tiny partial set (≤ n_partitions rows
+      per cell, k cells total).
+    """
+    if mean_path == "auto":
+        mean_path = "arrow" if dim > IVF_MEAN_ARROW_MIN_DIM else "column"
+    if mean_path == "column":
+        return (
+            assigned.groupBy(centroid_id)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                *[
+                    F.avg(F.col(vec_col).getItem(i)).alias(f"__c{i}")
+                    for i in range(dim)
+                ],
+            )
+            .select(
+                F.col(centroid_id),
+                F.col("n_members"),
+                F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias(
+                    "__mean"
+                ),
+            )
+        )
+    if mean_path != "arrow":
+        raise ValueError(
+            f"mean_path must be 'auto', 'column' or 'arrow', got {mean_path!r}"
+        )
+
+    partial_schema = StructType(
+        [
+            StructField(centroid_id, LongType()),
+            StructField("__n", LongType()),
+            StructField("__sum", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cids = pdf[centroid_id].to_numpy(dtype=np.int64)
+            uniq = np.unique(cids)
+            sums = [vm[cids == c].sum(axis=0).tolist() for c in uniq]
+            yield pd.DataFrame(
+                {
+                    centroid_id: uniq,
+                    "__n": [int((cids == c).sum()) for c in uniq],
+                    "__sum": sums,
+                }
+            )
+
+    fold_schema = StructType(
+        [
+            StructField(centroid_id, LongType()),
+            StructField("n_members", LongType()),
+            StructField("__mean", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["__n"].sum())
+        s = np.stack(pdf["__sum"].to_numpy()).astype(np.float64).sum(axis=0)
+        return pd.DataFrame(
+            {
+                centroid_id: [int(key[0])],
+                "n_members": [n],
+                "__mean": [(s / n).tolist()],
+            }
+        )
+
+    return (
+        assigned.select(centroid_id, vec_col)
+        .mapInPandas(_partials, schema=partial_schema)
+        .groupBy(centroid_id)
+        .applyInPandas(_fold, schema=fold_schema)
+    )
+
+
 def ivf_train(
     vectors: DataFrame,
     k: int = 8,
@@ -460,6 +576,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    mean_path: str = "auto",
 ) -> DataFrame:
     """Train IVF centroids with Lloyd's k-means — deterministic for a
     fixed input partitioning: init = the ``k`` smallest-id vectors
@@ -515,18 +632,16 @@ def ivf_train(
             vec_col=vec_col,
             centroid_id=centroid_id,
         )
-        # element-wise mean per cell: d aggregate columns, map-side partial;
+        # element-wise mean per cell (_cell_mean_agg: d avg columns below
+        # IVF_MEAN_ARROW_MIN_DIM, an Arrow (sum,count) partial above);
         # the collect is k rows of d doubles — index state, never data
-        rows = assigned.groupBy(centroid_id).agg(
-            *[
-                F.avg(F.col(vec_col).getItem(i)).alias(f"c{i}")
-                for i in range(dim)
-            ]
+        rows = _cell_mean_agg(
+            assigned, dim, centroid_id, vec_col, mean_path
         ).collect()
         for r in rows:
             # a cell that attracted no vectors has no row and keeps its
             # previous centroid instead of silently vanishing
-            cents[r[centroid_id]] = [r[f"c{i}"] for i in range(dim)]
+            cents[r[centroid_id]] = list(r["__mean"])
     return _centroid_frame()
 
 
@@ -575,6 +690,7 @@ def ivf_train_step(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     dim: int | None = None,
+    mean_path: str = "auto",
 ) -> DataFrame:
     """ONE Lloyd round under a FIXED centroid state, returned as a
     DataFrame — the per-round body of :func:`ivf_train` factored out so
@@ -597,14 +713,7 @@ def ivf_train_step(
         vectors, centroids, id_col=id_col, vec_col=vec_col,
         centroid_id=centroid_id,
     )
-    agg = assigned.groupBy(centroid_id).agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        *[
-            F.avg(F.col(vec_col).getItem(i)).alias(f"__c{i}")
-            for i in range(dim)
-        ],
-    )
-    new_vec = F.array(*[F.col(f"__c{i}") for i in range(dim)])
+    agg = _cell_mean_agg(assigned, dim, centroid_id, vec_col, mean_path)
     return (
         centroids.select(
             F.col(centroid_id),
@@ -616,7 +725,7 @@ def ivf_train_step(
             F.coalesce("n_members", F.lit(0)).cast("long").alias(
                 "n_members"
             ),
-            F.when(F.col("n_members").isNotNull(), new_vec)
+            F.when(F.col("n_members").isNotNull(), F.col("__mean"))
             .otherwise(F.col("__prev"))
             .alias(vec_col),
         )
