@@ -1,0 +1,103 @@
+"""Durable MinHash signature artifact (sources/minhash_index.py):
+roundtrip bit-identity, the param-mismatch guard, and the probe's
+equivalence to rescanning (lsh_probe_pairs == lsh_candidate_pairs over
+the union, restricted to new×landed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.catalog import Catalog
+from xena_gdc_etl_spark.operators import dedup as dd
+from xena_gdc_etl_spark.sources import minhash_index as mh
+
+P = dict(num_hashes=8, shingle_k=5, band_size=2)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents
+
+
+def test_roundtrip_bit_identity(spark, docs, tmp_path):
+    sigs = mh.build_signatures(docs, num_hashes=8, shingle_k=5)
+    mh.save_minhash_index(sigs, str(tmp_path / "idx"), **P)
+    loaded, manifest = mh.load_minhash_index(spark, str(tmp_path / "idx"), **P)
+    assert manifest["n_docs"] == docs.count()
+    before = sorted(tuple(r) for r in sigs.collect())
+    after = sorted(tuple(r) for r in loaded.collect())
+    assert before == after  # bigint slots: exact roundtrip, no fp anywhere
+    assert loaded.columns == ["doc_id"] + [f"mh{j}" for j in range(8)]
+
+
+def test_param_mismatch_refused(spark, docs, tmp_path):
+    sigs = mh.build_signatures(docs, num_hashes=8, shingle_k=5)
+    mh.save_minhash_index(sigs, str(tmp_path / "idx"), **P)
+    for bad in (
+        dict(P, num_hashes=16),
+        dict(P, shingle_k=7),
+        dict(P, band_size=4),
+        dict(P, normalized=True),
+    ):
+        with pytest.raises(ValueError, match="must not mix"):
+            mh.load_minhash_index(spark, str(tmp_path / "idx"), **bad)
+
+
+def test_missing_sentinel_refused(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="_minhash.json"):
+        mh.load_minhash_index(spark, str(tmp_path / "nope"), **P)
+
+
+def test_save_validates_slot_columns(docs, tmp_path):
+    sigs = mh.build_signatures(docs, num_hashes=8, shingle_k=5)
+    with pytest.raises(ValueError, match="num_hashes=4"):
+        mh.save_minhash_index(
+            sigs, str(tmp_path / "idx"), num_hashes=4, shingle_k=5,
+            band_size=2,
+        )
+
+
+def test_probe_equals_rescan(spark, docs, tmp_path):
+    landed = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    landed_sigs = mh.build_signatures(landed, num_hashes=8, shingle_k=5)
+    mh.save_minhash_index(landed_sigs, str(tmp_path / "idx"), **P)
+    loaded, _ = mh.load_minhash_index(spark, str(tmp_path / "idx"), **P)
+    new_sigs = mh.build_signatures(new, num_hashes=8, shingle_k=5)
+
+    got = sorted(
+        (r.new_id, r.landed_id)
+        for r in mh.lsh_probe_pairs(
+            new_sigs, loaded, num_hashes=8, band_size=2
+        ).collect()
+    )
+
+    # the rescan answer: candidate pairs over the WHOLE corpus, cut to
+    # pairs that straddle the increment/landed boundary
+    union_sigs = mh.build_signatures(docs, num_hashes=8, shingle_k=5)
+    all_pairs = dd.lsh_candidate_pairs(
+        union_sigs, num_hashes=8, band_size=2
+    ).collect()
+    want = sorted(
+        (a, b) if a % 5 != 0 else (b, a)
+        for a, b in ((r.a, r.b) for r in all_pairs)
+        if (a % 5 == 0) != (b % 5 == 0)
+    )
+    assert got == want
+    assert got, "fixture produced no cross pairs — test is vacuous"
+
+
+def test_probe_broadcast_hint_in_plan(spark, docs):
+    landed = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).limit(50)
+    landed_sigs = mh.build_signatures(landed, num_hashes=8, shingle_k=5)
+    new_sigs = mh.build_signatures(new, num_hashes=8, shingle_k=5)
+    plan = (
+        mh.lsh_probe_pairs(new_sigs, landed_sigs, num_hashes=8, band_size=2)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    # the increment side broadcasts; the landed corpus must never shuffle
+    # for the join
+    assert "Broadcast" in plan

@@ -1,0 +1,233 @@
+"""Durable MinHash signature artifact: the persistence seam for
+incremental near-dedup.
+
+ANN state (sources/ann_index.py) and token statistics
+(sources/token_stats.py) already follow the build-once → persist →
+consume pattern; LSH signature state was the one dedup family still
+re-derived per session — a day-N incremental run re-shingled and
+re-hashed the entire LANDED corpus just to probe today's arrivals
+against it. This module persists the (doc_id, mh0..mh{n-1}) signature
+table once per corpus snapshot, so day-N dedup loads yesterday's
+artifact (a digest-sized table — signatures are num_hashes longs per
+doc, orders of magnitude under the text) and only signs the increment.
+
+Layout under ``<path>/``:
+
+- ``signatures.parquet`` — (doc_id bigint, mh0..mh{n-1} bigint): the
+  per-doc MinHash slots exactly as ``dedup.minhash_signatures`` emits
+  them. Corpus-scaled — written at the input's parallelism, NEVER
+  coalesced.
+- ``_minhash.json``     — format version + the parameters that make
+  signatures comparable (num_hashes, shingle_k, band_size, normalized)
+  + n_docs; written LAST so its presence marks a complete artifact
+  (same sentinel discipline as ann_index/token_stats/parquet_sink).
+
+The parameter tag is load-bearing: signatures built under different
+num_hashes/shingle sizes are incomparable numbers, and probing day-N
+signatures against a day-N−1 artifact built with other params silently
+yields garbage candidates instead of an error — the loader refuses the
+mix. ``band_size`` is stamped too: banding happens at probe time, but a
+consumer that bands an artifact differently from the corpus's standing
+dedup policy changes recall silently, so the artifact records the
+policy it was built for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.sources.ann_index import _local_index_paths
+
+MINHASH_FORMAT_VERSION = 1
+_SENTINEL = "_minhash.json"
+
+
+def _params_of(manifest: dict) -> dict:
+    return {
+        k: manifest.get(k)
+        for k in ("num_hashes", "shingle_k", "band_size", "normalized")
+    }
+
+
+def save_minhash_index(
+    signatures: DataFrame,
+    path: str,
+    num_hashes: int,
+    shingle_k: int,
+    band_size: int,
+    normalized: bool = False,
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist a ``minhash_signatures`` frame; returns the manifest dict.
+
+    ``signatures`` must carry exactly the ``mh0..mh{num_hashes-1}``
+    slot columns (the declared tag must describe the table — a mismatch
+    is rejected here, not discovered as NULLs at probe time).
+    ``shingle_k``/``normalized`` record how the text was shingled
+    (``dedup.shingles(k=...)``, optionally over ``normalize_text``);
+    ``band_size`` records the banding policy this corpus dedups under.
+
+    Crash-consistency contract (same as save_ann_index): a re-save first
+    removes the old sentinel, then writes the table, then writes the
+    manifest to a temp file and atomically renames it into place — the
+    sentinel's presence always endorses a complete artifact. ``path``
+    must be local / ``file://`` (sentinel via local file IO, table via
+    Spark writers; remote schemes are rejected loudly).
+    """
+    slot_cols = [f"mh{j}" for j in range(num_hashes)]
+    missing = [c for c in slot_cols if c not in signatures.columns]
+    extra = [
+        c
+        for c in signatures.columns
+        if c.startswith("mh") and c not in slot_cols
+    ]
+    if missing or extra:
+        raise ValueError(
+            f"save_minhash_index: signature columns do not match "
+            f"num_hashes={num_hashes} (missing {missing}, unexpected "
+            f"{extra}) — the manifest tag must describe the table"
+        )
+    path, spark_uri = _local_index_paths(path, "save_minhash_index")
+    stale = os.path.join(path, _SENTINEL)
+    if os.path.exists(stale):
+        os.remove(stale)
+    out = signatures.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        *[F.col(c).cast("bigint").alias(c) for c in slot_cols],
+    )
+    out.write.mode("overwrite").parquet(spark_uri + "/signatures.parquet")
+    # count from the WRITTEN table — one cheap parquet-stats read instead
+    # of re-executing the (shingle → sha256 → min) signature lineage
+    n_docs = (
+        signatures.sparkSession.read.parquet(spark_uri + "/signatures.parquet")
+        .count()
+    )
+    manifest = {
+        "format_version": MINHASH_FORMAT_VERSION,
+        "num_hashes": int(num_hashes),
+        "shingle_k": int(shingle_k),
+        "band_size": int(band_size),
+        "normalized": bool(normalized),
+        "id_col": id_col,
+        "n_docs": int(n_docs),
+    }
+    tmp = os.path.join(path, _SENTINEL + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _SENTINEL))
+    return manifest
+
+
+def load_minhash_index(
+    spark: SparkSession,
+    path: str,
+    num_hashes: int,
+    shingle_k: int,
+    band_size: int,
+    normalized: bool = False,
+) -> "tuple[DataFrame, dict]":
+    """Load (signatures, manifest). Refuses an incomplete artifact (no
+    sentinel), a future format, or ANY parameter mismatch — signatures
+    under different hash/shingle/banding parameters are incomparable
+    numbers and must never mix."""
+    path, spark_uri = _local_index_paths(path, "load_minhash_index")
+    sentinel = os.path.join(path, _SENTINEL)
+    if not os.path.exists(sentinel):
+        raise FileNotFoundError(
+            f"load_minhash_index: no {_SENTINEL} under {path!r} — the "
+            "artifact is missing or was interrupted mid-save"
+        )
+    with open(sentinel) as fh:
+        manifest = json.load(fh)
+    if manifest.get("format_version") != MINHASH_FORMAT_VERSION:
+        raise ValueError(
+            f"load_minhash_index: format_version "
+            f"{manifest.get('format_version')!r} != {MINHASH_FORMAT_VERSION}"
+        )
+    expected = {
+        "num_hashes": int(num_hashes),
+        "shingle_k": int(shingle_k),
+        "band_size": int(band_size),
+        "normalized": bool(normalized),
+    }
+    got = _params_of(manifest)
+    if got != expected:
+        raise ValueError(
+            f"load_minhash_index: artifact params {got} != expected "
+            f"{expected} — signatures built under different "
+            "hash/shingle/banding parameters must not mix"
+        )
+    sigs = spark.read.parquet(spark_uri + "/signatures.parquet")
+    return sigs, manifest
+
+
+def build_signatures(
+    docs: DataFrame,
+    num_hashes: int,
+    shingle_k: int,
+    normalized: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The house signature recipe under an explicit parameter set — the
+    builder half of the artifact, so the saver's tag and the signature
+    lineage can never drift apart. One aggregation pass (see
+    ``dedup.minhash_signatures``); ``normalized=True`` routes the text
+    through ``dedup.normalize_text`` first (the near-dup family's
+    whitespace/punct-insensitive variant)."""
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    if normalized:
+        docs = docs.withColumn(text_col, dd.normalize_text(F.col(text_col)))
+    sh = dd.shingles(
+        docs, id_col=id_col, text_col=text_col, k=shingle_k, distinct=False
+    )
+    return dd.minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+
+
+def lsh_probe_pairs(
+    new_signatures: DataFrame,
+    landed_signatures: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    id_col: str = "doc_id",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs BETWEEN an increment and the landed
+    corpus: (new_id, landed_id), distinct, for every pair sharing an LSH
+    (band, bucket) — the day-N probe of incremental near-dedup.
+
+    Scale shape: both sides band statelessly (``dedup.lsh_buckets`` —
+    a projection, no shuffle); the join runs on (band, bucket). A day's
+    increment is orders of magnitude under the landed corpus, so the
+    NEW side's bucket frame broadcasts by default and the landed corpus
+    never shuffles — pass ``broadcast_new=False`` for a backfill-sized
+    increment and let AQE pick the join. Within-increment duplicates are
+    a separate, cheaper question (``lsh_candidate_pairs`` on the
+    increment alone, or the digest path for exact ones).
+
+    The pair set equals ``lsh_candidate_pairs`` over the UNION restricted
+    to new×landed pairs (pinned by test) — probing the artifact loses
+    nothing vs rescanning the landed corpus.
+    """
+    from xena_gdc_etl_spark.operators.dedup import lsh_buckets
+
+    new_b = lsh_buckets(
+        new_signatures, id_col=id_col, num_hashes=num_hashes,
+        band_size=band_size,
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    landed_b = lsh_buckets(
+        landed_signatures, id_col=id_col, num_hashes=num_hashes,
+        band_size=band_size,
+    ).select(F.col(id_col).alias("landed_id"), "band", "bucket")
+    if broadcast_new:
+        new_b = F.broadcast(new_b)
+    return (
+        landed_b.join(new_b, ["band", "bucket"])
+        .select("new_id", "landed_id")
+        .distinct()
+    )
