@@ -579,3 +579,63 @@ def test_late_data_dropped_then_window_finalized(spark, tmp_path):
     assert w13.n_members == 1 and w13.majority_label == 5
     # the 15:00 row's own window never finalized (watermark 14:00 < 16:00)
     assert set(by_window) == {(10, 0), (13, 1)}
+
+
+def test_streaming_bm25_matches_batch(spark, tmp_path):
+    """Arriving docs scored against the STATIC durable token-stats
+    artifact equal the batch bm25_scores when the artifact was built
+    from the same corpus — the serve side of the build→persist→consume
+    loop (the build side is examples/token_stats_build.py)."""
+    from xena_gdc_etl_spark.operators import text as tx
+    from xena_gdc_etl_spark.sources.token_stats import (
+        load_token_stats,
+        save_token_stats,
+    )
+    from xena_gdc_etl_spark.streaming import streaming_bm25_score
+
+    terms = ["vector", "hash", "merge"]
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+
+    # corpus freeze: persist the token statistics once
+    save_token_stats(tx.doc_term_freqs(docs), str(tmp_path / "stats"))
+    _tf, vocab, manifest = load_token_stats(spark, str(tmp_path / "stats"))
+
+    # serve: replay the same docs as a stream, score statelessly
+    docs_dir = str(tmp_path / "docs_stream")
+    docs.write.parquet(docs_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(docs_dir)
+    scored = streaming_bm25_score(stream, terms, vocab, manifest)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("bm25_sink")
+        .outputMode("append")  # stateless plan: append-legal
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, f"{r.bm25:.6f}")
+        for r in spark.table("bm25_sink").collect()
+    }
+    want = {
+        (r.doc_id, f"{r.bm25:.6f}")
+        for r in tx.bm25_scores(docs, terms).collect()
+    }
+    assert got == want
+    assert got, "no scored docs — fixture terms never occur, test vacuous"
+
+
+def test_streaming_bm25_guards(spark):
+    from xena_gdc_etl_spark.streaming import streaming_bm25_score
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    vocab = spark.createDataFrame(
+        [("vector", 10, 5)], "tok string, tf long, doc_freq long"
+    )
+    with pytest.raises(ValueError, match="at least one query term"):
+        streaming_bm25_score(docs, [], vocab, {"n_docs": 5, "n_tokens": 50})
+    with pytest.raises(ValueError, match="n_docs=0"):
+        streaming_bm25_score(
+            docs, ["vector"], vocab, {"n_docs": 0, "n_tokens": 0}
+        )

@@ -264,6 +264,88 @@ def streaming_pii_rate(
     )
 
 
+def streaming_bm25_score(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    vocab: DataFrame,
+    manifest: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score ARRIVING documents against a STATIC corpus's BM25 statistics
+    — the serve side of the token-stats build→persist→consume loop
+    (sources/token_stats.py builds ``vocab``/``manifest`` once per corpus
+    freeze; examples/token_stats_build.py is the build side). The live
+    use: route/rank incoming crawl docs against a frozen domain query
+    ("most about X") without waiting for the next batch snapshot.
+
+    Plan shape — deliberately STATELESS: N and avgdl come from the
+    manifest (``n_docs``, ``n_tokens/n_docs``) and each query term's
+    document frequency is a |Q|-row bounded collect off the vocab table,
+    all folded into scan-stage literals, so every arriving doc is scored
+    by pure Column math (tokenize once, one ``size(filter(...))`` tf per
+    term) — no watermark, no join state, no shuffle, usable in append
+    mode inside any stream. This is the same posting-list-slice economics
+    as the batch twin (``text.bm25_scores``: df is a |Q|-row broadcast,
+    N/avgdl a 1-row broadcast); a stream-static JOIN would buy nothing
+    here because the per-term state is |Q| scalars, below even a
+    broadcast's overhead. Batch-equivalence is pinned by test against
+    ``bm25_scores`` when the artifact is built from the same corpus.
+
+    A query term absent from the landed vocabulary scores with df=0
+    (maximal idf) — the standard convention for out-of-corpus terms.
+    Docs containing NO query term are dropped, matching the batch twin's
+    inner-join contract.
+    """
+    import math
+
+    from xena_gdc_etl_spark.operators.text import WS_RE
+
+    if not query_terms:
+        raise ValueError("streaming_bm25_score needs at least one query term")
+    n_docs = int(manifest["n_docs"])
+    if n_docs <= 0:
+        raise ValueError(
+            "streaming_bm25_score: manifest has n_docs=0 — an empty landed "
+            "corpus has no BM25 statistics to score against"
+        )
+    avgdl = float(manifest["n_tokens"]) / n_docs
+    df_rows = (
+        vocab.filter(F.col("tok").isin(list(query_terms)))
+        .select("tok", "doc_freq")
+        .collect()  # bounded: at most |Q| rows — index state, never data
+    )
+    df_by_term = {r["tok"]: int(r["doc_freq"]) for r in df_rows}
+
+    # tokenize ONCE into an intermediate array column; every per-term tf
+    # and the length read from it (a single-select form would lean on
+    # codegen subexpression elimination to avoid |Q|+1 re-tokenizations)
+    tok_df = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), WS_RE), lambda x: x != ""
+        ).alias("__toks"),
+    )
+    dl = F.size("__toks").cast("double")
+    score = F.lit(0.0)
+    any_hit = F.lit(False)
+    for t in query_terms:
+        dft = df_by_term.get(t, 0)
+        idf = math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+        tf = F.size(
+            F.filter(F.col("__toks"), lambda x: x == t)
+        ).cast("double")
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        any_hit = any_hit | (tf > 0)
+    return tok_df.filter(any_hit).select(
+        F.col(id_col), F.round(score, 6).alias("bm25")
+    )
+
+
 def streaming_heavy_hitters(
     events: DataFrame,
     ts_col: str = "ts",
