@@ -2701,12 +2701,46 @@ def _kmeans_frozen_centroids() -> list[list[float]]:
     ]
 
 
-def _kmeans_round_sql() -> str:
-    cents = _kmeans_frozen_centroids()
+def _kmeans_round_sql(
+    cents: "list[list[float]] | None" = None, raw: bool = False
+) -> str:
+    """One frozen-state Lloyd round as DuckDB SQL. ``cents`` defaults to
+    the registered query's Walsh patterns; passing explicit values lets a
+    test CHAIN rounds (replay round 1's output as round 2's frozen input
+    — tests/test_trainer_composition.py), making the iterated trainer
+    inductively oracle-gated. ``raw=True`` emits the updated centroid as
+    UNROUNDED DOUBLE[] (exact chaining state — the trainer doesn't round
+    intermediates either) instead of the driver-comparable %.6f CSV."""
+    if cents is None:
+        cents = _kmeans_frozen_centroids()
+    k, dim = len(cents), len(cents[0])
     vals = ",\n           ".join(
         f"({c}, [{', '.join(repr(v) for v in cents[c])}])"
-        for c in range(_KM_CELLS)
+        for c in range(k)
     )
+    if raw:
+        upd = """
+    upd AS (
+        SELECT centroid_id, array_agg(m ORDER BY i) AS arr
+        FROM dims GROUP BY 1)"""
+        tail = """
+    SELECT c.centroid_id,
+           CAST(coalesce(n.n, 0) AS BIGINT) AS n_members,
+           coalesce(u.arr, c.cv) AS centroid"""
+    else:
+        upd = """
+    upd AS (
+        SELECT centroid_id,
+               string_agg(printf('%.6f', round(m, 6) + 0.0), ','
+                          ORDER BY i) AS csv
+        FROM dims GROUP BY 1)"""
+        tail = """
+    SELECT c.centroid_id,
+           CAST(coalesce(n.n, 0) AS BIGINT) AS n_members,
+           coalesce(u.csv,
+                    array_to_string(list_transform(c.cv,
+                        x -> printf('%.6f', round(x, 6) + 0.0)),
+                        ',')) AS centroid_csv"""
     return rf"""
     WITH cents(centroid_id, cv) AS (VALUES {vals}),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -2728,19 +2762,8 @@ def _kmeans_round_sql() -> str:
     dims AS (
         SELECT a.centroid_id, t.i, avg(v.e[CAST(t.i AS INT)]) AS m
         FROM assign a JOIN v USING (vec_id)
-        CROSS JOIN range(1, {_KM_DIM + 1}) t(i)
-        GROUP BY 1, 2),
-    upd AS (
-        SELECT centroid_id,
-               string_agg(printf('%.6f', round(m, 6) + 0.0), ','
-                          ORDER BY i) AS csv
-        FROM dims GROUP BY 1)
-    SELECT c.centroid_id,
-           CAST(coalesce(n.n, 0) AS BIGINT) AS n_members,
-           coalesce(u.csv,
-                    array_to_string(list_transform(c.cv,
-                        x -> printf('%.6f', round(x, 6) + 0.0)),
-                        ',')) AS centroid_csv
+        CROSS JOIN range(1, {dim + 1}) t(i)
+        GROUP BY 1, 2),{upd}{tail}
     FROM cents c
     LEFT JOIN counts n USING (centroid_id)
     LEFT JOIN upd u USING (centroid_id)
@@ -2895,9 +2918,21 @@ def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the exp() 1-ulp hazard is absorbed by round-6 on the OUTPUT
 #      (gradient averages are O(0.1), far from the boundary).
 # --------------------------------------------------------------------------
-def _logreg_round_sql() -> str:
-    w1, w2, w3 = _LOGREG_W
-    lr = 0.5
+def _logreg_round_sql(
+    w: "tuple[float, float, float] | None" = None,
+    b: "float | None" = None,
+    lr: float = 0.5,
+    raw: bool = False,
+) -> str:
+    """One frozen-state GD round as DuckDB SQL. ``w``/``b`` default to
+    the registered query's frozen weights; explicit values let a test
+    CHAIN rounds (tests/test_trainer_composition.py — round 1's output
+    becomes round 2's frozen state, so ``logistic_train(iterations=2)``
+    is gated by pure SQL composition). ``raw=True`` skips the %.6f
+    output rounding (exact chaining state)."""
+    w1, w2, w3 = _LOGREG_W if w is None else w
+    b = _LOGREG_B if b is None else b
+    rnd = (lambda e: f"{e}") if raw else (lambda e: f"round({e}, 6)")
     return rf"""
     WITH t AS (
         SELECT doc_id, lang, text, length(text) AS n_chars,
@@ -2911,18 +2946,18 @@ def _logreg_round_sql() -> str:
                length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio
         FROM t),
     g AS (
-        SELECT (1.0 / (1.0 + exp(-({_LOGREG_B!r} + {w1!r} * f_len
+        SELECT (1.0 / (1.0 + exp(-({b!r} + {w1!r} * f_len
                                    + {w2!r} * punct_ratio
                                    + {w3!r} * stopword_ratio)))) - is_en AS err,
                f_len, punct_ratio, stopword_ratio
         FROM f)
-    SELECT 'bias' AS coef, round({_LOGREG_B!r} - {lr!r} * avg(err), 6) AS new_value FROM g
+    SELECT 'bias' AS coef, {rnd(f"{b!r} - {lr!r} * avg(err)")} AS new_value FROM g
     UNION ALL
-    SELECT 'f_len', round({w1!r} - {lr!r} * avg(err * f_len), 6) FROM g
+    SELECT 'f_len', {rnd(f"{w1!r} - {lr!r} * avg(err * f_len)")} FROM g
     UNION ALL
-    SELECT 'punct_ratio', round({w2!r} - {lr!r} * avg(err * punct_ratio), 6) FROM g
+    SELECT 'punct_ratio', {rnd(f"{w2!r} - {lr!r} * avg(err * punct_ratio)")} FROM g
     UNION ALL
-    SELECT 'stopword_ratio', round({w3!r} - {lr!r} * avg(err * stopword_ratio), 6) FROM g
+    SELECT 'stopword_ratio', {rnd(f"{w3!r} - {lr!r} * avg(err * stopword_ratio)")} FROM g
     """
 
 
