@@ -970,3 +970,51 @@ def test_suggest_n_cells_scaling_and_clamps():
         sim.suggest_n_cells(-1)
     with pytest.raises(ValueError):
         sim.suggest_n_cells(10, target_cell_rows=0)
+
+
+def test_multimodal_decoder_branch_selection(spark):
+    """The optional real-decode path (round-10 verdict task 7): branch
+    selection matches the environment, the missing-dependency failure is
+    explicit, the stub default is unchanged, and an injected decoder
+    threads through extract_features with the same schema — tested under
+    whichever branch this container supports."""
+    name, fn = mm.select_decoder()
+    if mm.HAS_PIL:
+        assert (name, fn) == ("pil", mm.decode_real)
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+        feats = mm.decode_real(buf.getvalue(), n_features=8)
+        assert len(feats) == 8
+        assert all(0.0 <= v <= 1.0 for v in feats)
+    else:
+        assert (name, fn) == ("stub", mm.decode_stub)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_real(b"\x89PNG whatever", n_features=8)
+
+    # the default stays the stub regardless of what is installed
+    # (decoding real codecs is an explicit opt-in — see select_decoder)
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    media = mm.attach_binary_payload(docs)
+    default_rows = {
+        r.media_id: r.features for r in mm.extract_features(media).collect()
+    }
+    assert default_rows == {
+        r.media_id: r.features
+        for r in mm.extract_features(media, decoder=mm.decode_stub).collect()
+    }
+
+    # an injected decoder threads through with identical plumbing/schema
+    def halves(payload: bytes, n: int) -> list[float]:
+        return [0.5] * n
+
+    injected = mm.extract_features(media, n_features=4, decoder=halves)
+    assert injected.schema == mm.extract_features(media).schema
+    assert {tuple(r.features) for r in injected.collect()} == {(0.5,) * 4}

@@ -61,6 +61,53 @@ def decode_stub(payload: bytes, n_features: int = 8) -> list[float]:
     ]
 
 
+# Optional real decode path: probed at import, never required. The
+# container this repo is developed in ships no image/audio libraries, so
+# the deterministic stub is the tested default; a deployment with Pillow
+# installed gets a REAL image decode with the same signature and schema
+# (branch selection is itself pinned by test under whichever branch the
+# environment supports).
+try:  # pragma: no cover - which branch runs depends on the environment
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_real(payload: bytes, n_features: int = 8) -> list[float]:
+    """Real image decode (requires Pillow): decode the payload, collapse
+    to grayscale, resample to ``n_features`` pixels, emit [0, 1] floats —
+    same signature, output length, and value range as ``decode_stub``,
+    so the two are drop-in interchangeable under ``extract_features``.
+    Raises ``NotImplementedError`` (not ImportError at call time) when
+    Pillow is absent, keeping the failure mode explicit and testable.
+    """
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "decode_real requires Pillow, which is not installed in this "
+            "environment — use decode_stub (the tested default) or "
+            "install PIL in production"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    img = img.resize((n_features, 1))
+    return [px / 255.0 for px in img.getdata()]
+
+
+def select_decoder() -> "tuple[str, object]":
+    """(name, callable) for this environment: ('pil', decode_real) when
+    Pillow imported, else ('stub', decode_stub). ``extract_features``
+    keeps the STUB as its default regardless — decoding real codecs is
+    an explicit opt-in (``decoder=select_decoder()[1]``), because the
+    stub accepts any bytes while a real decoder rejects non-media
+    payloads, and silently switching behavior on import success would
+    make the same pipeline corpus-dependent across environments."""
+    return ("pil", decode_real) if HAS_PIL else ("stub", decode_stub)
+
+
 def attach_binary_payload(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -78,13 +125,23 @@ def attach_binary_payload(
     )
 
 
-def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, n_features: int = 8, decoder=None
+) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
     mapInPandas processes whole record batches (not rows); partitioning of
     the input is preserved — at scale, repartition upstream by size so each
     task decodes a bounded byte volume.
+
+    ``decoder``: any ``(bytes, n_features) -> list[float]`` — defaults to
+    ``decode_stub`` (deterministic, library-free); pass
+    ``select_decoder()[1]`` to opt into the real Pillow path where it is
+    installed. The Spark-side plumbing (schema, batch shape,
+    partitioning) is identical either way.
     """
+    if decoder is None:
+        decoder = decode_stub
 
     # a media row without bytes has nothing to decode: dropped, not
     # crashed on (len(None)/md5(None) inside the Arrow batch otherwise)
@@ -102,7 +159,7 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                     "features": payloads.map(
-                        lambda b: decode_stub(bytes(b), n_features)
+                        lambda b: decoder(bytes(b), n_features)
                     ),
                 }
             )
