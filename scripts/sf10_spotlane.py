@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""sf10 SPOT-LANE: 100× scaling check for the signature/pair tier
+(round-10 verdict task 4).
+
+§sf1-workload measures 10× exponents for the whole expensive tier; the
+three WORST exponents there — shared_signatures_warm (0.82),
+shared_lsh_pairs_warm (0.83), containment_pairs (0.78) — are exactly
+the stages whose cost is dominated by shingle hashing and candidate
+expansion, where a knee between 10× and 100× (a hot bucket crossing a
+cap, a shuffle spilling) would stay invisible at 10×. This lane builds
+a 100× (sf10-equivalent) structure-preserving DOCUMENTS fixture and
+re-measures just those stages, reporting exponents at 100×:
+e = log(t_100x / t_1x) / log(100).
+
+Fixture: same discipline as scripts/sf1_workload.py but 100 copies, so
+the per-copy Caesar rotation (only 26 bijective rotations) is replaced
+by a per-copy AFFINE substitution j → (a·j + b) mod 26 with a coprime
+to 26 — 312 distinct alphabet permutations, each bijective (within-copy
+duplicate/shingle structure replicates EXACTLY; equal docs stay equal),
+while cross-copy letter shingles almost never coincide (a composed
+affine map sends copy i's shingles to strings that are corpus shingles
+only by coincidence — the same "up to digits/punctuation" caveat as the
+Caesar fixture, which is precisely the structure preservation the
+exponent needs). doc_id offsets by i·STRIDE.
+
+Single-run lane (the stages are minutes-long at 100× — run-to-run noise
+is irrelevant at that magnitude; the 1× side uses best-of-2).
+
+Run: python scripts/sf10_spotlane.py [sf_dir] [work_dir]
+Writes sf10_spotlane.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+COPIES = 100
+STRIDE = 10_000_000
+SCALE = COPIES  # the fixture multiplies the 1× corpus by COPIES
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_COPRIME = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _affine_maps() -> "list[tuple[int, int]]":
+    """All 312 bijective affine maps (a, b), identity first so copy 0
+    is the original text."""
+    maps = [(1, 0)]
+    for a in _COPRIME:
+        for b in range(26):
+            if (a, b) != (1, 0):
+                maps.append((a, b))
+    return maps
+
+
+def _affine_alphabet(a: int, b: int) -> "tuple[str, str]":
+    dst = "".join(_ALPHA[(a * j + b) % 26] for j in range(26))
+    return (_ALPHA + _ALPHA.upper(), dst + dst.upper())
+
+
+def build_fixture(spark, sf_dir: str, work_dir: str) -> None:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    maps = _affine_maps()
+    assert COPIES <= len(maps), (
+        f"COPIES={COPIES} exceeds the {len(maps)} bijective affine maps — "
+        "cross-copy shingles would collide (the same wrap hazard the sf1 "
+        "fixture guards for Caesar at 26)"
+    )
+    parts = []
+    for i in range(COPIES):
+        a, b = maps[i]
+        sel = []
+        for c in docs.columns:
+            col = F.col(c)
+            if c == "doc_id":
+                col = (col + F.lit(i * STRIDE)).alias(c)
+            elif c == "text" and i > 0:
+                src, dst = _affine_alphabet(a, b)
+                col = F.translate(c, src, dst).alias(c)
+            else:
+                col = col.alias(c)
+            sel.append(col)
+        parts.append(docs.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.withColumn("n_chars", F.length("text").cast("long"))
+    out.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(work_dir, "documents.parquet")
+    )
+
+
+def main() -> None:
+    from xena_gdc_etl_spark import workload as wl
+    from xena_gdc_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10_spotlane"
+    os.makedirs(work, exist_ok=True)
+
+    spark = get_spark(
+        app_name="sf10-spotlane", master="local[32]", shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    build_fixture(spark, sf_dir, work)
+    print(json.dumps({"stage": "build_fixture", "copies": COPIES,
+                      "sec": round(time.perf_counter() - t0, 2)}), flush=True)
+
+    def consume(df) -> int:
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        row = df.select(h.alias("__h")).agg(
+            F.count("__h").alias("n"), F.bit_xor("__h")
+        ).collect()[0]
+        return row["n"]
+
+    results: dict[str, dict] = {}
+    for scale, d, trials in (("x1", sf_dir, 2), ("x100", work, 1)):
+        # the shared caches build once per sf_dir: the FIRST build is the
+        # warm-stage measurement (same attribution as bench.py)
+        for label, fn in (
+            ("shared_signatures_warm", wl._shared_signatures),
+            ("shared_lsh_pairs_warm", wl._shared_lsh_pairs),
+        ):
+            start = time.perf_counter()
+            n = fn(spark, d).count()
+            sec = round(time.perf_counter() - start, 3)
+            results.setdefault(label, {})[scale] = sec
+            results[label][f"rows_{scale}"] = n
+            print(json.dumps({"scale": scale, "stage": label, "sec": sec,
+                              "rows": n}), flush=True)
+        best, n = float("inf"), -1
+        for _ in range(trials):
+            start = time.perf_counter()
+            n = consume(wl.QUERIES["containment_pairs"](spark, d))
+            best = min(best, time.perf_counter() - start)
+        results.setdefault("containment_pairs", {})[scale] = round(best, 3)
+        results["containment_pairs"][f"rows_{scale}"] = n
+        print(json.dumps({"scale": scale, "stage": "containment_pairs",
+                          "sec": round(best, 3), "rows": n}), flush=True)
+
+    for name, r in results.items():
+        if r.get("x1", 0) > 0 and "x100" in r:
+            ratio = r["x100"] / r["x1"]
+            r["ratio"] = round(ratio, 2)
+            r["exponent"] = round(
+                math.log(max(ratio, 1e-9)) / math.log(SCALE), 3
+            )
+            # structure preservation check: output should scale ~linearly
+            if r.get("rows_x1"):
+                r["rows_ratio"] = round(r["rows_x100"] / r["rows_x1"], 2)
+
+    out = {"metric": "sf10_spotlane", "copies": COPIES, "results": results}
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "sf10_spotlane.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
