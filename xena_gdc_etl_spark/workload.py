@@ -2501,6 +2501,44 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 52b. Incremental NEAR-dedup probe: today's arrivals vs the landed
+#      corpus's persisted MinHash signatures (sources/minhash_index.py
+#      lsh_probe_pairs) — the near-dup counterpart of incremental_dedup's
+#      digest probe. The landed text is never re-shingled: both sides
+#      band their SIGNATURES statelessly and join on (band, bucket) with
+#      the increment side broadcast, so the landed corpus never shuffles.
+#      Here both signature sets slice off the shared session cache (the
+#      local analog of loading the durable artifact — same frame the
+#      day-0 freeze persists).
+# --------------------------------------------------------------------------
+@query(
+    "incremental_lsh_probe",
+    f"""
+    WITH sh AS ({_mh_sql_shingles()}),
+    sig AS (SELECT doc_id, {_mh_sql_minexprs()} FROM sh GROUP BY doc_id),
+    bk AS (
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig)
+    SELECT DISTINCT n.doc_id AS new_id, l.doc_id AS landed_id
+    FROM bk n JOIN bk l ON n.band = l.band AND n.bucket = l.bucket
+    WHERE n.doc_id % 5 <> 0 AND l.doc_id % 5 = 0
+    """,
+)
+def incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.sources.minhash_index import lsh_probe_pairs
+
+    sigs = _shared_signatures(spark, sf_dir)
+    landed = sigs.filter(F.col("doc_id") % 5 == 0)
+    new = sigs.filter(F.col("doc_id") % 5 != 0)
+    return lsh_probe_pairs(new, landed, num_hashes=8, band_size=2)
+
+
+# --------------------------------------------------------------------------
 # 50. Ordered-sequence funnel over the event stream: users who viewed, then
 #     clicked AFTER the first view, then purchased AFTER that click. Built
 #     from conditional-min AGGREGATES chained by user-key joins (the oracle's
