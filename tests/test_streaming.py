@@ -639,3 +639,84 @@ def test_streaming_bm25_guards(spark):
         streaming_bm25_score(
             docs, ["vector"], vocab, {"n_docs": 0, "n_tokens": 0}
         )
+
+
+def test_stateless_signatures_match_batch(spark):
+    """The projection-form MinHash signer (streaming's stateless path)
+    must produce EXACTLY the aggregate-form signatures, including the
+    no-shingles exclusion for docs shorter than k."""
+    from xena_gdc_etl_spark.operators import dedup as dd
+    from xena_gdc_etl_spark.streaming import stateless_minhash_signatures
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    # append sub-k and empty docs to exercise the absent-row contract
+    extra = spark.createDataFrame(
+        [(900001, "ab"), (900002, "")], "doc_id long, text string"
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+
+    batch = {
+        tuple(r)
+        for r in dd.minhash_signatures(
+            dd.shingles(docs, k=5, distinct=False), num_hashes=8
+        ).collect()
+    }
+    stateless = {
+        tuple(r)
+        for r in stateless_minhash_signatures(docs, num_hashes=8).collect()
+    }
+    assert stateless == batch
+    assert not any(r[0] in (900001, 900002) for r in stateless)
+
+
+def test_streaming_lsh_probe_matches_batch(spark, tmp_path):
+    """Arriving docs signed statelessly and probed against the persisted
+    landed signatures yield the batch probe's pair set (distinct-pair
+    collapse in the consumer, per the two-tier discipline)."""
+    from xena_gdc_etl_spark.sources import minhash_index as mh
+    from xena_gdc_etl_spark.streaming import streaming_lsh_probe
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    landed = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+
+    # day-0 freeze: persist the landed signatures
+    landed_sigs = mh.build_signatures(landed, num_hashes=8, shingle_k=5)
+    mh.save_minhash_index(
+        landed_sigs, str(tmp_path / "idx"),
+        num_hashes=8, shingle_k=5, band_size=2,
+    )
+    loaded, _ = mh.load_minhash_index(
+        spark, str(tmp_path / "idx"),
+        num_hashes=8, shingle_k=5, band_size=2,
+    )
+
+    new_dir = str(tmp_path / "arrivals")
+    new.select("doc_id", "text").write.parquet(new_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(new_dir)
+    probed = streaming_lsh_probe(stream, loaded)
+    assert probed.isStreaming
+    q = (
+        probed.writeStream.format("memory")
+        .queryName("lsh_probe_sink")
+        .outputMode("append")  # stateless plan
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.new_id, r.landed_id)
+        for r in spark.table("lsh_probe_sink").collect()
+    }
+
+    new_sigs = mh.build_signatures(new, num_hashes=8, shingle_k=5)
+    want = {
+        (r.new_id, r.landed_id)
+        for r in mh.lsh_probe_pairs(
+            new_sigs, loaded, num_hashes=8, band_size=2
+        ).collect()
+    }
+    assert got == want
+    assert got, "no cross pairs in fixture — test vacuous"

@@ -826,10 +826,17 @@ def ngram_jaccard_pairs(
     # the bucket to be a FUNCTION of the doc (one source per doc, as in
     # every caller here): then a doc's posting memberships are exactly
     # its distinct grams.
+    # persist(), NOT localCheckpoint: lazy-checkpointing converts the
+    # plan via .rdd, which under AQE EXECUTES the upstream stages at
+    # construction time and flattens the frame to a stat-less LogicalRDD
+    # the planner then mis-sizes (see containment_pairs for the measured
+    # failure); persist keeps construction action-free and the shuffle
+    # boundary AQE-visible, while still sharing the explode+agg across
+    # consumers.
     postings_all = (
         grams.groupBy("bucket", "gram")
         .agg(F.collect_set(F.col(id_col)).alias("ids"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     postings = postings_all.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
@@ -999,8 +1006,10 @@ def dup_span_stats(
 
     # Two consumers read the gram frame (the posting aggregation and the
     # join probe — different subtree shapes, so exchange reuse does not
-    # apply); materialize it lazily so the dominant tokenize+explode+
-    # distinct stage runs once, not twice.
+    # apply); persist so the dominant tokenize+explode+distinct stage
+    # runs once, not twice (persist, not lazy localCheckpoint — see
+    # containment_pairs: .rdd conversion executes stages at construction
+    # under AQE and hides the explode fan-out from the planner).
     grams = _spread(docs).select(
         F.col(id_col),
         F.explode(
@@ -1008,7 +1017,7 @@ def dup_span_stats(
                 word_ngrams(_tokens(F.lower(F.col(text_col))), n)
             )
         ).alias("gram"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     posting = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.min(id_col).alias("__min_id"),
@@ -1079,13 +1088,19 @@ def containment_pairs(
     mirrors this).
     """
     # Three consumers read the distinct-shingle frame (sizes + both join
-    # sides); materialize it once — lazily, so construction stays
-    # job-free — instead of re-running the corpus explode+distinct per
-    # consumer. The distinct already shuffles the frame, so the
-    # checkpoint adds storage, not a new corpus pass.
-    sh = shingles(docs, id_col, text_col, k=k, distinct=True).localCheckpoint(
-        eager=False
-    )
+    # sides); share it via persist() instead of recomputing the corpus
+    # explode+distinct per consumer. NOT localCheckpoint: converting the
+    # plan to an RDD (a) EXECUTES the shingle stages at construction
+    # under AQE (the ".rdd is unsafe under AQE" hazard
+    # operators/partitioning.py documents — measured 88 s of hidden
+    # double work at the 100× lane) and (b) flattens the frame to a
+    # LogicalRDD whose static size estimate hides the explode fan-out,
+    # which made the planner BROADCAST a 250M-row posting side (>1 GiB
+    # materialized to the driver — job-killing at scale). persist()
+    # keeps the distinct's shuffle boundary visible, so AQE sizes the
+    # downstream joins from the REAL shuffle stats, and the cache is
+    # filled once by the first stage that scans it.
+    sh = shingles(docs, id_col, text_col, k=k, distinct=True).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("b"), "shingle")

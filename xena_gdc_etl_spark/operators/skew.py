@@ -62,12 +62,14 @@ def heavy_hitters(
     """
     keys = [F.col(c) for c in key_cols]
     # counts feeds two differently-shaped subtrees (top-k and the total);
-    # materialize it lazily so the table is scanned and aggregated ONCE
-    # regardless of exchange-reuse behavior.
+    # persist so the table is scanned and aggregated ONCE regardless of
+    # exchange-reuse behavior (persist, not lazy localCheckpoint, whose
+    # .rdd conversion executes stages at construction under AQE — see
+    # dedup.containment_pairs).
     counts = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     total = counts.agg(F.sum("cnt").alias("__total"))
     topk = counts.orderBy(F.col("cnt").desc(), *key_cols).limit(k)

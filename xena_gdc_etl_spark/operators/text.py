@@ -493,14 +493,16 @@ def bigram_logprob_scores(
         ).alias("bg"),
     )
     # Three consumers read the (id, bg, tf2) frame (c2 rollup, the join
-    # side, and — via c2 — the c1 rollup); checkpoint it lazily so the
-    # corpus-wide bigram explode+aggregate runs once per action instead
-    # of relying on exchange reuse across three subtrees (same
-    # materialize-once discipline as containment_pairs' shingle frame).
+    # side, and — via c2 — the c1 rollup); persist it so the corpus-wide
+    # bigram explode+aggregate runs once instead of relying on exchange
+    # reuse across three subtrees (same materialize-once discipline as
+    # containment_pairs' shingle frame — and same reason it is persist,
+    # not lazy localCheckpoint: .rdd conversion executes stages at
+    # construction under AQE and strips the stats AQE plans joins from).
     tf2 = (
         bigrams.groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("tf2"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     c2 = tf2.groupBy("bg").agg(F.sum("tf2").alias("c2"))
     c1 = (
@@ -587,14 +589,15 @@ def commonness_buckets(
     # ranking: the sharded rank's boundary-sample pass projects its order
     # keys, and commonness IS an order key, so without this the whole
     # commonness pipeline would run twice (once for the sample, once for
-    # the rank). Lazy (eager=False) so merely CONSTRUCTING this plan
-    # (EXPLAIN, plan-shape tests) runs no job — the checkpoint
-    # materializes on its first action, which here is the boundary-sample
-    # collect inside group_row_number, and every later pass reuses it.
+    # the rank). persist(), not lazy localCheckpoint: the checkpoint's
+    # .rdd conversion EXECUTES the pipeline's stages at construction
+    # under AQE (so "construction runs no job" was false), while persist
+    # is genuinely action-free until the boundary-sample collect inside
+    # group_row_number fills the cache for every later pass.
     ranked_in = (
         docs.select(id_col, lang_col)
         .join(comm, id_col)
-        .localCheckpoint(eager=False)
+        .persist()
     )
     ranked = group_row_number(
         ranked_in,
@@ -995,14 +998,15 @@ def source_vocab_overlap(
     # The top frame is tiny (≤ vocab_k × n_sources rows) but feeds THREE
     # consumers (pair join both sides + sizes); materialize it so the
     # corpus-scale tokenize/count pipeline above runs once, not three
-    # times. Lazy (eager=False): plan construction stays action-free, the
-    # checkpoint lands on the query's first action and is shared from
+    # times. persist(), not lazy localCheckpoint (whose .rdd conversion
+    # executes stages at construction under AQE — see containment_pairs);
+    # the cache fills on the query's first action and is shared from
     # there.
     top = (
         survivors.withColumn("__rank", F.row_number().over(final_w))
         .filter(F.col("__rank") <= vocab_k)
         .select("source", "tok")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
     a, b = top.alias("a"), top.alias("b")

@@ -264,6 +264,115 @@ def streaming_pii_rate(
     )
 
 
+def stateless_minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signatures as a PURE PROJECTION — no explode, no
+    groupBy — so a STREAM can sign arriving documents statelessly
+    (dedup.minhash_signatures aggregates over an exploded shingle table,
+    which on a stream would need watermarked per-doc state for no
+    reason: a document's signature depends only on its own text).
+
+    Same numbers as the batch operator, pinned by test: identical
+    shingling (k-char substrings over guarded offsets; docs shorter than
+    k have no shingles and emit NO row, matching the batch groupBy's
+    absent-key contract), identical slot derivation (8×8-hex chunks of
+    seeded sha256, base-16 decoded to bigint), min over the doc's
+    shingle multiset via ``array_min`` — all codegen higher-order
+    Column math, no Python, usable in append mode.
+    """
+    stop = F.length(F.col(text_col)) - F.lit(shingle_k - 1)
+    offsets = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        offsets, lambda i: F.col(text_col).substr(i, F.lit(shingle_k))
+    )
+    base = docs.select(F.col(id_col), sh.alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+    n_digests = (num_hashes + 7) // 8
+
+    # factory closures, NOT default-arg lambdas: F.transform treats a
+    # TWO-arg lambda as (element, index), so `lambda x, d=d: ...` would
+    # silently receive the array INDEX as d — every slot would compute
+    # the same expression (caught by the batch-equality pin)
+    def _dig_fn(d: int):
+        return lambda x: F.sha2(F.concat(F.lit(f"s{d}:"), x), 256)
+
+    def _slot_fn(c: int):
+        return lambda h: F.conv(
+            F.substring(h, 1 + 8 * c, 8), 16, 10
+        ).cast("bigint")
+
+    # one seeded digest ARRAY per 8 slots, materialized as a column so
+    # the 8 slot extractions read it instead of re-hashing per slot
+    dig_cols = [
+        F.transform(F.col("__sh"), _dig_fn(d)).alias(f"__dig{d}")
+        for d in range(n_digests)
+    ]
+    staged = base.select(id_col, *dig_cols)
+    slot_cols = []
+    for j in range(num_hashes):
+        d, c = j // 8, j % 8
+        slot_cols.append(
+            F.array_min(
+                F.transform(F.col(f"__dig{d}"), _slot_fn(c))
+            ).alias(f"mh{j}")
+        )
+    return staged.select(id_col, *slot_cols)
+
+
+def streaming_lsh_probe(
+    new_docs: DataFrame,
+    landed_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Streaming twin of the incremental near-dedup probe
+    (sources/minhash_index.py ``lsh_probe_pairs``): every ARRIVING
+    document is signed statelessly (:func:`stateless_minhash_signatures`),
+    banded, and joined against the LANDED corpus's persisted signature
+    artifact — the landed text is never re-shingled, and the stream
+    carries only ``num_hashes`` longs per doc into the join.
+
+    Plan shape (all streaming-legal, stateless): sign → band → explode
+    (band, bucket) → stream-static inner join on (band, bucket). The
+    static side is the banded artifact (a digest-scale table — broadcast
+    when it fits, re-resolved per micro-batch), so no join state
+    accumulates. Output is one (new_id, landed_id, band) row PER MATCHING
+    BAND: collapsing to distinct pairs would need cross-row state the
+    stream cannot bound, so — same two-tier discipline as the
+    heavy-hitters / cluster-purity twins — the tiny per-micro-batch
+    ``dropDuplicates`` runs in the foreachBatch consumer (batch twin
+    applies ``.distinct()`` in-plan). Batch equivalence on the distinct
+    pair set is pinned by test.
+    """
+    from xena_gdc_etl_spark.operators.dedup import lsh_buckets
+
+    new_sigs = stateless_minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    new_b = lsh_buckets(
+        new_sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    landed_b = lsh_buckets(
+        landed_signatures, id_col=id_col, num_hashes=num_hashes,
+        band_size=band_size,
+    ).select(F.col(id_col).alias("landed_id"), "band", "bucket")
+    return new_b.join(landed_b, ["band", "bucket"]).select(
+        "new_id", "landed_id", "band"
+    )
+
+
 def streaming_bm25_score(
     docs: DataFrame,
     query_terms: "list[str]",
