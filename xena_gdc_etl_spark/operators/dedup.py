@@ -826,18 +826,18 @@ def ngram_jaccard_pairs(
     # the bucket to be a FUNCTION of the doc (one source per doc, as in
     # every caller here): then a doc's posting memberships are exactly
     # its distinct grams.
-    # persist(), NOT localCheckpoint: lazy-checkpointing converts the
-    # plan via .rdd, which under AQE EXECUTES the upstream stages at
-    # construction time and flattens the frame to a stat-less LogicalRDD
-    # the planner then mis-sizes (see containment_pairs for the measured
-    # failure); persist keeps construction action-free and the shuffle
-    # boundary AQE-visible, while still sharing the explode+agg across
-    # consumers.
+    # Eagerly-filled persist — see containment_pairs for the full
+    # rationale: lazy localCheckpoint mis-sizes via a flattened
+    # LogicalRDD, an unfilled cache mis-sizes via the child's estimate
+    # (both hide the explode fan-out and bait corpus-sized broadcasts);
+    # the fill is work every consumer needs anyway and leaves ACTUAL
+    # bytes for the planner.
     postings_all = (
         grams.groupBy("bucket", "gram")
         .agg(F.collect_set(F.col(id_col)).alias("ids"))
         .persist()
     )
+    postings_all.count()
     postings = postings_all.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
         postings = postings.filter(F.size("ids") <= max_doc_freq)
@@ -1006,10 +1006,11 @@ def dup_span_stats(
 
     # Two consumers read the gram frame (the posting aggregation and the
     # join probe — different subtree shapes, so exchange reuse does not
-    # apply); persist so the dominant tokenize+explode+distinct stage
-    # runs once, not twice (persist, not lazy localCheckpoint — see
-    # containment_pairs: .rdd conversion executes stages at construction
-    # under AQE and hides the explode fan-out from the planner).
+    # apply); eagerly-filled persist so the dominant tokenize+explode+
+    # distinct stage runs once AND the planner sees the frame's ACTUAL
+    # size (see containment_pairs: both lazy localCheckpoint and an
+    # unfilled cache hide the explode fan-out and bait corpus-sized
+    # broadcasts).
     grams = _spread(docs).select(
         F.col(id_col),
         F.explode(
@@ -1018,6 +1019,7 @@ def dup_span_stats(
             )
         ).alias("gram"),
     ).persist()
+    grams.count()
     posting = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.min(id_col).alias("__min_id"),
@@ -1088,19 +1090,23 @@ def containment_pairs(
     mirrors this).
     """
     # Three consumers read the distinct-shingle frame (sizes + both join
-    # sides); share it via persist() instead of recomputing the corpus
-    # explode+distinct per consumer. NOT localCheckpoint: converting the
-    # plan to an RDD (a) EXECUTES the shingle stages at construction
-    # under AQE (the ".rdd is unsafe under AQE" hazard
-    # operators/partitioning.py documents — measured 88 s of hidden
-    # double work at the 100× lane) and (b) flattens the frame to a
-    # LogicalRDD whose static size estimate hides the explode fan-out,
-    # which made the planner BROADCAST a 250M-row posting side (>1 GiB
-    # materialized to the driver — job-killing at scale). persist()
-    # keeps the distinct's shuffle boundary visible, so AQE sizes the
-    # downstream joins from the REAL shuffle stats, and the cache is
-    # filled once by the first stage that scans it.
+    # sides); share it via an EAGERLY-FILLED persist. Why this exact
+    # shape (measured at the §sf10 100× lane):
+    # - NOT localCheckpoint(eager=False): its .rdd conversion executes
+    #   the stages at construction under AQE AND flattens the frame to a
+    #   LogicalRDD whose static estimate hides the ~100× explode
+    #   fan-out — the planner then BROADCAST a 250M-row posting side
+    #   (>1 GiB driver materialization, job killed by maxResultSize).
+    # - NOT a bare lazy persist: an UNFILLED InMemoryRelation also
+    #   reports its child's estimate (same lie), and cached scans have
+    #   no exchange for AQE to re-measure, so the bogus broadcast
+    #   survives to runtime ("Not enough memory to build and broadcast").
+    # - The count() fills the cache (work every consumer needs anyway),
+    #   after which the relation reports ACTUAL bytes — downstream joins
+    #   broadcast at small scale and shuffle at corpus scale, the right
+    #   plan at every size with no hand-placed hints.
     sh = shingles(docs, id_col, text_col, k=k, distinct=True).persist()
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("b"), "shingle")

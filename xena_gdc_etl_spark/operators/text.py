@@ -493,17 +493,18 @@ def bigram_logprob_scores(
         ).alias("bg"),
     )
     # Three consumers read the (id, bg, tf2) frame (c2 rollup, the join
-    # side, and — via c2 — the c1 rollup); persist it so the corpus-wide
-    # bigram explode+aggregate runs once instead of relying on exchange
-    # reuse across three subtrees (same materialize-once discipline as
-    # containment_pairs' shingle frame — and same reason it is persist,
-    # not lazy localCheckpoint: .rdd conversion executes stages at
-    # construction under AQE and strips the stats AQE plans joins from).
+    # side, and — via c2 — the c1 rollup); eagerly-filled persist so the
+    # corpus-wide bigram explode+aggregate runs once AND the vocab joins
+    # (tf2 ⋈ c2 ⋈ c1) plan from the frame's ACTUAL size — broadcast on a
+    # small corpus, shuffle at web scale (see dedup.containment_pairs:
+    # both lazy localCheckpoint and an unfilled cache report estimates
+    # that hide the explode fan-out and bait corpus-sized broadcasts).
     tf2 = (
         bigrams.groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("tf2"))
         .persist()
     )
+    tf2.count()
     c2 = tf2.groupBy("bg").agg(F.sum("tf2").alias("c2"))
     c1 = (
         c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
