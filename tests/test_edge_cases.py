@@ -606,3 +606,27 @@ def test_all_queries_survive_hot_keys_and_null_keys(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             failures.append((name, repr(e)[:120]))
     assert not failures, failures
+
+
+def test_right_semantics_cross_engine_short_strings(spark):
+    """suffix_dup keys on right(normalized, 128); the sf0.01 oracle gate
+    never exercises texts shorter than the window, so pin the
+    cross-engine contract here: right() returns the WHOLE string when it
+    is shorter than n, '' for '', and NULL for NULL — identically in
+    Spark and DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = ["abc", "", None, "x" * 127, "y" * 128, "z" * 300]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_spark = [
+        r[0] for r in sdf.select(F.right("s", F.lit(128))).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute("SELECT right(?, 128)", [v]).fetchone()[0] for v in vals
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] == "abc" and got_spark[1] == ""
+    assert got_spark[2] is None
+    assert got_spark[5] == "z" * 128

@@ -4345,6 +4345,116 @@ def salted_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 73b. Suffix dedup — the boilerplate-FOOTER catcher, symmetric to
+#      prefix_dup: duplicate groups keyed by the digest of the last 128
+#      normalized characters (license blocks, signature footers, SEO
+#      tails). Same digest-only shuffle economics as dedup_exact;
+#      right() has identical shorter-than-n semantics in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "suffix_dup",
+    r"""
+    SELECT md5(right(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')),
+               128)) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def suffix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = dd._spread(Catalog(spark, sf_dir).documents)
+    return dd.dedup_exact(
+        docs.withColumn(
+            "text", F.right(dd.normalize_text("text"), F.lit(128))
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 80. Per-source Jensen–Shannon divergence vs the corpus unigram mix —
+#     the mixture diagnostic that says WHICH sources are linguistically
+#     far from the blend (a source whose JSD jumps between snapshots is
+#     a crawl/extraction regression; a source far above its peers gets
+#     its mixture weight revisited). JSD(P_s ‖ Q) with Q = the corpus
+#     distribution, decomposed so only the source's OWN tokens are ever
+#     enumerated: the Σ over tokens absent from the source collapses to
+#     ln(2)·(1 − Σ_{t∈s} q_t). Plan: the shared (doc,tok,tf) frame rolls
+#     up to (source, tok) and (tok) aggregates; one tok-keyed join
+#     (vocab-scale both sides, orders of magnitude under the token
+#     stream), per-source totals broadcast, one partial-agged groupBy.
+# --------------------------------------------------------------------------
+@query(
+    "source_jsd",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    st AS (SELECT d.source, t.tok, sum(t.tf) AS stf
+           FROM tf t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    corpus AS (SELECT tok, sum(stf) AS ctf FROM st GROUP BY 1),
+    ns AS (SELECT source, sum(stf) AS ns FROM st GROUP BY 1),
+    tot AS (SELECT sum(ctf) AS n FROM corpus),
+    j AS (SELECT st.source,
+                 st.stf / ns.ns AS p,
+                 corpus.ctf / tot.n AS q
+          FROM st JOIN corpus USING (tok) JOIN ns USING (source)
+          CROSS JOIN tot),
+    agg AS (SELECT source,
+                   sum(p * ln(p / ((p + q) / 2))) AS kl_p,
+                   sum(q * ln(q / ((p + q) / 2))) AS kl_q_in,
+                   sum(q) AS q_in
+            FROM j GROUP BY 1)
+    SELECT a.source,
+           CAST(ns.ns AS BIGINT) AS n_tokens,
+           round(0.5 * kl_p + 0.5 * (kl_q_in + ln(2) * (1.0 - q_in)), 6) AS jsd
+    FROM agg a JOIN ns USING (source)
+    """,
+)
+def source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _shared_doc_tf(spark, sf_dir)
+    src = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    st = (
+        tf.join(src, "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.sum("tf").alias("stf"))
+    )
+    corpus = st.groupBy("tok").agg(F.sum("stf").alias("ctf"))
+    ns = st.groupBy("source").agg(F.sum("stf").alias("ns"))
+    tot = corpus.agg(F.sum("ctf").alias("n"))
+    p = F.col("stf") / F.col("ns")
+    q = F.col("ctf") / F.col("n")
+    m = (p + q) / 2
+    agg = (
+        st.join(corpus, "tok")
+        .join(F.broadcast(ns), "source")
+        .join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(p * F.log(p / m)).alias("kl_p"),
+            F.sum(q * F.log(q / m)).alias("kl_q_in"),
+            F.sum(q).alias("q_in"),
+        )
+    )
+    import math
+
+    return agg.join(F.broadcast(ns), "source").select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_tokens"),
+        F.round(
+            0.5 * F.col("kl_p")
+            + 0.5 * (F.col("kl_q_in") + math.log(2.0) * (1.0 - F.col("q_in"))),
+            6,
+        ).alias("jsd"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — self-maintaining driver-window rotation.
 #
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
