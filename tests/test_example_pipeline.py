@@ -116,3 +116,49 @@ def test_token_stats_build_example(spark, sf_dir, tmp_path):
         for r in unigram_logprob_scores(docs, tf=tf).collect()
     }
     assert fresh == loaded
+
+
+def test_incremental_dedup_daily_example(spark, tmp_path):
+    """The day-0 freeze -> day-N probe loop (examples/
+    incremental_dedup_daily.py) runs end-to-end over the durable digest
+    + MinHash artifacts and agrees with the registered queries: the
+    exact half equals incremental_dedup, and the near half equals the
+    incremental_lsh_probe pair set."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "incdaily", os.path.join(repo, "examples", "incremental_dedup_daily.py")
+    )
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = Catalog(spark, sf_dir).documents
+    landed = docs.filter(F.col("doc_id") % 5 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 != 0)
+
+    state = str(tmp_path / "state")
+    ex.day0_snapshot(spark, landed, state)
+    exact, near = ex.dayN_probe(spark, new_docs, state)
+
+    got_exact = {(r.doc_id, r.dup_of) for r in exact.collect()}
+    want_exact = {
+        (r.doc_id, r.dup_of)
+        for r in QUERIES["incremental_dedup"](spark, sf_dir).collect()
+    }
+    assert got_exact == want_exact
+
+    got_near = {(r.new_id, r.landed_id) for r in near.collect()}
+    want_near = {
+        (r.new_id, r.landed_id)
+        for r in QUERIES["incremental_lsh_probe"](spark, sf_dir).collect()
+    }
+    assert got_near == want_near
+    assert got_near, "no near pairs — fixture vacuous"
