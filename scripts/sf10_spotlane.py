@@ -26,8 +26,10 @@ exponent needs). doc_id offsets by i·STRIDE.
 Single-run lane (the stages are minutes-long at 100× — run-to-run noise
 is irrelevant at that magnitude; the 1× side uses best-of-2).
 
-Run: python scripts/sf10_spotlane.py [sf_dir] [work_dir]
-Writes sf10_spotlane.json at the repo root.
+Run: python scripts/sf10_spotlane.py [sf_dir] [work_dir] [extra_query ...]
+Extra query names (any documents-only registry entry) run after the
+default three stages; results MERGE into sf10_spotlane.json at the repo
+root (a subset run never clobbers earlier rows).
 """
 
 from __future__ import annotations
@@ -106,6 +108,7 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10_spotlane"
+    extra = sys.argv[3:]
     os.makedirs(work, exist_ok=True)
 
     spark = get_spark(
@@ -132,6 +135,7 @@ def main() -> None:
         for label, fn in (
             ("shared_signatures_warm", wl._shared_signatures),
             ("shared_lsh_pairs_warm", wl._shared_lsh_pairs),
+            ("shared_tf_warm", wl._shared_doc_tf),
         ):
             start = time.perf_counter()
             n = fn(spark, d).count()
@@ -140,15 +144,18 @@ def main() -> None:
             results[label][f"rows_{scale}"] = n
             print(json.dumps({"scale": scale, "stage": label, "sec": sec,
                               "rows": n}), flush=True)
-        best, n = float("inf"), -1
-        for _ in range(trials):
-            start = time.perf_counter()
-            n = consume(wl.QUERIES["containment_pairs"](spark, d))
-            best = min(best, time.perf_counter() - start)
-        results.setdefault("containment_pairs", {})[scale] = round(best, 3)
-        results["containment_pairs"][f"rows_{scale}"] = n
-        print(json.dumps({"scale": scale, "stage": "containment_pairs",
-                          "sec": round(best, 3), "rows": n}), flush=True)
+        # extra names REPLACE the default containment stage (a spot run
+        # for other queries must not re-pay its 100×-scale minutes)
+        for qname in (extra or ["containment_pairs"]):
+            best, n = float("inf"), -1
+            for _ in range(trials):
+                start = time.perf_counter()
+                n = consume(wl.QUERIES[qname](spark, d))
+                best = min(best, time.perf_counter() - start)
+            results.setdefault(qname, {})[scale] = round(best, 3)
+            results[qname][f"rows_{scale}"] = n
+            print(json.dumps({"scale": scale, "stage": qname,
+                              "sec": round(best, 3), "rows": n}), flush=True)
 
     for name, r in results.items():
         if r.get("x1", 0) > 0 and "x100" in r:
@@ -161,14 +168,23 @@ def main() -> None:
             if r.get("rows_x1"):
                 r["rows_ratio"] = round(r["rows_x100"] / r["rows_x1"], 2)
 
-    out = {"metric": "sf10_spotlane", "copies": COPIES, "results": results}
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "sf10_spotlane.json",
     )
+    # MERGE into the existing record (same contract as sf1_workload.py):
+    # a subset run must not clobber rows from earlier full runs
+    try:
+        with open(path) as fh:
+            merged = dict(json.load(fh).get("results", {}))
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(results)
+    out = {"metric": "sf10_spotlane", "copies": COPIES, "results": merged}
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps(out), flush=True)
+    print(json.dumps({"metric": "sf10_spotlane", "copies": COPIES,
+                      "results": results}), flush=True)
 
 
 if __name__ == "__main__":
