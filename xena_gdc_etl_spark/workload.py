@@ -4455,6 +4455,60 @@ def source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 81. Per-source Zipf slope — fit ln(tf) ~ ln(rank) over each source's
+#     top-500 tokens with an IN-ENGINE regression aggregate (regr_slope,
+#     codegen partial-aggregable in both engines). Natural text sits near
+#     slope −1; a source far off (−0.5: templated/boilerplate token mix;
+#     −2: degenerate vocabulary) is a crawl/extraction regression the
+#     corpus-health dashboard should flag. The per-source rank uses the
+#     house SHARDED prefix-scan rank (operators/prefix.group_row_number)
+#     — a plain per-source window would single-task each source's whole
+#     vocabulary at corpus scale.
+# --------------------------------------------------------------------------
+@query(
+    "zipf_slope",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    st AS (SELECT d.source, t.tok, sum(t.tf) AS stf
+           FROM tf t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    ranked AS (
+        SELECT source, stf,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY stf DESC, tok) AS r
+        FROM st)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_ranks,
+           round(regr_slope(ln(stf), ln(r)), 6) AS zipf_slope
+    FROM ranked WHERE r <= 500 GROUP BY source
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.prefix import group_row_number
+
+    tf = _shared_doc_tf(spark, sf_dir)
+    src = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    st = (
+        tf.join(src, "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.sum("tf").alias("stf"))
+    )
+    ranked = group_row_number(
+        st, ["source"], [("stf", "desc"), "tok"], "r"
+    ).filter(F.col("r") <= 500)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.round(F.regr_slope(F.log("stf"), F.log("r")), 6).alias(
+            "zipf_slope"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — self-maintaining driver-window rotation.
 #
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
