@@ -429,3 +429,54 @@ def test_cases_sample_mapping_flattens_hits(spark):
     )
     out = sorted((r.sample, r.case) for r in cases_sample_mapping(hits).collect())
     assert out == [("S1", "C1"), ("S2", "C1"), ("S3", "C2")]
+
+
+def test_cli_build_token_stats_and_minhash_index(spark, tmp_path):
+    """The artifact-builder subcommands freeze loadable, param-tagged
+    state: build both from the sf0.001 documents via the REAL CLI
+    surface, then load through the library loaders (which enforce the
+    sentinel + parameter tags)."""
+    from xena_gdc_etl_spark.sources.minhash_index import load_minhash_index
+    from xena_gdc_etl_spark.sources.token_stats import load_token_stats
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    out_ts = str(tmp_path / "ts")
+    r = run_cli("build-token-stats", "--docs", docs, "--out", out_ts)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Token-stats artifact saved" in r.stdout
+    _tf, vocab, manifest = load_token_stats(spark, out_ts)
+    assert manifest["n_docs"] == 500
+    assert vocab.count() == manifest["n_vocab"] > 0
+
+    out_mh = str(tmp_path / "mh")
+    r = run_cli(
+        "build-minhash-index", "--docs", docs, "--out", out_mh,
+        "--num-hashes", "8", "--shingle-k", "5", "--band-size", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    sigs, manifest = load_minhash_index(
+        spark, out_mh, num_hashes=8, shingle_k=5, band_size=2
+    )
+    assert manifest["n_docs"] == 500
+    assert sigs.columns == ["doc_id"] + [f"mh{j}" for j in range(8)]
+    # a consumer under DIFFERENT params is refused (the tag is the point)
+    with pytest.raises(ValueError, match="must not mix"):
+        load_minhash_index(spark, out_mh, num_hashes=16, shingle_k=5,
+                           band_size=2)
+
+
+def test_cli_build_ann_index(spark, tmp_path):
+    from xena_gdc_etl_spark.sources.ann_index import load_ann_index
+
+    out = str(tmp_path / "ann")
+    r = run_cli(
+        "build-ann-index",
+        "--vectors", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", out, "--n-cells", "4", "--iterations", "1",
+        "--pq-m", "4", "--pq-k", "8",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    centroids, codebooks, manifest = load_ann_index(spark, out)
+    assert manifest["n_centroids"] == centroids.count() == 4
+    assert len(codebooks) == 4 and codebooks[0].shape[0] == 8

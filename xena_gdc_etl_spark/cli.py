@@ -131,6 +131,64 @@ def create_parser() -> argparse.ArgumentParser:
     check.add_argument("--summary-cols", nargs="+", required=True)
 
     sub.add_parser("dtypes", help="list supported dtypes")
+
+    # ---- durable-artifact builders: the once-per-corpus-freeze jobs a
+    # deployment schedules so every later consumer (day-N incremental
+    # dedup, ANN serving, streaming scorers) loads state instead of
+    # rescanning the corpus (sources/{token_stats,minhash_index,
+    # ann_index}.py — each writes its tables then a written-last
+    # sentinel, so an interrupted build is never mistaken for a
+    # complete artifact).
+    bts = sub.add_parser(
+        "build-token-stats",
+        help="freeze the corpus token statistics (tf table + vocab "
+        "rollup + manifest) for the unigram/BM25/LM consumers",
+    )
+    bts.add_argument("--docs", required=True, help="documents parquet")
+    bts.add_argument("--out", required=True, help="artifact directory")
+    bts.add_argument("--id-col", default="doc_id")
+    bts.add_argument("--text-col", default="text")
+
+    bmi = sub.add_parser(
+        "build-minhash-index",
+        help="freeze the corpus MinHash signatures (param-tagged) for "
+        "day-N incremental near-dedup probes",
+    )
+    bmi.add_argument("--docs", required=True, help="documents parquet")
+    bmi.add_argument("--out", required=True, help="artifact directory")
+    bmi.add_argument("--id-col", default="doc_id")
+    bmi.add_argument("--text-col", default="text")
+    bmi.add_argument("--num-hashes", type=int, default=8)
+    bmi.add_argument("--shingle-k", type=int, default=5)
+    bmi.add_argument("--band-size", type=int, default=2)
+    bmi.add_argument(
+        "--normalized",
+        action="store_true",
+        help="shingle over normalize_text (whitespace/punct-insensitive)",
+    )
+
+    bai = sub.add_parser(
+        "build-ann-index",
+        help="train and freeze the IVF centroids (+ optional PQ "
+        "codebooks) for ANN serving and embedding dedup",
+    )
+    bai.add_argument("--vectors", required=True, help="embeddings parquet")
+    bai.add_argument("--out", required=True, help="artifact directory")
+    bai.add_argument("--id-col", default="vec_id")
+    bai.add_argument("--vec-col", default="embedding")
+    bai.add_argument(
+        "--n-cells",
+        type=int,
+        default=0,
+        help="IVF cell count; 0 = scale with the corpus "
+        "(similarity.suggest_n_cells)",
+    )
+    bai.add_argument("--iterations", type=int, default=3)
+    bai.add_argument(
+        "--pq-m", type=int, default=0,
+        help="PQ subspaces; 0 = no PQ half",
+    )
+    bai.add_argument("--pq-k", type=int, default=16)
     return parser
 
 
@@ -158,6 +216,93 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"xge-spark-{options.subcomm}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if options.subcomm == "build-token-stats":
+        from pyspark.sql import functions as F
+
+        from xena_gdc_etl_spark.operators.text import doc_term_freqs
+        from xena_gdc_etl_spark.sources.token_stats import save_token_stats
+
+        docs = spark.read.parquet(options.docs)
+        tf = doc_term_freqs(docs, options.id_col, options.text_col)
+        if options.id_col != "doc_id":
+            tf = tf.select(
+                F.col(options.id_col).alias("doc_id"), "tok", "tf"
+            )
+        manifest = save_token_stats(tf, options.out)
+        print(
+            f"Token-stats artifact saved at {options.out} "
+            f"({manifest['n_docs']} docs, {manifest['n_vocab']} vocab)."
+        )
+        return 0
+
+    if options.subcomm == "build-minhash-index":
+        from xena_gdc_etl_spark.sources.minhash_index import (
+            build_signatures,
+            save_minhash_index,
+        )
+
+        docs = spark.read.parquet(options.docs)
+        sigs = build_signatures(
+            docs,
+            num_hashes=options.num_hashes,
+            shingle_k=options.shingle_k,
+            normalized=options.normalized,
+            id_col=options.id_col,
+            text_col=options.text_col,
+        )
+        manifest = save_minhash_index(
+            sigs,
+            options.out,
+            num_hashes=options.num_hashes,
+            shingle_k=options.shingle_k,
+            band_size=options.band_size,
+            normalized=options.normalized,
+            id_col=options.id_col,
+        )
+        print(
+            f"MinHash index saved at {options.out} "
+            f"({manifest['n_docs']} docs, params "
+            f"{manifest['num_hashes']}/{manifest['shingle_k']}/"
+            f"{manifest['band_size']})."
+        )
+        return 0
+
+    if options.subcomm == "build-ann-index":
+        from xena_gdc_etl_spark.operators import similarity as sim
+        from xena_gdc_etl_spark.sources.ann_index import save_ann_index
+
+        vectors = spark.read.parquet(options.vectors)
+        n_cells = options.n_cells or sim.suggest_n_cells(vectors.count())
+        centroids = sim.ivf_train(
+            vectors,
+            k=n_cells,
+            iterations=options.iterations,
+            id_col=options.id_col,
+            vec_col=options.vec_col,
+        )
+        codebooks = None
+        if options.pq_m > 0:
+            codebooks = sim.pq_train(
+                vectors,
+                m=options.pq_m,
+                k=options.pq_k,
+                iterations=options.iterations,
+                id_col=options.id_col,
+                vec_col=options.vec_col,
+            )
+        manifest = save_ann_index(
+            centroids, options.out, codebooks=codebooks,
+            vec_col=options.vec_col,
+        )
+        pq = manifest["pq"]
+        print(
+            f"ANN index saved at {options.out} "
+            f"({manifest['n_centroids']} cells"
+            + (f", PQ m={pq['m']} k={pq['k']}" if pq else "")
+            + ")."
+        )
+        return 0
 
     if options.subcomm == "etl":
         from xena_gdc_etl_spark.gdc_pipelines import transform_matrix_dtype
