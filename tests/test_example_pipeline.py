@@ -162,3 +162,66 @@ def test_incremental_dedup_daily_example(spark, tmp_path):
     }
     assert got_near == want_near
     assert got_near, "no near pairs — fixture vacuous"
+
+
+def test_streaming_incremental_probe_example(spark, tmp_path):
+    """The streaming serve example (examples/streaming_incremental_probe
+    .py) lands the SAME answers as the batch artifact loop: exact ==
+    incremental_dedup, distinct near pairs == incremental_lsh_probe."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(repo, "examples", f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    daily = load("incremental_dedup_daily")
+    serve = load("streaming_incremental_probe")
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = Catalog(spark, sf_dir).documents
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "serve")
+    daily.day0_snapshot(spark, docs.filter(F.col("doc_id") % 5 == 0), state)
+
+    arrivals_dir = str(tmp_path / "arrivals")
+    docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").write.parquet(
+        arrivals_dir
+    )
+    arrivals = spark.readStream.schema("doc_id long, text string").parquet(
+        arrivals_dir
+    )
+    exact_q, near_q = serve.serve_stream(spark, arrivals, state, out)
+    exact_q.awaitTermination(300)
+    near_q.awaitTermination(300)
+
+    got_exact = {
+        (r.doc_id, r.dup_of)
+        for r in spark.read.parquet(os.path.join(out, "exact")).collect()
+    }
+    want_exact = {
+        (r.doc_id, r.dup_of)
+        for r in QUERIES["incremental_dedup"](spark, sf_dir).collect()
+    }
+    assert got_exact == want_exact
+
+    got_near = {
+        (r.new_id, r.landed_id)
+        for r in spark.read.parquet(os.path.join(out, "near")).collect()
+    }
+    want_near = {
+        (r.new_id, r.landed_id)
+        for r in QUERIES["incremental_lsh_probe"](spark, sf_dir).collect()
+    }
+    assert got_near == want_near and got_near
