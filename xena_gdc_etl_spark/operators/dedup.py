@@ -959,9 +959,15 @@ def ngram_contamination(
     test_grams = grams(test).select("gram").distinct().withColumn(
         "__hit", F.lit(1)
     )
+    # no broadcast HINT: a held-out set is usually eval-suite-sized and
+    # AQE broadcasts it from the distinct's RUNTIME stats — but heldout
+    # size is caller data, and a forced broadcast of a corpus-sized
+    # heldout is a driver OOM where the unhinted plan degrades to a
+    # gram-keyed shuffle join (the round-11 broadcast audit's one
+    # knob-less corpus-proportional hint)
     return (
         grams(train)
-        .join(F.broadcast(test_grams), "gram", "left")
+        .join(test_grams, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
