@@ -805,6 +805,117 @@ def _char_fold(tok: Column) -> Column:
     )
 
 
+def _winnow_fps_frame(
+    docs: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """(id, __fps sorted-distinct winnowed fingerprint array) — the
+    selector pipeline shared by :func:`winnow_fingerprints` (per-doc
+    digest) and :func:`winnow_contamination` (cross-set intersection).
+    See winnow_fingerprints for the algorithm, boundary conventions, and
+    the evaluation-shape constraint behind the zip_with chains."""
+    empty = F.array().cast("array<bigint>")
+
+    def shifted_fold(base: Column, length: Column, n: int,
+                     fold_base: int) -> Column:
+        """acc over n consecutive elements: chain of n-1 zip_withs, each
+        input an explicit slice — no free arrays inside any lambda."""
+        acc = F.slice(base, 1, length - (n - 1))
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(base, j + 1, length - (n - 1)),
+                lambda a, b: (a * fold_base + b) % FINGERPRINT_MOD,
+            )
+        return acc
+
+    toks = _tokens(F.lower(F.col(text_col)))
+    staged = docs.select(
+        F.col(id_col), F.transform(toks, _char_fold).alias("__th")
+    )
+    th, m = F.col("__th"), F.size(F.col("__th"))
+    grams = F.when(
+        m >= k, shifted_fold(th, m, k, WINNOW_GRAM_BASE)
+    ).otherwise(empty)
+    staged = staged.select(F.col(id_col), grams.alias("__g"))
+    gr, g = F.col("__g"), F.size(F.col("__g"))
+    # sliding window-min of width w via a min-chain (same shape: every
+    # input is an explicit slice of the materialized gram column)
+    mn = F.slice(gr, 1, g - (w - 1))
+    for j in range(1, w):
+        mn = F.zip_with(
+            mn, F.slice(gr, j + 1, g - (w - 1)), lambda a, b: F.least(a, b)
+        )
+    mins = (
+        F.when(g >= w, mn)
+        .when(g > 0, F.array(F.array_min(gr)))
+        .otherwise(empty)
+    )
+    return staged.select(
+        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("__fps")
+    )
+
+
+def winnow_contamination(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Verbatim-span decontamination via winnowed fingerprints — the
+    MOSS-style complement to :func:`~xena_gdc_etl_spark.operators.dedup.
+    ngram_contamination`'s full-gram Jaccard fraction: winnowing
+    guarantees ANY shared substring of ≥ ``k+w-1`` tokens between a
+    training doc and the held-out set yields at least one shared
+    fingerprint, so a doc quoting a single eval sentence verbatim is
+    caught even when its overall gram overlap is tiny.
+
+    Output per train doc (docs with no fingerprints — under ``k`` tokens
+    — are excluded, matching the empty-set convention):
+    (id, n_fps, n_hit, contam_fp_frac). Plan: both sides run the
+    zero-shuffle fingerprint selector at scan speed; the train side
+    explodes to (id, fp), the held-out side collapses to its DISTINCT
+    fingerprint set, and one fp-keyed join + a per-doc partial aggregate
+    finish it. No broadcast hint on the held-out side — heldout size is
+    caller data; AQE broadcasts the distinct's output when it is
+    genuinely eval-suite-sized and shuffles otherwise (same rationale as
+    ngram_contamination).
+    """
+    # Eagerly-filled persists BEFORE the explodes — measured load-bearing,
+    # not convenience: exploding the fingerprint array directly re-ran
+    # the whole zip_with selector OUTSIDE whole-stage codegen (generate
+    # + giant higher-order chain → interpreted fallback), 29 s vs 3 s for
+    # the identical computation at sf0.1, and an exchange barrier did NOT
+    # help (the chain stays interpreted wherever it lands). The filled
+    # cache holds the MATERIALIZED arrays (computed once, compiled), the
+    # explode reads columns, and — as with the other eager seams — the
+    # join below plans from actual sizes.
+    train_fps = _winnow_fps_frame(train, id_col, text_col, k, w).persist()
+    train_fps.count()
+    held_fps = _winnow_fps_frame(heldout, id_col, text_col, k, w).persist()
+    held_fps.count()
+    train_fp = train_fps.select(
+        F.col(id_col), F.explode("__fps").alias("fp")
+    )
+    held_fp = (
+        held_fps.select(F.explode("__fps").alias("fp"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train_fp.join(held_fp, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias(
+                "contam_fp_frac"
+            ),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -845,46 +956,7 @@ def winnow_fingerprints(
     ``zip_with``/``slice``, each evaluated once per row; duplication is
     bounded by the small constants k and w.
     """
-    empty = F.array().cast("array<bigint>")
-
-    def shifted_fold(base: Column, length: Column, n: int,
-                     fold_base: int) -> Column:
-        """acc over n consecutive elements: chain of n-1 zip_withs, each
-        input an explicit slice — no free arrays inside any lambda."""
-        acc = F.slice(base, 1, length - (n - 1))
-        for j in range(1, n):
-            acc = F.zip_with(
-                acc,
-                F.slice(base, j + 1, length - (n - 1)),
-                lambda a, b: (a * fold_base + b) % FINGERPRINT_MOD,
-            )
-        return acc
-
-    toks = _tokens(F.lower(F.col(text_col)))
-    staged = docs.select(
-        F.col(id_col), F.transform(toks, _char_fold).alias("__th")
-    )
-    th, m = F.col("__th"), F.size(F.col("__th"))
-    grams = F.when(
-        m >= k, shifted_fold(th, m, k, WINNOW_GRAM_BASE)
-    ).otherwise(empty)
-    staged = staged.select(F.col(id_col), grams.alias("__g"))
-    gr, g = F.col("__g"), F.size(F.col("__g"))
-    # sliding window-min of width w via a min-chain (same shape: every
-    # input is an explicit slice of the materialized gram column)
-    mn = F.slice(gr, 1, g - (w - 1))
-    for j in range(1, w):
-        mn = F.zip_with(
-            mn, F.slice(gr, j + 1, g - (w - 1)), lambda a, b: F.least(a, b)
-        )
-    mins = (
-        F.when(g >= w, mn)
-        .when(g > 0, F.array(F.array_min(gr)))
-        .otherwise(empty)
-    )
-    staged = staged.select(
-        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("__fps")
-    )
+    staged = _winnow_fps_frame(docs, id_col, text_col, k, w)
     fps = F.col("__fps")
     digest = F.aggregate(
         fps,

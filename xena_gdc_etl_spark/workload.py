@@ -3426,6 +3426,73 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 63b. Winnow-based verbatim-span decontamination — the MOSS-style
+#      complement to `contamination`'s gram-Jaccard fraction: any train
+#      doc sharing a ≥ k+w−1 = 8-token substring with the held-out slice
+#      shares ≥ 1 winnowed fingerprint, so a single quoted eval sentence
+#      is caught even at tiny overall overlap. Both sides fingerprint at
+#      scan speed (zero shuffles); one fp-keyed join + per-doc partial
+#      agg; held-out side deliberately UNHINTED (AQE decides from its
+#      distinct's runtime size — heldout size is caller data).
+# --------------------------------------------------------------------------
+@query(
+    "winnow_contamination",
+    r"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                               t -> t <> ''),
+                   t -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_transform(
+                                    list_filter(string_split(t, ''), c -> c <> ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                            (a, b) -> (a * 31 + b) % 1000000007)) AS h
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= 5 THEN
+                   list_transform(range(1, len(h) - 5 + 2),
+                       i -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT), h[i:i+4]),
+                                (a, b) -> (a * 131 + b) % 1000000007))
+               ELSE CAST([] AS BIGINT[]) END AS gh
+        FROM th),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN len(gh) >= 4 THEN
+                        list_sort(list_distinct(
+                            list_transform(range(1, len(gh) - 4 + 2),
+                                           j -> list_min(gh[j:j+3]))))
+                    WHEN len(gh) > 0 THEN [list_min(gh)]
+                    ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM g),
+    tr AS (SELECT doc_id, unnest(fps) AS fp FROM m WHERE doc_id % 10 <> 7),
+    hd AS (SELECT DISTINCT unnest(fps) AS fp FROM m WHERE doc_id % 10 = 7),
+    j AS (SELECT tr.doc_id,
+                 CASE WHEN hd.fp IS NOT NULL THEN 1 END AS hit
+          FROM tr LEFT JOIN hd ON tr.fp = hd.fp)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(count(hit) AS BIGINT) AS n_hit,
+           round(count(hit) / count(*), 6) AS contam_fp_frac
+    FROM j GROUP BY 1
+    """,
+)
+def winnow_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.text import winnow_contamination
+
+    docs = Catalog(spark, sf_dir).documents
+    return winnow_contamination(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+        k=5,
+        w=4,
+    )
+
+
+# --------------------------------------------------------------------------
 # 64. Token chunking with overlap: split docs into fixed-size training
 #     windows (size 64, stride 48) with a per-chunk content hash. One
 #     generate-explode, shuffle-free.
