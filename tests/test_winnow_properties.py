@@ -101,3 +101,42 @@ def test_winnow_shared_run_guarantee(spark, shared, pre, post):
     # engine inherits it
     assert got[0].fp_digest == _ref_digest(sorted(fa))
     assert got[1].fp_digest == _ref_digest(sorted(fb))
+
+
+def test_winnow_contamination_guarantee(spark):
+    """The winnowing guarantee, asserted end-to-end on the operator: any
+    shared substring of >= k+w-1 = 8 tokens between a train doc and the
+    held-out set yields at least one shared fingerprint (n_hit >= 1),
+    while docs over a disjoint alphabet share nothing (n_hit == 0)."""
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.operators.text import winnow_contamination
+
+    eval_sentence = "the quick brown fox jumps over the lazy dog"  # 9 toks
+    heldout = spark.createDataFrame(
+        [(100, f"header words then {eval_sentence} and trailing filler")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes the eval sentence verbatim inside unrelated text
+            (1, f"alpha beta gamma {eval_sentence} delta epsilon zeta"),
+            # disjoint vocabulary: no shared 8-token span possible
+            (2, "uno dos tres cuatro cinco seis siete ocho nueve diez "
+                "once doce trece catorce quince"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_fps, r.n_hit)
+        for r in winnow_contamination(train, heldout, k=5, w=4).collect()
+    }
+    assert got[1][1] >= 1, f"guaranteed shared fingerprint missing: {got}"
+    assert got[2][1] == 0, f"disjoint doc reported hits: {got}"
+    # and a SHORT shared substring (< 8 tokens) may legitimately be
+    # missed — the guarantee is one-directional; just assert no crash
+    short = spark.createDataFrame(
+        [(3, "quick brown fox padding padding2 padding3 padding4 pad5")],
+        "doc_id long, text string",
+    )
+    assert winnow_contamination(short, heldout, k=5, w=4).count() == 1
