@@ -65,9 +65,15 @@ def dayN_probe(spark, new_docs, state_dir: str):
     digest_index = spark.read.parquet(
         os.path.join(state_dir, "digest_index.parquet")
     )
+    # no broadcast hint: the digest index is LANDED-corpus-scale (one
+    # row per distinct landed text) — at the 100 TB scale this loop is
+    # written for, force-broadcasting it is a driver-OOM hazard. AQE
+    # broadcasts it while it is genuinely small and shuffles the join
+    # once it is not; the day-sized increment side is the broadcast
+    # candidate if any.
     exact = (
         new_docs.select("doc_id", F.md5("text").alias("h"))
-        .join(F.broadcast(digest_index), "h", "left")
+        .join(digest_index, "h", "left")
         .select("doc_id", "dup_of")
     )
     # the loader refuses an artifact built under other params — change

@@ -101,3 +101,30 @@ def test_probe_broadcast_hint_in_plan(spark, docs):
     # the increment side broadcasts; the landed corpus must never shuffle
     # for the join
     assert "Broadcast" in plan
+
+
+def test_save_refuses_non_integral_id(spark, tmp_path):
+    # a string doc id would throw mid-write (ANSI) or silently cast to
+    # all-NULL bigints (try_cast lineages); the saver must refuse the
+    # type up front instead of deferring the failure to probe time
+    bad = spark.createDataFrame(
+        [("doc-a", 1, 2, 3, 4, 5, 6, 7, 8), ("doc-b", 9, 8, 7, 6, 5, 4, 3, 2)],
+        ["doc_id"] + [f"mh{j}" for j in range(8)],
+    )
+    import os
+
+    with pytest.raises(ValueError, match="integral"):
+        mh.save_minhash_index(bad, str(tmp_path / "bad"), **P)
+    # and the sentinel must NOT endorse any partial artifact
+    assert not os.path.exists(str(tmp_path / "bad" / "_minhash.json"))
+
+
+def test_save_refuses_null_ids(spark, tmp_path):
+    rows = [(1, 1, 2, 3, 4, 5, 6, 7, 8), (None, 9, 8, 7, 6, 5, 4, 3, 2)]
+    schema = "doc_id bigint, " + ", ".join(f"mh{j} bigint" for j in range(8))
+    bad = spark.createDataFrame(rows, schema)
+    import os
+
+    with pytest.raises(ValueError, match="NULL"):
+        mh.save_minhash_index(bad, str(tmp_path / "nulls"), **P)
+    assert not os.path.exists(str(tmp_path / "nulls" / "_minhash.json"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from xena_gdc_etl_spark.functions import md5_hash60
+from xena_gdc_etl_spark.operators.seams import seam
 from xena_gdc_etl_spark.operators.text import WS_CLASS, WS_RE
 
 
@@ -826,18 +827,16 @@ def ngram_jaccard_pairs(
     # the bucket to be a FUNCTION of the doc (one source per doc, as in
     # every caller here): then a doc's posting memberships are exactly
     # its distinct grams.
-    # Eagerly-filled persist — see containment_pairs for the full
+    # Eagerly-filled seam — see containment_pairs for the full
     # rationale: lazy localCheckpoint mis-sizes via a flattened
     # LogicalRDD, an unfilled cache mis-sizes via the child's estimate
     # (both hide the explode fan-out and bait corpus-sized broadcasts);
     # the fill is work every consumer needs anyway and leaves ACTUAL
     # bytes for the planner.
-    postings_all = (
+    postings_all = seam(
         grams.groupBy("bucket", "gram")
         .agg(F.collect_set(F.col(id_col)).alias("ids"))
-        .persist()
     )
-    postings_all.count()
     postings = postings_all.filter(F.size("ids") > 1)
     if max_doc_freq is not None:
         postings = postings.filter(F.size("ids") <= max_doc_freq)
@@ -1012,20 +1011,21 @@ def dup_span_stats(
 
     # Two consumers read the gram frame (the posting aggregation and the
     # join probe — different subtree shapes, so exchange reuse does not
-    # apply); eagerly-filled persist so the dominant tokenize+explode+
+    # apply); eagerly-filled seam so the dominant tokenize+explode+
     # distinct stage runs once AND the planner sees the frame's ACTUAL
     # size (see containment_pairs: both lazy localCheckpoint and an
     # unfilled cache hide the explode fan-out and bait corpus-sized
     # broadcasts).
-    grams = _spread(docs).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                word_ngrams(_tokens(F.lower(F.col(text_col))), n)
-            )
-        ).alias("gram"),
-    ).persist()
-    grams.count()
+    grams = seam(
+        _spread(docs).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(_tokens(F.lower(F.col(text_col))), n)
+                )
+            ).alias("gram"),
+        )
+    )
     posting = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.min(id_col).alias("__min_id"),
@@ -1107,12 +1107,12 @@ def containment_pairs(
     #   reports its child's estimate (same lie), and cached scans have
     #   no exchange for AQE to re-measure, so the bogus broadcast
     #   survives to runtime ("Not enough memory to build and broadcast").
-    # - The count() fills the cache (work every consumer needs anyway),
-    #   after which the relation reports ACTUAL bytes — downstream joins
-    #   broadcast at small scale and shuffle at corpus scale, the right
-    #   plan at every size with no hand-placed hints.
-    sh = shingles(docs, id_col, text_col, k=k, distinct=True).persist()
-    sh.count()
+    # - seam()'s eager count() fills the cache (work every consumer
+    #   needs anyway), after which the relation reports ACTUAL bytes —
+    #   downstream joins broadcast at small scale and shuffle at corpus
+    #   scale, the right plan at every size with no hand-placed hints —
+    #   and registers the frame for bounded eviction + release_seams().
+    sh = seam(shingles(docs, id_col, text_col, k=k, distinct=True))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a_sh = sh.select(F.col(id_col).alias("a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("b"), "shingle")

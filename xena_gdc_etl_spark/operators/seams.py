@@ -1,0 +1,113 @@
+"""Bounded, releasable registry for operator-internal persist seams.
+
+Several operators share an expensive intermediate (a shingle table, a
+bigram tf frame, the winnowing fingerprint arrays) between two or more
+consumers inside ONE returned plan. The house pattern is an
+EAGERLY-FILLED ``persist()`` — not ``localCheckpoint`` (its ``.rdd``
+conversion executes stages at plan construction under AQE and flattens
+the frame to a LogicalRDD whose static stats hide explode fan-out), and
+not a bare lazy persist (an unfilled InMemoryRelation reports its
+child's estimate — the same lie; both baited corpus-sized broadcasts at
+the 100x lane, see ``dedup.containment_pairs``).
+
+What those per-call persists lacked was a LIFETIME: a long-lived serving
+session calling ``winnow_contamination`` or ``containment_scores``
+repeatedly accumulated cached frames until block-level LRU eviction
+churned. This module gives every operator-internal seam the same
+bounded, replace-and-unpersist discipline the session-scoped
+``workload._shared_*`` caches already follow:
+
+- ``seam(df)`` persists (optionally eager-fills) and registers the frame
+  in a per-session FIFO registry KEYED BY THE PLAN'S SEMANTIC HASH — a
+  repeated call with the same inputs re-registers the same entry (Spark's
+  CacheManager already dedupes same-plan ``persist()`` calls, so the
+  registry mirrors what the JVM actually caches) instead of growing.
+- the registry holds at most ``SEAM_CAP`` distinct seams per session;
+  registering beyond the cap unpersists the OLDEST seam. With <=2 seams
+  per operator call, an in-flight plan's seams are only evicted if the
+  caller interleaves 4+ other seam-bearing operators before consuming —
+  at which point the evicted seam silently recomputes (correct, slower).
+- ``release_seams(spark)`` deterministically unpersists everything the
+  registry holds — the between-queries hook for benches and serving
+  loops that want the cache manager empty.
+
+The registry itself holds only DataFrame handles (the cached bytes live
+in the JVM block manager); a session's entries die with the session via
+the WeakKeyDictionary.
+"""
+
+from __future__ import annotations
+
+import weakref
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+
+SEAM_CAP = 8
+
+_REG: "weakref.WeakKeyDictionary[SparkSession, OrderedDict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _plan_key(df: DataFrame):
+    """Semantic hash of the analyzed plan — equal for plans Spark's
+    CacheManager would dedupe, so one registry slot tracks one JVM cache
+    entry. Falls back to the py4j object id if the internal API moves."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - internal-API drift guard
+        return id(df._jdf)
+
+
+def seam(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Persist ``df`` as a bounded, releasable operator-internal seam.
+
+    ``eager=True`` (the default) fills the cache with a ``count()`` so
+    the planner sees ACTUAL bytes — broadcast at small scale, shuffle at
+    corpus scale, with no hand-placed hints (the round-11 lesson: both
+    lazy localCheckpoint and an unfilled cache report estimates that
+    hide explode fan-out). Pass ``eager=False`` for seams whose first
+    consumer fills the cache anyway (e.g. a boundary-sample collect) —
+    they still get registered for bounded eviction + release.
+    """
+    spark = df.sparkSession
+    reg = _REG.get(spark)
+    if reg is None:
+        reg = OrderedDict()
+        _REG[spark] = reg
+    df = df.persist()
+    if eager:
+        df.count()
+    key = _plan_key(df)
+    if key in reg:
+        # same plan re-registered: one JVM cache entry, one slot —
+        # refresh recency, do NOT unpersist (it would clear the shared
+        # CacheManager entry under the earlier handle too)
+        reg.pop(key)
+    reg[key] = df
+    while len(reg) > SEAM_CAP:
+        _, old = reg.popitem(last=False)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # pragma: no cover - stopped-session race
+            pass
+    return df
+
+
+def release_seams(spark: SparkSession) -> int:
+    """Unpersist every registered seam for ``spark``; returns how many
+    were released. Deterministic cleanup hook for serving loops and
+    benches — after this (and absent other caches) the session's
+    CacheManager is empty."""
+    reg = _REG.pop(spark, None)
+    if not reg:
+        return 0
+    n = 0
+    for df in reg.values():
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # pragma: no cover - stopped-session race
+            pass
+    return n

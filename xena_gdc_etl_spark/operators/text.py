@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xena_gdc_etl_spark.operators.seams import seam
+
 # Small, fixed stopword lists for the heuristic language scorer.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
@@ -493,18 +495,15 @@ def bigram_logprob_scores(
         ).alias("bg"),
     )
     # Three consumers read the (id, bg, tf2) frame (c2 rollup, the join
-    # side, and — via c2 — the c1 rollup); eagerly-filled persist so the
+    # side, and — via c2 — the c1 rollup); eagerly-filled seam so the
     # corpus-wide bigram explode+aggregate runs once AND the vocab joins
     # (tf2 ⋈ c2 ⋈ c1) plan from the frame's ACTUAL size — broadcast on a
     # small corpus, shuffle at web scale (see dedup.containment_pairs:
     # both lazy localCheckpoint and an unfilled cache report estimates
     # that hide the explode fan-out and bait corpus-sized broadcasts).
-    tf2 = (
-        bigrams.groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("tf2"))
-        .persist()
+    tf2 = seam(
+        bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf2"))
     )
-    tf2.count()
     c2 = tf2.groupBy("bg").agg(F.sum("tf2").alias("c2"))
     c1 = (
         c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
@@ -590,15 +589,14 @@ def commonness_buckets(
     # ranking: the sharded rank's boundary-sample pass projects its order
     # keys, and commonness IS an order key, so without this the whole
     # commonness pipeline would run twice (once for the sample, once for
-    # the rank). persist(), not lazy localCheckpoint: the checkpoint's
-    # .rdd conversion EXECUTES the pipeline's stages at construction
-    # under AQE (so "construction runs no job" was false), while persist
-    # is genuinely action-free until the boundary-sample collect inside
-    # group_row_number fills the cache for every later pass.
-    ranked_in = (
-        docs.select(id_col, lang_col)
-        .join(comm, id_col)
-        .persist()
+    # the rank). seam(eager=False), not lazy localCheckpoint: the
+    # checkpoint's .rdd conversion EXECUTES the pipeline's stages at
+    # construction under AQE (so "construction runs no job" was false),
+    # while the seam is genuinely action-free until the boundary-sample
+    # collect inside group_row_number fills the cache for every later
+    # pass — and it stays registered for bounded eviction + release.
+    ranked_in = seam(
+        docs.select(id_col, lang_col).join(comm, id_col), eager=False
     )
     ranked = group_row_number(
         ranked_in,
@@ -891,10 +889,8 @@ def winnow_contamination(
     # cache holds the MATERIALIZED arrays (computed once, compiled), the
     # explode reads columns, and — as with the other eager seams — the
     # join below plans from actual sizes.
-    train_fps = _winnow_fps_frame(train, id_col, text_col, k, w).persist()
-    train_fps.count()
-    held_fps = _winnow_fps_frame(heldout, id_col, text_col, k, w).persist()
-    held_fps.count()
+    train_fps = seam(_winnow_fps_frame(train, id_col, text_col, k, w))
+    held_fps = seam(_winnow_fps_frame(heldout, id_col, text_col, k, w))
     train_fp = train_fps.select(
         F.col(id_col), F.explode("__fps").alias("fp")
     )
@@ -1071,15 +1067,15 @@ def source_vocab_overlap(
     # The top frame is tiny (≤ vocab_k × n_sources rows) but feeds THREE
     # consumers (pair join both sides + sizes); materialize it so the
     # corpus-scale tokenize/count pipeline above runs once, not three
-    # times. persist(), not lazy localCheckpoint (whose .rdd conversion
-    # executes stages at construction under AQE — see containment_pairs);
-    # the cache fills on the query's first action and is shared from
-    # there.
-    top = (
+    # times. seam(eager=False), not lazy localCheckpoint (whose .rdd
+    # conversion executes stages at construction under AQE — see
+    # containment_pairs); the cache fills on the query's first action
+    # and is shared from there, registered for eviction + release.
+    top = seam(
         survivors.withColumn("__rank", F.row_number().over(final_w))
         .filter(F.col("__rank") <= vocab_k)
-        .select("source", "tok")
-        .persist()
+        .select("source", "tok"),
+        eager=False,
     )
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
     a, b = top.alias("a"), top.alias("b")

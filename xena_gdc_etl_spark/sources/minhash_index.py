@@ -91,6 +91,19 @@ def save_minhash_index(
             f"num_hashes={num_hashes} (missing {missing}, unexpected "
             f"{extra}) — the manifest tag must describe the table"
         )
+    # The id column is persisted as bigint; a non-integral id column
+    # either throws mid-write (ANSI cast) or — under try_cast'd lineages
+    # — silently becomes all NULLs while the sentinel endorses the
+    # artifact, deferring the failure to garbage probe results. Refuse
+    # the type up front, matching the module's fail-loud parameter-tag
+    # discipline.
+    id_type = dict(signatures.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"save_minhash_index: {id_col} has type {id_type!r} — the "
+            "artifact persists ids as bigint and only integral id "
+            "columns cast losslessly; map your ids to integers first"
+        )
     path, spark_uri = _local_index_paths(path, "save_minhash_index")
     stale = os.path.join(path, _SENTINEL)
     if os.path.exists(stale):
@@ -100,12 +113,25 @@ def save_minhash_index(
         *[F.col(c).cast("bigint").alias(c) for c in slot_cols],
     )
     out.write.mode("overwrite").parquet(spark_uri + "/signatures.parquet")
-    # count from the WRITTEN table — one cheap parquet-stats read instead
-    # of re-executing the (shingle → sha256 → min) signature lineage
-    n_docs = (
-        signatures.sparkSession.read.parquet(spark_uri + "/signatures.parquet")
-        .count()
+    # Validate from the WRITTEN table — one cheap parquet-stats/column
+    # read instead of re-executing the (shingle → sha256 → min)
+    # signature lineage. The id null-count is the second half of the
+    # type guard above: NULL ids (possible even in an integral column)
+    # produce garbage probe joins — refuse before the sentinel endorses
+    # the artifact.
+    written = signatures.sparkSession.read.parquet(
+        spark_uri + "/signatures.parquet"
     )
+    counts = written.agg(
+        F.count(F.lit(1)).alias("n"), F.count(id_col).alias("n_id")
+    ).collect()[0]
+    n_docs = counts["n"]
+    if counts["n_id"] != n_docs:
+        raise ValueError(
+            f"save_minhash_index: {id_col} contains "
+            f"{n_docs - counts['n_id']} NULLs out of {n_docs} rows — "
+            "refusing to endorse the artifact"
+        )
     manifest = {
         "format_version": MINHASH_FORMAT_VERSION,
         "num_hashes": int(num_hashes),

@@ -2505,8 +2505,10 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      corpus's persisted MinHash signatures (sources/minhash_index.py
 #      lsh_probe_pairs) — the near-dup counterpart of incremental_dedup's
 #      digest probe. The landed text is never re-shingled: both sides
-#      band their SIGNATURES statelessly and join on (band, bucket) with
-#      the increment side broadcast, so the landed corpus never shuffles.
+#      band their SIGNATURES statelessly and join on (band, bucket) — a
+#      true day-sized increment broadcasts (the probe's default) so the
+#      landed corpus never shuffles; THIS fixture's increment is 80% of
+#      the corpus, so the query opts out and lets AQE size the join.
 #      Here both signature sets slice off the shared session cache (the
 #      local analog of loading the durable artifact — same frame the
 #      day-0 freeze persists).
@@ -2535,7 +2537,14 @@ def incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _shared_signatures(spark, sf_dir)
     landed = sigs.filter(F.col("doc_id") % 5 == 0)
     new = sigs.filter(F.col("doc_id") % 5 != 0)
-    return lsh_probe_pairs(new, landed, num_hashes=8, band_size=2)
+    # broadcast_new=False: THIS fixture's "increment" is 80% of the
+    # corpus (doc_id % 5 != 0) — the increment<<landed assumption behind
+    # lsh_probe_pairs' default is inverted here, and the default would
+    # force-broadcast a corpus-proportional bucket frame at the 100x
+    # lane (round-11 advisor). AQE picks the join from actual sizes.
+    return lsh_probe_pairs(
+        new, landed, num_hashes=8, band_size=2, broadcast_new=False
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4484,9 +4493,17 @@ def suffix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators.seams import seam
+
     tf = _shared_doc_tf(spark, sf_dir)
     src = Catalog(spark, sf_dir).documents.select("doc_id", "source")
-    st = (
+    # THREE consumers read the (source, tok, stf) rollup (the corpus
+    # rollup, the per-source totals, and the final join) — without the
+    # seam the tf-join + groupBy ran ~3x (the one place the house
+    # shared-intermediate rule wasn't applied; round-11 verdict). The
+    # frame is vocab x sources scale — kilobytes per source — so the
+    # eager fill is cheap and every consumer reads the cached rollup.
+    st = seam(
         tf.join(src, "doc_id")
         .groupBy("source", "tok")
         .agg(F.sum("tf").alias("stf"))
