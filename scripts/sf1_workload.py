@@ -81,11 +81,26 @@ def _caesar(i: int) -> tuple[str, str]:
     return (_ALPHA + _ALPHA.upper(), rot + rot.upper())
 
 
-def _replicate(df, id_shifts: dict, text_rotate_col: str | None = None):
+TS_SHIFT_DAYS = 3650  # > both fixtures' spans (events 30d, TPC-H ~7y)
+
+
+def _replicate(
+    df,
+    id_shifts: dict,
+    text_rotate_col: str | None = None,
+    ts_shifts: set | None = None,
+):
     """COPIES stacked copies; integer key columns in ``id_shifts`` get
     +i·STRIDE; ``text_rotate_col`` (if set) goes through a per-copy
     Caesar alphabet rotation (bijective → within-copy structure exact,
-    cross-copy shingles disjoint up to digits/punctuation)."""
+    cross-copy shingles disjoint up to digits/punctuation); timestamp
+    columns in ``ts_shifts`` get +i·TS_SHIFT_DAYS days — same role as
+    the key stride, but for TIME-keyed joins: without it the range
+    join's date-bin buckets collide across copies and candidate pairs
+    grow ×COPIES² (output blowup), with it each copy's windows are
+    disjoint and fan-out replicates exactly (×COPIES). Per-key temporal
+    structure (as-of carry, session gaps, cohort offsets) is invariant
+    under a constant per-copy shift."""
     # The per-copy caesar rotation is only bijective across copies while
     # COPIES <= 26: copy 26 would wrap to rotation 1 and its shingles
     # would collide with copy 1's, silently re-introducing the cross-copy
@@ -102,6 +117,10 @@ def _replicate(df, id_shifts: dict, text_rotate_col: str | None = None):
             col = F.col(c)
             if c in id_shifts:
                 col = (col + F.lit(i * STRIDE)).alias(c)
+            elif ts_shifts and c in ts_shifts and i > 0:
+                col = (
+                    col + F.expr(f"INTERVAL {i * TS_SHIFT_DAYS} DAYS")
+                ).alias(c)
             elif c == text_rotate_col and i > 0:
                 src, dst = _caesar(i % 26 or 1)
                 col = F.translate(c, src, dst).alias(c)
@@ -125,11 +144,17 @@ def build_fixture(spark, sf_dir: str, work_dir: str) -> None:
         "customer": _replicate(cat.customer, {"c_custkey"}),
         "supplier": _replicate(cat.supplier, {"s_suppkey"}),
         "part": _replicate(cat.part, {"p_partkey"}),
-        "orders": _replicate(cat.orders, {"o_orderkey", "o_custkey"}),
-        "lineitem": _replicate(
-            cat.lineitem, {"l_orderkey", "l_partkey", "l_suppkey"}
+        "orders": _replicate(
+            cat.orders, {"o_orderkey", "o_custkey"},
+            ts_shifts={"o_orderdate"},
         ),
-        "events": _replicate(cat.events, {"event_id", "user_id"}),
+        "lineitem": _replicate(
+            cat.lineitem, {"l_orderkey", "l_partkey", "l_suppkey"},
+            ts_shifts={"l_shipdate"},
+        ),
+        "events": _replicate(
+            cat.events, {"event_id", "user_id"}, ts_shifts={"ts"}
+        ),
         "documents": _replicate(
             cat.documents, {"doc_id"}, text_rotate_col="text"
         ).withColumn("n_chars", F.length("text").cast("long")),

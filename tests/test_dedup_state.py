@@ -1,0 +1,131 @@
+"""Durable dedup-decision artifact (sources/dedup_state.py): roundtrip,
+param/NULL guards, and the day-N stability contract — an arrival joining
+an existing cluster inherits its frozen representative, so yesterday's
+keep decisions never flip."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xena_gdc_etl_spark.sources import dedup_state as ds
+
+P = dict(num_hashes=8, shingle_k=5, band_size=2)
+
+
+def _frozen(spark):
+    # day-0 decisions: cluster {100, 140} rep 100; singletons 120, 130
+    return spark.createDataFrame(
+        [(100, 100), (140, 100), (120, 120), (130, 130)],
+        "doc_id bigint, cluster_rep bigint",
+    )
+
+
+def test_roundtrip_and_sentinel(spark, tmp_path):
+    d = str(tmp_path / "state")
+    manifest = ds.save_dedup_decisions(_frozen(spark), d, **P)
+    assert manifest["n_docs"] == 4
+    loaded, m2 = ds.load_dedup_decisions(spark, d, **P)
+    assert m2 == manifest
+    assert sorted(tuple(r) for r in loaded.collect()) == sorted(
+        tuple(r) for r in _frozen(spark).collect()
+    )
+
+
+def test_param_mismatch_refused(spark, tmp_path):
+    d = str(tmp_path / "state")
+    ds.save_dedup_decisions(_frozen(spark), d, **P)
+    with pytest.raises(ValueError, match="params"):
+        ds.load_dedup_decisions(
+            spark, d, num_hashes=16, shingle_k=5, band_size=2
+        )
+
+
+def test_missing_sentinel_refused(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ds.load_dedup_decisions(spark, str(tmp_path / "nope"), **P)
+
+
+def test_save_refuses_non_integral_and_nulls(spark, tmp_path):
+    bad_type = spark.createDataFrame(
+        [("x", 1)], ["doc_id", "cluster_rep"]
+    )
+    with pytest.raises(ValueError, match="integral"):
+        ds.save_dedup_decisions(bad_type, str(tmp_path / "b1"), **P)
+    bad_null = spark.createDataFrame(
+        [(1, None)], "doc_id bigint, cluster_rep bigint"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ds.save_dedup_decisions(bad_null, str(tmp_path / "b2"), **P)
+    assert not os.path.exists(str(tmp_path / "b2" / "_dedup_state.json"))
+
+
+def test_dayN_arrival_inherits_frozen_rep(spark, tmp_path):
+    """The headline contract: arrival 7 (smaller than every landed id)
+    near-dups landed doc 140 — under plain min-id re-clustering it
+    would STEAL the representative from 100 and flip 100's keep
+    decision; under the frozen artifact it inherits rep 100 and every
+    frozen row is untouched."""
+    d = str(tmp_path / "state")
+    ds.save_dedup_decisions(_frozen(spark), d, **P)
+    frozen, _ = ds.load_dedup_decisions(spark, d, **P)
+
+    new_nodes = spark.createDataFrame(
+        [(7,), (8,), (9,)], "doc_id bigint"
+    )
+    cross = spark.createDataFrame(
+        [(7, 140)], "new_id bigint, landed_id bigint"
+    )
+    # 8 and 9 duplicate each other but nothing landed
+    new_pairs = spark.createDataFrame([(8, 9)], "a bigint, b bigint")
+
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in ds.incremental_cc_update(
+            frozen, new_nodes, cross, new_pairs
+        ).collect()
+    }
+    assert got == {7: 100, 8: 8, 9: 8}
+
+    # roll the artifact forward and check stability: frozen rows
+    # byte-identical, arrival decisions appended
+    new_rows = ds.incremental_cc_update(frozen, new_nodes, cross, new_pairs)
+    ds.save_dedup_decisions(frozen.unionByName(new_rows), d, **P)
+    rolled, m = ds.load_dedup_decisions(spark, d, **P)
+    assert m["n_docs"] == 7
+    rolled_map = {r.doc_id: r.cluster_rep for r in rolled.collect()}
+    for r in _frozen(spark).collect():  # keep decisions never flip
+        assert rolled_map[r.doc_id] == r.cluster_rep
+    assert rolled_map[7] == 100 and rolled_map[7] != 7  # 7 is a drop
+
+
+def test_bridge_component_inherits_smallest_rep(spark):
+    """An increment component touching TWO frozen clusters inherits the
+    smallest rep; frozen labels stay distinct (merge deferred to the
+    next full rebuild — the documented compromise)."""
+    frozen = _frozen(spark)
+    new_nodes = spark.createDataFrame([(50,), (51,)], "doc_id bigint")
+    cross = spark.createDataFrame(
+        [(50, 120), (51, 130)], "new_id bigint, landed_id bigint"
+    )
+    new_pairs = spark.createDataFrame([(50, 51)], "a bigint, b bigint")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in ds.incremental_cc_update(
+            frozen, new_nodes, cross, new_pairs
+        ).collect()
+    }
+    assert got == {50: 120, 51: 120}
+
+
+def test_no_edges_increment_is_all_keeps(spark):
+    frozen = _frozen(spark)
+    new_nodes = spark.createDataFrame([(300,), (301,)], "doc_id bigint")
+    cross = spark.createDataFrame([], "new_id bigint, landed_id bigint")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in ds.incremental_cc_update(frozen, new_nodes, cross).collect()
+    }
+    assert got == {300: 300, 301: 301}

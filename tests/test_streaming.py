@@ -720,3 +720,48 @@ def test_streaming_lsh_probe_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got, "no cross pairs in fixture — test vacuous"
+
+
+def test_streaming_winnow_decontamination_matches_batch(spark, tmp_path):
+    """Arriving docs probed against the frozen held-out fingerprint set
+    (text.winnow_fingerprint_set) score exactly the batch
+    winnow_contamination — same selector, same join semantics, same
+    absent-row contract for sub-k docs."""
+    from xena_gdc_etl_spark.operators import text as tx
+    from xena_gdc_etl_spark.streaming import streaming_winnow_decontamination
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    train = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    heldout = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    # sub-k doc: no fingerprints, must be absent from both twins
+    train = train.unionByName(
+        spark.createDataFrame([(900001, "ab cd")], "doc_id long, text string")
+    )
+
+    expected = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in tx.winnow_contamination(train, heldout).collect()
+    )
+    assert expected, "fixture must produce contamination rows"
+
+    # day-0 freeze: the held-out fingerprint-set artifact
+    held_fps = tx.winnow_fingerprint_set(heldout)
+
+    arrivals = train.withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    d = str(tmp_path / "winnow_arrivals")
+    arrivals.write.parquet(d)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    out = streaming_winnow_decontamination(
+        stream, held_fps, window_duration="24 hours"
+    )
+    assert out.isStreaming
+    got = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in _run_stream(spark, out).collect()
+    )
+    assert got == expected
+    assert not any(r[0] == 900001 for r in got)

@@ -647,3 +647,79 @@ def streaming_containment(
             ),
         )
     )
+
+
+def streaming_winnow_decontamination(
+    docs: DataFrame,
+    heldout_fingerprints: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    watermark: str = "10 minutes",
+    window_duration: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``text.winnow_contamination``: score ARRIVING
+    training documents against a STATIC held-out fingerprint set (the
+    artifact ``text.winnow_fingerprint_set`` freezes once per eval-suite
+    snapshot) — the serve side of standing decontamination, with the
+    same verbatim-span guarantee (any shared >= k+w-1 token run between
+    an arriving doc and the held-out set shares a fingerprint).
+
+    Plan shape, all streaming-legal: the winnowing selector is a PURE
+    projection (``_winnow_fps_frame`` — tokenize, zip_with chains,
+    window-min; no shuffle, no state), the fingerprint explode feeds a
+    stream-static LEFT join on fp (the static side is the eval-suite-
+    sized fingerprint set — AQE/broadcast territory, re-resolved per
+    micro-batch, no join state), and the per-doc rollup is a WATERMARKED
+    windowed aggregate — every fp-row of a doc carries the doc's single
+    event time, so a (window, id) group IS the doc, finalized in append
+    mode once the watermark passes. Docs with no fingerprints (under k
+    tokens) explode to nothing and are absent, matching the batch
+    operator's contract.
+
+    One honest divergence from the batch twin's physics: the batch
+    operator materializes the fingerprint ARRAYS through an
+    eagerly-filled persist seam before exploding (the explode otherwise
+    re-evaluates the higher-order selector chain outside codegen — the
+    measured 10x trap at text.py's winnow_contamination). A stream
+    cannot persist; the twin pays that interpreted re-evaluation on the
+    INCREMENT only — bounded by micro-batch size, linear in arrivals,
+    and the right trade vs. unbounded state or a batch round-trip.
+
+    Output: (ws window-start, id, n_fps, n_hit, contam_fp_frac) — the
+    batch columns plus the finalizing window. Batch equivalence on the
+    (id, n_fps, n_hit, contam_fp_frac) projection is pinned by test.
+    """
+    from xena_gdc_etl_spark.operators.text import _winnow_fps_frame
+
+    fps = _winnow_fps_frame(
+        docs, id_col, text_col, k, w, keep_cols=(ts_col,)
+    )
+    train_fp = fps.select(
+        F.col(id_col), F.col(ts_col), F.explode("__fps").alias("fp")
+    )
+    held_fp = (
+        heldout_fingerprints.select("fp").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train_fp.join(held_fp, "fp", "left")
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias(
+                "contam_fp_frac"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col(id_col),
+            "n_fps",
+            "n_hit",
+            "contam_fp_frac",
+        )
+    )

@@ -4426,11 +4426,23 @@ def salted_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      normalized characters (license blocks, signature footers, SEO
 #      tails). Same digest-only shuffle economics as dedup_exact;
 #      right() has identical shorter-than-n semantics in both engines.
+#      BOUNDED RAW TAIL (round-12): the normalization regex runs over
+#      right(text, 1024), not the whole text — per-doc work is O(1024)
+#      regardless of doc length (the full scan made this the
+#      second-heaviest 100x row at 45.8s with nothing past the last
+#      ~few hundred chars contributing to the key). Edge case, by
+#      design: a doc whose last 1024 RAW chars normalize to <128 chars
+#      (a >896-char punctuation/whitespace run at the tail) hashes its
+#      shorter residue — groups still form consistently under the same
+#      bounded rule on both engines; on this corpus (max doc 577 chars)
+#      the bound is inert and the groups are measured IDENTICAL to the
+#      full-scan variant (BASELINE §suffix-tail).
 # --------------------------------------------------------------------------
 @query(
     "suffix_dup",
     r"""
-    SELECT md5(right(trim(regexp_replace(regexp_replace(lower(text),
+    SELECT md5(right(trim(regexp_replace(regexp_replace(
+                 lower(right(text, 1024)),
                  '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')),
                128)) AS content_hash,
            CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -4444,7 +4456,11 @@ def suffix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = dd._spread(Catalog(spark, sf_dir).documents)
     return dd.dedup_exact(
         docs.withColumn(
-            "text", F.right(dd.normalize_text("text"), F.lit(128))
+            "text",
+            F.right(
+                dd.normalize_text(F.right(F.col("text"), F.lit(1024))),
+                F.lit(128),
+            ),
         )
     )
 
