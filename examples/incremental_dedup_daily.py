@@ -95,6 +95,62 @@ def dayN_probe(spark, new_docs, state_dir: str):
     return exact, near
 
 
+def day0_decisions(spark, landed, state_dir: str) -> None:
+    """Freeze the day-0 KEEP DECISIONS (doc_id, cluster_rep) — the third
+    artifact: digests answer 'seen before?', signatures answer 'near
+    what?', decisions answer 'who is the representative?' so day-N
+    arrivals inherit reps instead of re-deriving (and possibly
+    flipping) them."""
+    from xena_gdc_etl_spark.operators import dedup as dd
+    from xena_gdc_etl_spark.sources import dedup_state as ds
+
+    sigs = dd.minhash_signatures(
+        dd.shingles(landed, k=SHINGLE_K, distinct=False),
+        num_hashes=NUM_HASHES,
+    )
+    pairs = dd.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    labels = dd.connected_components(
+        pairs, landed.select("doc_id")
+    ).withColumnRenamed("cluster_id", "cluster_rep")
+    ds.save_dedup_decisions(
+        labels,
+        os.path.join(state_dir, "decisions"),
+        num_hashes=NUM_HASHES,
+        shingle_k=SHINGLE_K,
+        band_size=BAND_SIZE,
+    )
+
+
+def dayN_decisions(spark, new_docs, near_pairs, state_dir: str):
+    """Label today's arrivals against the frozen decision artifact: an
+    arrival near-dupping a landed cluster inherits its representative
+    (keep decisions never flip), arrivals clustering among themselves
+    get their own stable reps. Returns the increment's decision rows;
+    union + re-save rolls the artifact forward."""
+    from xena_gdc_etl_spark.operators import dedup as dd
+    from xena_gdc_etl_spark.sources import dedup_state as ds
+
+    frozen, _ = ds.load_dedup_decisions(
+        spark,
+        os.path.join(state_dir, "decisions"),
+        num_hashes=NUM_HASHES,
+        shingle_k=SHINGLE_K,
+        band_size=BAND_SIZE,
+    )
+    new_sigs = dd.minhash_signatures(
+        dd.shingles(new_docs, k=SHINGLE_K, distinct=False),
+        num_hashes=NUM_HASHES,
+    )
+    within = dd.lsh_candidate_pairs(
+        new_sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    return ds.incremental_cc_update(
+        frozen, new_docs.select("doc_id"), near_pairs, within
+    )
+
+
 def main() -> None:
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -112,6 +168,7 @@ def main() -> None:
     new_docs = docs.filter(F.col("doc_id") % 5 != 0)  # "today's arrivals"
 
     day0_snapshot(spark, landed, state)
+    day0_decisions(spark, landed, state)
     exact, near = dayN_probe(spark, new_docs, state)
     n_new = new_docs.count()
     n_exact = exact.filter(F.col("dup_of").isNotNull()).count()
@@ -119,6 +176,17 @@ def main() -> None:
     print(
         f"day N: {n_new} arrivals — {n_exact} exact dups of landed docs, "
         f"{n_near} near-dup candidate pairs vs landed signatures"
+    )
+    decisions = dayN_decisions(spark, new_docs, near, state)
+    n_inherit = decisions.filter(
+        F.col("cluster_rep") % 5 == 0  # landed ids are doc_id % 5 == 0
+    ).count()
+    n_drop = decisions.filter(
+        F.col("doc_id") != F.col("cluster_rep")
+    ).count()
+    print(
+        f"day N: {n_inherit} arrivals inherited a landed cluster rep, "
+        f"{n_drop} arrivals are drops (doc_id != cluster_rep)"
     )
 
 

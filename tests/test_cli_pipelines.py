@@ -480,3 +480,37 @@ def test_cli_build_ann_index(spark, tmp_path):
     centroids, codebooks, manifest = load_ann_index(spark, out)
     assert manifest["n_centroids"] == centroids.count() == 4
     assert len(codebooks) == 4 and codebooks[0].shape[0] == 8
+
+
+def test_cli_build_dedup_state(spark, tmp_path):
+    """The decision-artifact builder freezes a loadable, param-tagged
+    (doc_id, cluster_rep) table whose representatives are fixed points
+    (rep of rep == rep) — the keep set day-N arrivals inherit from."""
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.sources.dedup_state import load_dedup_decisions
+
+    out = str(tmp_path / "state")
+    r = run_cli(
+        "build-dedup-state",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--num-hashes", "8", "--shingle-k", "5", "--band-size", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Dedup decisions saved" in r.stdout
+    labels, manifest = load_dedup_decisions(
+        spark, out, num_hashes=8, shingle_k=5, band_size=2
+    )
+    assert manifest["n_docs"] == labels.count() == 500
+    # representatives are fixed points of the labeling
+    reps = labels.select(F.col("cluster_rep").alias("doc_id")).distinct()
+    bad = (
+        reps.join(labels, "doc_id")
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .count()
+    )
+    assert bad == 0
+    with pytest.raises(ValueError, match="must not mix"):
+        load_dedup_decisions(spark, out, num_hashes=16, shingle_k=5,
+                             band_size=2)

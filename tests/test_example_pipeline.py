@@ -163,6 +163,40 @@ def test_incremental_dedup_daily_example(spark, tmp_path):
     assert got_near == want_near
     assert got_near, "no near pairs — fixture vacuous"
 
+    # decision leg: arrivals near a landed cluster inherit its frozen
+    # rep; rolling the artifact forward never flips a frozen decision
+    from xena_gdc_etl_spark.sources import dedup_state as ds
+
+    ex.day0_decisions(spark, landed, state)
+    frozen, _ = ds.load_dedup_decisions(
+        spark, os.path.join(state, "decisions"),
+        num_hashes=ex.NUM_HASHES, shingle_k=ex.SHINGLE_K,
+        band_size=ex.BAND_SIZE,
+    )
+    frozen_map = {r.doc_id: r.cluster_rep for r in frozen.collect()}
+    decisions = ex.dayN_decisions(spark, new_docs, near, state)
+    dec_map = {r.doc_id: r.cluster_rep for r in decisions.collect()}
+    assert set(dec_map) == {r.doc_id for r in new_docs.collect()}
+    inherited = {d: r for d, r in dec_map.items() if r % 5 == 0 and r != d}
+    assert inherited, "no arrival inherited a landed rep — fixture vacuous"
+    for d, r in inherited.items():
+        assert frozen_map[r] == r, "inherited rep must be a frozen KEEP"
+
+    ds.save_dedup_decisions(
+        frozen.unionByName(decisions),
+        os.path.join(state, "decisions"),
+        num_hashes=ex.NUM_HASHES, shingle_k=ex.SHINGLE_K,
+        band_size=ex.BAND_SIZE,
+    )
+    rolled, _ = ds.load_dedup_decisions(
+        spark, os.path.join(state, "decisions"),
+        num_hashes=ex.NUM_HASHES, shingle_k=ex.SHINGLE_K,
+        band_size=ex.BAND_SIZE,
+    )
+    rolled_map = {r.doc_id: r.cluster_rep for r in rolled.collect()}
+    for d, r in frozen_map.items():
+        assert rolled_map[d] == r, "frozen keep decision flipped"
+
 
 def test_streaming_incremental_probe_example(spark, tmp_path):
     """The streaming serve example (examples/streaming_incremental_probe

@@ -189,6 +189,25 @@ def create_parser() -> argparse.ArgumentParser:
         help="PQ subspaces; 0 = no PQ half",
     )
     bai.add_argument("--pq-k", type=int, default=16)
+
+    bds = sub.add_parser(
+        "build-dedup-state",
+        help="freeze the corpus keep DECISIONS (doc_id -> cluster_rep) "
+        "so day-N arrivals inherit representatives instead of "
+        "re-deriving (and possibly flipping) them",
+    )
+    bds.add_argument("--docs", required=True, help="documents parquet")
+    bds.add_argument("--out", required=True, help="artifact directory")
+    bds.add_argument("--id-col", default="doc_id")
+    bds.add_argument("--text-col", default="text")
+    bds.add_argument("--num-hashes", type=int, default=8)
+    bds.add_argument("--shingle-k", type=int, default=5)
+    bds.add_argument("--band-size", type=int, default=2)
+    bds.add_argument(
+        "--normalized",
+        action="store_true",
+        help="shingle over normalize_text (whitespace/punct-insensitive)",
+    )
     return parser
 
 
@@ -262,6 +281,50 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(
             f"MinHash index saved at {options.out} "
+            f"({manifest['n_docs']} docs, params "
+            f"{manifest['num_hashes']}/{manifest['shingle_k']}/"
+            f"{manifest['band_size']})."
+        )
+        return 0
+
+    if options.subcomm == "build-dedup-state":
+        from pyspark.sql import functions as F
+
+        from xena_gdc_etl_spark.operators import dedup as dd
+        from xena_gdc_etl_spark.sources.dedup_state import (
+            save_dedup_decisions,
+        )
+        from xena_gdc_etl_spark.sources.minhash_index import build_signatures
+
+        docs = spark.read.parquet(options.docs)
+        sigs = build_signatures(
+            docs,
+            num_hashes=options.num_hashes,
+            shingle_k=options.shingle_k,
+            normalized=options.normalized,
+            id_col=options.id_col,
+            text_col=options.text_col,
+        )
+        pairs = dd.lsh_candidate_pairs(
+            sigs,
+            id_col=options.id_col,
+            num_hashes=options.num_hashes,
+            band_size=options.band_size,
+        )
+        labels = dd.connected_components(
+            pairs, docs.select(options.id_col), id_col=options.id_col
+        ).withColumnRenamed("cluster_id", "cluster_rep")
+        manifest = save_dedup_decisions(
+            labels,
+            options.out,
+            num_hashes=options.num_hashes,
+            shingle_k=options.shingle_k,
+            band_size=options.band_size,
+            normalized=options.normalized,
+            id_col=options.id_col,
+        )
+        print(
+            f"Dedup decisions saved at {options.out} "
             f"({manifest['n_docs']} docs, params "
             f"{manifest['num_hashes']}/{manifest['shingle_k']}/"
             f"{manifest['band_size']})."

@@ -62,14 +62,16 @@ def heavy_hitters(
     """
     keys = [F.col(c) for c in key_cols]
     # counts feeds two differently-shaped subtrees (top-k and the total);
-    # persist so the table is scanned and aggregated ONCE regardless of
-    # exchange-reuse behavior (persist, not lazy localCheckpoint, whose
-    # .rdd conversion executes stages at construction under AQE — see
-    # dedup.containment_pairs).
-    counts = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+    # seam(eager=False) so the table is scanned and aggregated ONCE
+    # regardless of exchange-reuse behavior (persist, not lazy
+    # localCheckpoint, whose .rdd conversion executes stages at
+    # construction under AQE — see dedup.containment_pairs); registered
+    # for bounded eviction + release_seams (operators/seams.py).
+    from xena_gdc_etl_spark.operators.seams import seam
+
+    counts = seam(
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")),
+        eager=False,
     )
     total = counts.agg(F.sum("cnt").alias("__total"))
     topk = counts.orderBy(F.col("cnt").desc(), *key_cols).limit(k)
