@@ -38,24 +38,70 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _walk_counts(jnode, counts: dict) -> None:
+    """Count physical-node classes over the EXECUTABLE tree: descend
+    through AQE wrappers, stop at InMemoryTableScanExec (the cached
+    relation's embedded build plan is not executed by this query — the
+    string-based counter used to N-count it per scan: round 12 saw
+    source_jsd report 90 'exchanges' after a seam that REMOVED work),
+    and skip ReusedExchangeExec subtrees (a reuse is not a new
+    shuffle)."""
+    cls = jnode.getClass().getSimpleName()
+    counts[cls] = counts.get(cls, 0) + 1
+    if cls in ("InMemoryTableScanExec", "ReusedExchangeExec"):
+        return
+    if cls == "AdaptiveSparkPlanExec":
+        child = None
+        for getter in ("initialPlan", "inputPlan", "executedPlan"):
+            try:
+                child = getattr(jnode, getter)()
+                break
+            except Exception:
+                continue
+        if child is not None:
+            _walk_counts(child, counts)
+        return
+    it = jnode.children().iterator()
+    while it.hasNext():
+        _walk_counts(it.next(), counts)
+    try:  # scalar/IN subqueries hang off expressions, not children
+        sit = jnode.subqueries().iterator()
+        while sit.hasNext():
+            _walk_counts(sit.next(), counts)
+    except Exception:
+        pass
+
+
 def fingerprint(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    # pushdown is judged on the FULL string: a pushed filter inside a
+    # shared-cache build is a real pushdown (it ran at fill time)
+    full = qe.executedPlan().toString()
     pushed = any(
         seg.split("]")[0].strip()
-        for seg in plan.split("PushedFilters: [")[1:]
+        for seg in full.split("PushedFilters: [")[1:]
     )
+    counts: dict = {}
+    _walk_counts(qe.executedPlan(), counts)
+
+    def n(*names):
+        return sum(counts.get(x, 0) for x in names)
+
     return {
         "pushdown": pushed,
-        "bhj": plan.count("BroadcastHashJoin"),
-        "smj": plan.count("SortMergeJoin"),
-        "shj": plan.count("ShuffledHashJoin"),
-        "exch": plan.count("Exchange "),
-        "py": plan.count("MapInPandas")
-        + plan.count("FlatMapGroupsInPandas")
-        + plan.count("ArrowEvalPython"),
-        # codegen spans appear as "*(k) Node" markers in the plan string;
-        # count DISTINCT span ids (each id wraps several nodes)
-        "wsc": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "bhj": n("BroadcastHashJoinExec"),
+        "smj": n("SortMergeJoinExec"),
+        "shj": n("ShuffledHashJoinExec"),
+        "exch": n("ShuffleExchangeExec", "BroadcastExchangeExec"),
+        "py": n(
+            "MapInPandasExec",
+            "FlatMapGroupsInPandasExec",
+            "ArrowEvalPythonExec",
+        ),
+        # codegen spans only exist once AQE materializes stages, so the
+        # tree walk over the initial plan can't see them — count the
+        # "*(k)" markers in the string (distinct span ids), as before
+        "wsc": len(set(re.findall(r"\*\((\d+)\)", full))),
     }
 
 
@@ -74,7 +120,10 @@ def build() -> str:
         "Regenerate with `python scripts/gen_plans_md.py` (plan shapes at",
         "sf0.001, initial AQE plan, local[8]; see the script docstring for",
         "what each column means and why join strategies legitimately differ",
-        "at other scales). Sorted by query key.",
+        "at other scales). Counts cover the EXECUTABLE plan only — each",
+        "cached relation's embedded build subtree is excluded, so a frame",
+        "persisted once and scanned N times no longer N-counts its build",
+        "(round-12 fix). Sorted by query key.",
         "",
         "| query | oracle | pushdown | bhj | smj | shj | exch | py | wsc | rows |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",

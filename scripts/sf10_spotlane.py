@@ -178,11 +178,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()
-    build_fixture(spark, sf_dir, work)
-    if any(q in EVENTS_QUERIES for q in extra):
-        build_events_fixture(spark, sf_dir, work)
-    print(json.dumps({"stage": "build_fixture", "copies": COPIES,
-                      "sec": round(time.perf_counter() - t0, 2)}), flush=True)
+    if "x100" in os.environ.get("SPOTLANE_SCALES", "x1,x100").split(","):
+        build_fixture(spark, sf_dir, work)
+        if any(q in EVENTS_QUERIES for q in extra):
+            build_events_fixture(spark, sf_dir, work)
+        print(json.dumps({"stage": "build_fixture", "copies": COPIES,
+                          "sec": round(time.perf_counter() - t0, 2)}),
+              flush=True)
 
     def consume(df) -> int:
         h = F.xxhash64(*[F.col(c) for c in df.columns])
@@ -219,7 +221,22 @@ def main() -> None:
                 merged = dict(json.load(fh).get("results", {}))
         except (OSError, ValueError):
             merged = {}
-        merged.update(computed)
+        # DEEP merge per stage: a single-scale re-run (SPOTLANE_SCALES=x1
+        # after a contended x1 side) must keep the other scale's fields
+        for name, rr in computed.items():
+            row = dict(merged.get(name, {}))
+            row.update(rr)
+            if row.get("x1", 0) > 0 and "x100" in row:
+                ratio = row["x100"] / row["x1"]
+                row["ratio"] = round(ratio, 2)
+                row["exponent"] = round(
+                    math.log(max(ratio, 1e-9)) / math.log(SCALE), 3
+                )
+                if row.get("rows_x1"):
+                    row["rows_ratio"] = round(
+                        row["rows_x100"] / row["rows_x1"], 2
+                    )
+            merged[name] = row
         with open(out_path, "w") as fh:
             json.dump(
                 {"metric": "sf10_spotlane", "copies": COPIES,
@@ -228,7 +245,10 @@ def main() -> None:
             )
 
     results: dict[str, dict] = {}
+    scale_filter = os.environ.get("SPOTLANE_SCALES", "x1,x100").split(",")
     for scale, d, trials in (("x1", sf_dir, 2), ("x100", work, 2)):
+        if scale not in scale_filter:
+            continue
         for trial in range(trials):
             # min-of-2 over COLD trials: reset the shared caches + seams
             # so each trial re-pays the full warm-stage build (the warm
