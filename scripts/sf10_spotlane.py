@@ -255,11 +255,15 @@ def main() -> None:
             # build IS the measured stage — same attribution as
             # bench.py; a warm second run would measure the cache)
             _reset_caches(spark)
-            for label, fn in (
+            # SPOTLANE_SKIP_WARMS=1 skips the documents warm stages — an
+            # events-only run (temporal family) must not pay minutes of
+            # signature/LSH builds it never reads
+            warm_stages = () if os.environ.get("SPOTLANE_SKIP_WARMS") else (
                 ("shared_signatures_warm", wl._shared_signatures),
                 ("shared_lsh_pairs_warm", wl._shared_lsh_pairs),
                 ("shared_tf_warm", wl._shared_doc_tf),
-            ):
+            )
+            for label, fn in warm_stages:
                 start = time.perf_counter()
                 n = fn(spark, d).count()
                 sec = round(time.perf_counter() - start, 3)
