@@ -146,6 +146,46 @@ def build_events_fixture(spark, sf_dir: str, work_dir: str) -> None:
     )
 
 
+TPCH_QUERIES = {"range_join"}  # orders+lineitem consumers
+
+
+def build_tpch_fixture(spark, sf_dir: str, work_dir: str) -> None:
+    """100× orders + lineitem: key offsets (i·STRIDE — divisible by 50,
+    preserving range_join's o_orderkey % 50 = 0 interval selection) and
+    per-copy date shifts (i·3650 days > the ~7-year TPC-H span) so the
+    date-bin join keys are disjoint across copies — fan-out replicates
+    exactly, same discipline as the events fixture."""
+    specs = {
+        "orders": ({"o_orderkey", "o_custkey"}, {"o_orderdate"}),
+        "lineitem": (
+            {"l_orderkey", "l_partkey", "l_suppkey"}, {"l_shipdate"},
+        ),
+    }
+    for table, (id_shifts, ts_shifts) in specs.items():
+        df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        parts = []
+        for i in range(COPIES):
+            sel = []
+            for c in df.columns:
+                col = F.col(c)
+                if c in id_shifts:
+                    col = (col + F.lit(i * STRIDE)).alias(c)
+                elif c in ts_shifts and i > 0:
+                    col = (
+                        col + F.expr(f"INTERVAL {i * TS_SHIFT_DAYS} DAYS")
+                    ).alias(c)
+                else:
+                    col = col.alias(c)
+                sel.append(col)
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(work_dir, f"{table}.parquet")
+        )
+
+
 def _reset_caches(spark) -> None:
     """Between-trial reset: drop the session-scoped shared caches and
     every operator-internal seam so trial 2 re-pays the full build (a
@@ -179,9 +219,15 @@ def main() -> None:
 
     t0 = time.perf_counter()
     if "x100" in os.environ.get("SPOTLANE_SCALES", "x1,x100").split(","):
-        build_fixture(spark, sf_dir, work)
+        if not os.environ.get("SPOTLANE_SKIP_WARMS") or any(
+            q not in EVENTS_QUERIES and q not in TPCH_QUERIES
+            for q in extra
+        ):
+            build_fixture(spark, sf_dir, work)
         if any(q in EVENTS_QUERIES for q in extra):
             build_events_fixture(spark, sf_dir, work)
+        if any(q in TPCH_QUERIES for q in extra):
+            build_tpch_fixture(spark, sf_dir, work)
         print(json.dumps({"stage": "build_fixture", "copies": COPIES,
                           "sec": round(time.perf_counter() - t0, 2)}),
               flush=True)

@@ -514,3 +514,22 @@ def test_cli_build_dedup_state(spark, tmp_path):
     with pytest.raises(ValueError, match="must not mix"):
         load_dedup_decisions(spark, out, num_hashes=16, shingle_k=5,
                              band_size=2)
+
+
+def test_cli_build_winnow_index(spark, tmp_path):
+    from xena_gdc_etl_spark.sources.winnow_index import (
+        load_winnow_fingerprints,
+    )
+
+    out = str(tmp_path / "winnow")
+    r = run_cli(
+        "build-winnow-index",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--k", "5", "--w", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Winnow fingerprint set saved" in r.stdout
+    fps, manifest = load_winnow_fingerprints(spark, out, k=5, w=4)
+    assert fps.count() == manifest["n_fps"] > 0
+    with pytest.raises(ValueError, match="different"):
+        load_winnow_fingerprints(spark, out, k=5, w=8)

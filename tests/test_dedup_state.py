@@ -129,3 +129,67 @@ def test_no_edges_increment_is_all_keeps(spark):
         for r in ds.incremental_cc_update(frozen, new_nodes, cross).collect()
     }
     assert got == {300: 300, 301: 301}
+
+
+# ---- winnow fingerprint artifact (sources/winnow_index.py) ----
+
+
+def test_winnow_artifact_roundtrip_and_probe(spark, tmp_path):
+    """Freeze the held-out fingerprint set, reload, and pin the probe
+    against the artifact EXACTLY equal to the in-session batch
+    winnow_contamination."""
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.operators import text as tx
+    from xena_gdc_etl_spark.sources import winnow_index as wi
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    train = docs.filter(F.col("doc_id") % 10 != 0).limit(100)
+    heldout = docs.filter(F.col("doc_id") % 10 == 0)
+
+    d = str(tmp_path / "winnow")
+    manifest = wi.save_winnow_fingerprints(heldout, d, k=5, w=4)
+    loaded, m2 = wi.load_winnow_fingerprints(spark, d, k=5, w=4)
+    assert m2 == manifest
+    assert loaded.count() == manifest["n_fps"] > 0
+    in_session = tx.winnow_fingerprint_set(heldout)
+    assert sorted(r.fp for r in loaded.collect()) == sorted(
+        r.fp for r in in_session.collect()
+    )
+
+    # probing against the ARTIFACT equals the batch operator: join the
+    # train fps to the loaded set the same way the streaming twin does
+    want = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in tx.winnow_contamination(train, heldout).collect()
+    )
+    held_fp = loaded.withColumn("__hit", F.lit(1))
+    train_fp = tx._winnow_fps_frame(train, "doc_id", "text", 5, 4).select(
+        "doc_id", F.explode("__fps").alias("fp")
+    )
+    got = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in train_fp.join(held_fp, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias(
+                "contam_fp_frac"
+            ),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_winnow_artifact_param_mismatch_refused(spark, tmp_path):
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.sources import winnow_index as wi
+
+    heldout = Catalog(spark, "/root/testdata/sf0.001").documents.limit(20)
+    d = str(tmp_path / "winnow2")
+    wi.save_winnow_fingerprints(heldout, d, k=5, w=4)
+    with pytest.raises(ValueError, match="different"):
+        wi.load_winnow_fingerprints(spark, d, k=7, w=4)
+    with pytest.raises(FileNotFoundError):
+        wi.load_winnow_fingerprints(spark, str(tmp_path / "absent"), k=5, w=4)

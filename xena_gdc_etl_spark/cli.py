@@ -208,6 +208,19 @@ def create_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="shingle over normalize_text (whitespace/punct-insensitive)",
     )
+
+    bwi = sub.add_parser(
+        "build-winnow-index",
+        help="freeze the held-out suite's winnow fingerprint set for "
+        "standing decontamination (batch + streaming probes load it "
+        "instead of re-fingerprinting the suite)",
+    )
+    bwi.add_argument("--docs", required=True, help="held-out docs parquet")
+    bwi.add_argument("--out", required=True, help="artifact directory")
+    bwi.add_argument("--id-col", default="doc_id")
+    bwi.add_argument("--text-col", default="text")
+    bwi.add_argument("--k", type=int, default=5, help="token k-gram width")
+    bwi.add_argument("--w", type=int, default=4, help="winnowing window")
     return parser
 
 
@@ -328,6 +341,27 @@ def main(argv: list[str] | None = None) -> int:
             f"({manifest['n_docs']} docs, params "
             f"{manifest['num_hashes']}/{manifest['shingle_k']}/"
             f"{manifest['band_size']})."
+        )
+        return 0
+
+    if options.subcomm == "build-winnow-index":
+        from xena_gdc_etl_spark.sources.winnow_index import (
+            save_winnow_fingerprints,
+        )
+
+        docs = spark.read.parquet(options.docs)
+        manifest = save_winnow_fingerprints(
+            docs,
+            options.out,
+            k=options.k,
+            w=options.w,
+            id_col=options.id_col,
+            text_col=options.text_col,
+        )
+        print(
+            f"Winnow fingerprint set saved at {options.out} "
+            f"({manifest['n_fps']} fingerprints, k={manifest['k']} "
+            f"w={manifest['w']})."
         )
         return 0
 
