@@ -259,3 +259,67 @@ def test_streaming_incremental_probe_example(spark, tmp_path):
         for r in QUERIES["incremental_lsh_probe"](spark, sf_dir).collect()
     }
     assert got_near == want_near and got_near
+
+
+def test_streaming_decontamination_serve_example(spark, tmp_path):
+    """The decontamination serve loop (examples/
+    streaming_decontamination_serve.py) lands the batch
+    winnow_contamination answers off the frozen fingerprint artifact."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.operators import text as tx
+    from xena_gdc_etl_spark.sources.winnow_index import (
+        save_winnow_fingerprints,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "decserve",
+        os.path.join(repo, "examples", "streaming_decontamination_serve.py"),
+    )
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    heldout = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0).limit(60)
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "serve")
+    save_winnow_fingerprints(
+        heldout, os.path.join(state, "winnow"), k=ex.K, w=ex.W
+    )
+
+    arrivals_dir = os.path.join(out, "_arrivals")
+    train.select(
+        "doc_id", "text",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    ).coalesce(1).write.parquet(arrivals_dir)
+    for hb_id, hb_ts in ((-1, "2026-01-03"), (-2, "2026-01-05")):
+        spark.createDataFrame(
+            [(hb_id, "hb")], "doc_id long, text string"
+        ).select(
+            "doc_id", "text",
+            F.to_timestamp(F.lit(f"{hb_ts} 00:00:00")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(arrivals_dir)
+    arrivals = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    q = ex.serve_stream(spark, arrivals, state, out)
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in spark.read.parquet(os.path.join(out, "scores")).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in tx.winnow_contamination(train, heldout).collect()
+    )
+    assert got == want and got

@@ -765,3 +765,60 @@ def test_streaming_winnow_decontamination_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert not any(r[0] == 900001 for r in got)
+
+
+def test_streaming_winnow_append_mode_finalizes(spark, tmp_path):
+    """APPEND-mode regression pin for the explode-vs-watermark trap: a
+    plain explode's implicit non-empty filter is pushed below the
+    watermark, so fingerprint-less heartbeats never advance it and
+    append mode emits nothing. With explode_outer + post-agg filter,
+    next-day heartbeats finalize day-1 windows and sub-k docs stay
+    absent."""
+    from xena_gdc_etl_spark.operators import text as tx
+    from xena_gdc_etl_spark.streaming import streaming_winnow_decontamination
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    train = docs.filter(F.col("doc_id") % 10 != 0).limit(50)
+    heldout = docs.filter(F.col("doc_id") % 10 == 0)
+    held_fps = tx.winnow_fingerprint_set(heldout)
+
+    d = str(tmp_path / "arrivals")
+    train.select(
+        "doc_id", "text",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    ).coalesce(1).write.parquet(d)
+    # two staggered sub-k heartbeats: the first advances the watermark
+    # past the day-1 window, the second's batch performs the emit
+    for hb_id, hb_ts in ((-1, "2026-01-03"), (-2, "2026-01-05")):
+        spark.createDataFrame(
+            [(hb_id, "hb")], "doc_id long, text string"
+        ).select(
+            "doc_id", "text",
+            F.to_timestamp(F.lit(f"{hb_ts} 00:00:00")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_winnow_decontamination(
+        stream, held_fps, window_duration="24 hours"
+    )
+    name = "winnow_append_sink"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in spark.table(name).collect()
+    )
+    expected = sorted(
+        (r.doc_id, r.n_fps, r.n_hit, r.contam_fp_frac)
+        for r in tx.winnow_contamination(train, heldout).collect()
+    )
+    assert got == expected
+    assert got, "append mode emitted nothing — watermark stalled"
+    assert not any(r[0] in (-1, -2) for r in got)  # heartbeats absent

@@ -694,11 +694,24 @@ def streaming_winnow_decontamination(
     """
     from xena_gdc_etl_spark.operators.text import _winnow_fps_frame
 
+    # Watermark on the INPUT stream, and explode_OUTER — both halves of
+    # one trap found live: event-time stats are collected at the
+    # EventTimeWatermark operator, and a plain explode's implicit
+    # non-empty filter is PUSHED BELOW the watermark by the optimizer
+    # (it doesn't reference the event-time column), so a fingerprint-
+    # less arrival (sub-k doc, heartbeat/keep-alive) would be dropped
+    # before the watermark tracker ever saw its timestamp — the
+    # watermark stalls and append mode emits NOTHING, forever, with no
+    # error. explode_outer keeps one fp=NULL row per empty doc flowing
+    # through the watermark; the post-aggregate n_fps > 0 filter (which
+    # the optimizer cannot push below the agg) restores the batch
+    # operator's absent-row contract for sub-k docs.
+    docs = docs.withWatermark(ts_col, watermark)
     fps = _winnow_fps_frame(
         docs, id_col, text_col, k, w, keep_cols=(ts_col,)
     )
     train_fp = fps.select(
-        F.col(id_col), F.col(ts_col), F.explode("__fps").alias("fp")
+        F.col(id_col), F.col(ts_col), F.explode_outer("__fps").alias("fp")
     )
     held_fp = (
         heldout_fingerprints.select("fp").distinct()
@@ -706,15 +719,15 @@ def streaming_winnow_decontamination(
     )
     return (
         train_fp.join(held_fp, "fp", "left")
-        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration), F.col(id_col))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.count("fp").cast("bigint").alias("n_fps"),
             F.count("__hit").cast("bigint").alias("n_hit"),
-            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias(
+            F.round(F.count("__hit") / F.count("fp"), 6).alias(
                 "contam_fp_frac"
             ),
         )
+        .filter(F.col("n_fps") > 0)
         .select(
             F.col("window.start").alias("ws"),
             F.col(id_col),
