@@ -439,16 +439,20 @@ def test_streaming_containment_matches_batch(spark, tmp_path):
     new.write.parquet(d)
     schema = spark.read.parquet(d).schema
     stream = spark.readStream.schema(schema).parquet(d)
+    raw = _run_stream(
+        spark,
+        streaming_containment(stream, landed_sh, window_duration="24 hours"),
+    ).collect()
+    # two-tier discipline: non-matching docs surface as b=NULL liveness
+    # rows (they must reach the watermark); the consumer drops them
     got = sorted(
         (r.a, r.b, r.n_common, r.n_a, r.containment_a)
-        for r in _run_stream(
-            spark,
-            streaming_containment(
-                stream, landed_sh, window_duration="24 hours"
-            ),
-        ).collect()
+        for r in raw
+        if r.b is not None
     )
     assert got == expected
+    # ...and the non-matching doc DID flow through (liveness row present)
+    assert any(r.b is None and r.a == 12 for r in raw)
     # the embedded docs score containment 1.0
     full = {a for a, b, c, n, s in got if s == 1.0}
     assert {10, 11} <= full
@@ -822,3 +826,58 @@ def test_streaming_winnow_append_mode_finalizes(spark, tmp_path):
     assert got == expected
     assert got, "append mode emitted nothing — watermark stalled"
     assert not any(r[0] in (-1, -2) for r in got)  # heartbeats absent
+
+
+def test_streaming_containment_append_mode_finalizes(spark, tmp_path):
+    """Watermark-liveness pin for streaming_containment (same trap class
+    as the winnow twin): non-matching and sub-k arrivals must still
+    advance the watermark, so append mode finalizes windows even when
+    matches are rare."""
+    from xena_gdc_etl_spark.operators import dedup as dd
+    from xena_gdc_etl_spark.streaming import streaming_containment
+
+    landed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    landed_sh = dd.shingles(landed, k=5, distinct=True)
+
+    d = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [(10, "the quick brown fox")],  # matches landed doc 1
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    ).coalesce(1).write.parquet(d)
+    # day-2/day-3 heartbeats that match NOTHING (one sub-k, one unrelated)
+    for hb_id, text, ts in (
+        (-1, "zz", "2026-01-03"),
+        (-2, "entirely unrelated words xq", "2026-01-05"),
+    ):
+        spark.createDataFrame(
+            [(hb_id, text)], "doc_id long, text string"
+        ).select(
+            "doc_id", "text",
+            F.to_timestamp(F.lit(f"{ts} 00:00:00")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_containment(
+        stream, landed_sh, window_duration="24 hours"
+    )
+    name = "containment_append_sink"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(name).collect()
+    matched = [(r.a, r.b, r.containment_a) for r in rows if r.b is not None]
+    # the day-1 match finalized BECAUSE the non-matching heartbeats
+    # advanced the watermark — with the old inner shape this was empty
+    assert matched == [(10, 1, 1.0)]

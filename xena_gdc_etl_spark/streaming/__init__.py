@@ -513,6 +513,14 @@ def streaming_cluster_purity(
     label-count frame is already reduced to #cells × #labels rows, so the
     cut is trivially cheap wherever it runs. Batch twin:
     operators/similarity.py ``cell_label_purity``.
+
+    Watermark-liveness caveat (see streaming_containment for the full
+    trap): ``ivf_assign`` drops NULL-embedding rows, and that filter
+    sits below the watermark — a malformed (null-vector) arrival does
+    not advance event time. Unlike sub-k documents (legitimate data,
+    handled via explode_outer in the text twins), null vectors are
+    corrupt input; feeds whose keep-alives might carry null embeddings
+    should watermark upstream of this operator.
     """
     from xena_gdc_etl_spark.operators.similarity import ivf_assign
 
@@ -588,6 +596,22 @@ def streaming_containment(
     it in — the same pre-expansion cap discipline as the batch LSH path,
     SURVEY §6 cap table). Landed docs with zero shingles never appear
     (no posting rows), matching the batch operator's inner-join contract.
+
+    Watermark-liveness shape (round 12, the trap the winnow twin's serve
+    example exposed): the watermark sits on the INPUT stream, the
+    shingle explode is ``explode_outer``, and the posting join is LEFT —
+    because Catalyst pushes any row-dropping predicate that doesn't
+    reference the event-time column BELOW the watermark node (a plain
+    explode's implicit non-empty filter, an inner join's IsNotNull, and
+    even a post-agg null-group filter, which converts the left join back
+    to inner via EliminateOuterJoin). With the prior inner shape, an
+    arrival sharing NO shingle with the landed corpus never advanced the
+    watermark — in a feed where matches are rare, windows never
+    finalized and append mode emitted nothing, silently. Consequence:
+    non-matching docs surface as one (ws, a, b=NULL) row per window —
+    drop ``b IS NULL`` in the foreachBatch consumer (two-tier
+    discipline, like the heavy-hitters top-k cut); an in-plan filter
+    would be pushed below the watermark and re-open the stall.
     """
     # guarded offsets (same contract as dedup._offsets): text shorter
     # than k yields ZERO shingles — sequence(1, stop<1) would run
@@ -599,7 +623,7 @@ def streaming_containment(
     sh_arr = F.array_distinct(
         F.transform(offsets, lambda i: F.col(text_col).substr(i, F.lit(k)))
     )
-    stream = new_docs.select(
+    stream = new_docs.withWatermark(ts_col, watermark).select(
         F.col(ts_col),
         F.col(id_col).alias("a"),
         sh_arr.alias("__sh"),
@@ -607,7 +631,7 @@ def streaming_containment(
         F.col(ts_col),
         "a",
         F.size("__sh").alias("n_a"),
-        F.explode("__sh").alias("shingle"),
+        F.explode_outer("__sh").alias("shingle"),
     )
     # landed_shingles: the (landed id, shingle) frame dedup.shingles
     # produces — the landed doc id is selected BY NAME (``landed_id_col``,
@@ -624,9 +648,11 @@ def streaming_containment(
     posting = landed_shingles.select(
         "shingle", F.col(landed_id_col).alias("b")
     )
-    joined = stream.join(posting, "shingle")
+    # LEFT join + no in-plan null filter: see the watermark-liveness
+    # note in the docstring — the consumer drops the b IS NULL rows
+    joined = stream.join(posting, "shingle", "left")
     return (
-        joined.withWatermark(ts_col, watermark)
+        joined
         .groupBy(
             F.window(F.col(ts_col), window_duration),
             F.col("a"),
@@ -642,7 +668,10 @@ def streaming_containment(
             "b",
             "n_common",
             "n_a",
-            F.round(F.col("n_common") / F.col("n_a"), 6).alias(
+            # try_divide: a sub-k liveness row has n_a = 0, and ANSI
+            # division would kill the whole query for a row the
+            # consumer drops anyway; real rows (n_a > 0) are unchanged
+            F.round(F.try_divide(F.col("n_common"), F.col("n_a")), 6).alias(
                 "containment_a"
             ),
         )
