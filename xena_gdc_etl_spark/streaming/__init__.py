@@ -689,8 +689,9 @@ def streaming_winnow_decontamination(
     watermark: str = "10 minutes",
     window_duration: str = "10 minutes",
 ) -> DataFrame:
-    """Streaming twin of ``text.winnow_contamination``: score ARRIVING
-    training documents against a STATIC held-out fingerprint set (the
+    """Streaming twin of ``winnow_contamination`` (operators/text.py):
+    score ARRIVING training documents against a STATIC held-out
+    fingerprint set (the
     artifact ``text.winnow_fingerprint_set`` freezes once per eval-suite
     snapshot) — the serve side of standing decontamination, with the
     same verbatim-span guarantee (any shared >= k+w-1 token run between
