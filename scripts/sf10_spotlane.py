@@ -146,6 +146,71 @@ def build_events_fixture(spark, sf_dir: str, work_dir: str) -> None:
     )
 
 
+EMB_QUERIES = {
+    "embed_cosine_dup", "ann_ivf", "cosine_topk", "semantic_dedup",
+    "ann_ivf_nprobe", "ann_recall_eval", "cluster_purity",
+    "embedding_norm_outliers", "ann_ivf_pq", "ann_pq_recall_eval",
+    "kmeans_round",
+}
+
+
+def _sign_pattern(i: int, d: int) -> "list[float]":
+    """Deterministic ±1 pattern for copy i (md5 bits — ~half flipped)."""
+    import hashlib
+
+    bits = int.from_bytes(
+        hashlib.md5(f"spotlane-emb-{i}".encode()).digest(), "big"
+    )
+    return [1.0 if (bits >> (j % 128)) & 1 else -1.0 for j in range(d)]
+
+
+def build_embeddings_fixture(spark, sf_dir: str, work_dir: str) -> None:
+    """100× embeddings: copy i>0 applies a SIGNED ROTATION — rotate the
+    coordinate array by i mod d positions, then flip a deterministic
+    ~half of the signs (md5-bit pattern per copy). Rationale, extending
+    the sf1 lane's pure rotation (only d=64 distinct rotations, too few
+    for 100 copies): a signed permutation is orthogonal, so intra-copy
+    cosines — and therefore the τ-pair / top-k neighbor structure within
+    each copy — replicate EXACTLY, while cross-copy cosines collapse to
+    the ~N(0, 1/d) noise floor (copies sharing a rotation differ in ~32
+    of 64 signs). vec_id offsets by i·STRIDE (STRIDE % 10 = 0 keeps the
+    vec_id % 10 = 0 query-selection pattern per copy); label copied
+    unchanged. The scaled-cell IVF rule (max(8, ceil(N/250)) centroids =
+    the first vec_ids, all from copy 0 here) spreads foreign copies
+    uniformly over cells by noise argmax — cells stay ≈250 rows, which
+    is exactly the bounded-cell contract the 100× lane defends."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    d = len(emb.select("embedding").first()[0])
+    parts = []
+    for i in range(COPIES):
+        vid = (F.col("vec_id") + F.lit(i * STRIDE)).alias("vec_id")
+        if i == 0:
+            vec = F.col("embedding")
+        else:
+            r = i % d
+            rotated = (
+                F.concat(
+                    F.slice("embedding", r + 1, d - r),
+                    F.slice("embedding", 1, r),
+                )
+                if r
+                else F.col("embedding")
+            )
+            signs = F.array(
+                *[F.lit(s) for s in _sign_pattern(i, d)]
+            )
+            vec = F.zip_with(
+                rotated, signs, lambda a, b: a * b
+            ).cast("array<float>")
+        parts.append(emb.select(vid, vec.alias("embedding"), "label"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(work_dir, "embeddings.parquet")
+    )
+
+
 TPCH_QUERIES = {"range_join"}  # orders+lineitem consumers
 
 
@@ -217,17 +282,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the no-extras default stage (containment_pairs) is a documents-
+    # family query — fixture decisions must see it, or a warm-skipping
+    # default run measures a stale/missing 100x documents fixture
+    effective = extra or ["containment_pairs"]
+
     t0 = time.perf_counter()
     if "x100" in os.environ.get("SPOTLANE_SCALES", "x1,x100").split(","):
         if not os.environ.get("SPOTLANE_SKIP_WARMS") or any(
             q not in EVENTS_QUERIES and q not in TPCH_QUERIES
-            for q in extra
+            and q not in EMB_QUERIES
+            for q in effective
         ):
             build_fixture(spark, sf_dir, work)
-        if any(q in EVENTS_QUERIES for q in extra):
+        if any(q in EVENTS_QUERIES for q in effective):
             build_events_fixture(spark, sf_dir, work)
-        if any(q in TPCH_QUERIES for q in extra):
+        if any(q in TPCH_QUERIES for q in effective):
             build_tpch_fixture(spark, sf_dir, work)
+        if any(q in EMB_QUERIES for q in effective):
+            build_embeddings_fixture(spark, sf_dir, work)
         print(json.dumps({"stage": "build_fixture", "copies": COPIES,
                           "sec": round(time.perf_counter() - t0, 2)}),
               flush=True)
@@ -309,6 +382,15 @@ def main() -> None:
                 ("shared_lsh_pairs_warm", wl._shared_lsh_pairs),
                 ("shared_tf_warm", wl._shared_doc_tf),
             )
+            if any(q in EMB_QUERIES for q in effective):
+                # the embedding family's warm tier (assignment, τ-pairs)
+                # gets its own attribution lines, same as the doc tier —
+                # SPOTLANE_SKIP_WARMS does not skip these: they ARE two
+                # of the lane's target stages
+                warm_stages += (
+                    ("shared_ivf_warm", wl._shared_ivf_assigned),
+                    ("shared_pairs_warm", wl._shared_dup_pairs),
+                )
             for label, fn in warm_stages:
                 start = time.perf_counter()
                 n = fn(spark, d).count()
@@ -323,7 +405,7 @@ def main() -> None:
             # extra names REPLACE the default containment stage (a spot
             # run for other queries must not re-pay its 100×-scale
             # minutes)
-            for qname in (extra or ["containment_pairs"]):
+            for qname in effective:
                 start = time.perf_counter()
                 n = consume(wl.QUERIES[qname](spark, d))
                 sec = round(time.perf_counter() - start, 3)

@@ -25,8 +25,17 @@ bounded, replace-and-unpersist discipline the session-scoped
 - the registry holds at most ``SEAM_CAP`` distinct seams per session;
   registering beyond the cap unpersists the OLDEST seam. With <=2 seams
   per operator call, an in-flight plan's seams are only evicted if the
-  caller interleaves 4+ other seam-bearing operators before consuming —
-  at which point the evicted seam silently recomputes (correct, slower).
+  caller interleaves 4+ other seam-bearing operators before consuming.
+  The fallout of that eviction is WORSE than a silent recompute: a
+  downstream join over the evicted seam plans from the child's size
+  ESTIMATE again (the eager fill's actual-bytes statistics die with the
+  cache entry), which re-opens the mis-sized corpus-scale broadcast
+  failure the eager fill exists to prevent — explode fan-out hidden by
+  static stats can bait a broadcast of a corpus-sized side. Callers
+  that build many seam-bearing plans before executing any of them must
+  either consume as they go or raise ``SEAM_CAP`` for the session; the
+  in-repo operators consume each plan before registering 4 more, so
+  the default cap is safe for every registered query.
 - ``release_seams(spark)`` deterministically unpersists everything the
   registry holds — the between-queries hook for benches and serving
   loops that want the cache manager empty.
@@ -87,6 +96,12 @@ def seam(df: DataFrame, eager: bool = True) -> DataFrame:
         reg.pop(key)
     reg[key] = df
     while len(reg) > SEAM_CAP:
+        # Evicting an UNCONSUMED seam is not just a recompute: its
+        # eager-filled statistics vanish, so a not-yet-executed plan
+        # referencing it re-plans from the child's estimate — the
+        # corpus-scale-broadcast bait documented in the module
+        # docstring. Safe here because eviction requires SEAM_CAP
+        # newer registrations first (>=4 interleaved operator calls).
         _, old = reg.popitem(last=False)
         try:
             old.unpersist(blocking=False)

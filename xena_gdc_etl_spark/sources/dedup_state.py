@@ -70,11 +70,13 @@ def save_dedup_decisions(
     rep_col: str = "cluster_rep",
 ) -> dict:
     """Persist a (doc_id, cluster_rep) decision table; returns the
-    manifest. Same crash-consistency contract as save_minhash_index:
-    stale sentinel removed first, table written, manifest written last
-    via atomic rename — the sentinel's presence always endorses a
-    complete artifact. Integral id/rep columns only, no NULLs (checked
-    from the written table before the sentinel endorses it)."""
+    manifest. Same crash-consistency contract as save_minhash_index —
+    the sentinel's presence always endorses a complete artifact — but
+    validation happens on the STAGING table, so a failed check (NULL
+    id/rep) leaves the previous endorsed artifact fully intact,
+    sentinel included. Order: write staging, validate staging, remove
+    stale sentinel, swap staging into place, write manifest last via
+    atomic rename. Integral id/rep columns only, no NULLs."""
     for c in (id_col, rep_col):
         if c not in decisions.columns:
             raise ValueError(
@@ -89,8 +91,6 @@ def save_dedup_decisions(
             )
     path, spark_uri = _local_index_paths(path, "save_dedup_decisions")
     stale = os.path.join(path, _SENTINEL)
-    if os.path.exists(stale):
-        os.remove(stale)
     out = decisions.select(
         F.col(id_col).cast("bigint").alias(id_col),
         F.col(rep_col).cast("bigint").alias(rep_col),
@@ -109,24 +109,37 @@ def save_dedup_decisions(
 
         shutil.rmtree(staging)
     out.write.mode("overwrite").parquet(spark_uri + "/decisions.parquet.staging")
-    if os.path.exists(final_dir):
-        import shutil
-
-        shutil.rmtree(final_dir)
-    os.replace(staging, final_dir)
-    written = decisions.sparkSession.read.parquet(
-        spark_uri + "/decisions.parquet"
+    # Validate the STAGING table before touching the live one: in the
+    # roll-forward pattern (save(frozen.union(increment)) to the same
+    # path) a NULL discovered only after the swap would have already
+    # destroyed the previous good artifact with no rollback. A failed
+    # check here leaves the prior table AND its sentinel intact — the
+    # stale sentinel is removed only below, once staging has validated,
+    # so the unendorsed window shrinks to the two-rename swap itself.
+    staged = decisions.sparkSession.read.parquet(
+        spark_uri + "/decisions.parquet.staging"
     )
-    counts = written.agg(
+    counts = staged.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(id_col).alias("n_id"),
         F.count(rep_col).alias("n_rep"),
     ).collect()[0]
     if counts["n_id"] != counts["n"] or counts["n_rep"] != counts["n"]:
+        import shutil
+
+        shutil.rmtree(staging)
         raise ValueError(
             "save_dedup_decisions: NULL ids or representatives in the "
-            "decision table — refusing to endorse the artifact"
+            "decision table — refusing to endorse the artifact (the "
+            "previous decisions.parquet is left untouched)"
         )
+    if os.path.exists(stale):
+        os.remove(stale)
+    if os.path.exists(final_dir):
+        import shutil
+
+        shutil.rmtree(final_dir)
+    os.replace(staging, final_dir)
     manifest = {
         "format_version": DEDUP_STATE_FORMAT_VERSION,
         "num_hashes": int(num_hashes),
@@ -188,13 +201,16 @@ def incremental_cc_update(
     new_pairs: "DataFrame | None" = None,
     id_col: str = "doc_id",
     rep_col: str = "cluster_rep",
+    new_id_col: str = "new_id",
+    landed_id_col: str = "landed_id",
 ) -> DataFrame:
     """Label a day-N increment against frozen day-N−1 decisions.
 
     Inputs: ``frozen_labels`` — the loaded (doc_id, cluster_rep)
     artifact; ``new_nodes`` — one ``id_col`` row per arriving doc;
-    ``cross_pairs`` — (new_id, landed_id) duplicate edges between the
-    increment and the landed corpus (``lsh_probe_pairs`` output, or the
+    ``cross_pairs`` — (``new_id_col``, ``landed_id_col``) duplicate
+    edges between the increment and the landed corpus
+    (``lsh_probe_pairs`` output, or the
     digest probe's matches); ``new_pairs`` — (a, b) duplicate edges
     WITHIN the increment (``lsh_candidate_pairs`` over the increment
     alone), or None when within-increment dedup is handled separately.
@@ -219,6 +235,13 @@ def incremental_cc_update(
     from xena_gdc_etl_spark.operators.dedup import connected_components
 
     spark = new_nodes.sparkSession
+    for c in (new_id_col, landed_id_col):
+        if c not in cross_pairs.columns:
+            raise ValueError(
+                f"incremental_cc_update: cross_pairs is missing column "
+                f"{c!r} (columns: {cross_pairs.columns}); pass "
+                "new_id_col/landed_id_col to name the edge endpoints"
+            )
     if new_pairs is None:
         new_pairs = spark.createDataFrame([], "a bigint, b bigint")
     comp = connected_components(new_pairs, new_nodes, id_col=id_col)
@@ -226,8 +249,8 @@ def incremental_cc_update(
     # minimum inherited rep
     anchors = (
         cross_pairs.select(
-            F.col("new_id").alias(id_col),
-            F.col("landed_id").cast("bigint").alias("__landed"),
+            F.col(new_id_col).alias(id_col),
+            F.col(landed_id_col).cast("bigint").alias("__landed"),
         )
         .join(
             frozen_labels.select(

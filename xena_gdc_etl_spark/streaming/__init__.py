@@ -753,9 +753,14 @@ def streaming_winnow_decontamination(
         .agg(
             F.count("fp").cast("bigint").alias("n_fps"),
             F.count("__hit").cast("bigint").alias("n_hit"),
-            F.round(F.count("__hit") / F.count("fp"), 6).alias(
-                "contam_fp_frac"
-            ),
+            # try_divide, not "/": heartbeat/sub-k rows aggregate with
+            # count(fp)=0 and under ANSI mode a plain division would
+            # throw DIVIDE_BY_ZERO the moment a plan-shape change stops
+            # Catalyst from evaluating the n_fps > 0 filter first
+            # (streaming_containment uses the same guard).
+            F.round(
+                F.try_divide(F.count("__hit"), F.count("fp")), 6
+            ).alias("contam_fp_frac"),
         )
         .filter(F.col("n_fps") > 0)
         .select(

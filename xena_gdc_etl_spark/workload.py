@@ -68,14 +68,41 @@ def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The embedding family (ann_ivf, embed_cosine_dup, semantic_dedup) buckets
-# the corpus by the SAME fixed centroids (vec_id < 8) — in a real
-# deployment the inverted file is built once and every consumer reads it.
-# Same bounded session-scoped cache contract as _shared_signatures: one
-# persisted assignment per live session, replaced (and unpersisted) when
-# sf_dir changes.
+# the corpus by the SAME deterministic centroids (the first
+# ``n_cells`` vec_ids) — in a real deployment the inverted file is built
+# once and every consumer reads it. Same bounded session-scoped cache
+# contract as _shared_signatures: one persisted assignment per live
+# session, replaced (and unpersisted) when sf_dir changes.
+#
+# The cell count SCALES with the corpus: n_cells = max(8, ceil(N/250)).
+# A fixed n_cells=8 means cells grow ∝ corpus and the within-cell pair
+# stage (cosine_dup_pairs, O(Σ cell²)) goes quadratic — the round-13
+# 100× lane knee: at 100× the sf0.1 corpus, 8 cells hold ~25k vectors
+# each and the τ-pair stage pays 10,000× the x1 work. Holding cells near
+# 250 rows makes it O(N·250), linear (see ivf_cells_scaling.json for the
+# measured fixed-vs-scaled A/B). 250 is chosen so the HISTORICAL gate
+# outputs are bit-identical: ceil(2000/250)=8 at sf0.1 and
+# max(8, ceil(500/250))=8 at sf0.01 — exactly the 8 cells every prior
+# round pinned. The oracle SQL computes the same rule via
+# _IVF_CELLS_SQL, so Spark and DuckDB stay in lockstep at every scale.
+IVF_TARGET_CELL_ROWS = 250
+_IVF_CELLS_SQL = (
+    "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
 _IVF_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple[str, DataFrame]]" = (
     _weakref.WeakKeyDictionary()
 )
+
+
+def _ivf_n_cells(spark: SparkSession, sf_dir: str) -> int:
+    from xena_gdc_etl_spark.operators import similarity as sim
+
+    n = Catalog(spark, sf_dir).embeddings.count()
+    return sim.suggest_n_cells(
+        n, target_cell_rows=IVF_TARGET_CELL_ROWS, min_cells=8
+    )
 
 
 def _shared_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,9 +114,9 @@ def _shared_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             return entry[1]
         entry[1].unpersist()
     emb = Catalog(spark, sf_dir).embeddings
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    centroids = emb.filter(
+        F.col("vec_id") < _ivf_n_cells(spark, sf_dir)
+    ).select(F.col("vec_id").alias("centroid_id"), "embedding")
     assigned = sim.ivf_assign(emb, centroids).persist()
     _IVF_CACHE[spark] = (sf_dir, assigned)
     return assigned
@@ -1205,14 +1232,19 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 26. IVF approximate top-k: deterministic centroids (vec_id < 8), search
+# 26. IVF approximate top-k: deterministic centroids (the first
+#     max(8, ceil(N/250)) vec_ids — scaled with the corpus, see
+#     _shared_ivf_assigned), search
 #     within the assigned cell only.
 # --------------------------------------------------------------------------
 @query(
     "ann_ivf",
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT))
+                               FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
                FROM embeddings v, c),
@@ -1251,7 +1283,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_nprobe",
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT))
+                               FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
                FROM embeddings v, c),
@@ -1280,9 +1315,9 @@ def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import similarity as sim
 
     emb = Catalog(spark, sf_dir).embeddings
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    centroids = emb.filter(
+        F.col("vec_id") < _ivf_n_cells(spark, sf_dir)
+    ).select(F.col("vec_id").alias("centroid_id"), "embedding")
     probes = sim.ivf_assign_probes(
         emb.filter(F.col("vec_id") % 10 == 0), centroids, nprobe=2
     )
@@ -1301,7 +1336,10 @@ def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_recall_eval",
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT))
+                               FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
                FROM embeddings v, c),
@@ -1374,7 +1412,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_cosine_dup",
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT))
+                               FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
                FROM embeddings v, c),
@@ -1404,7 +1445,10 @@ def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup",
     """
     WITH RECURSIVE c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT))
+                               FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
                FROM embeddings v, c),
@@ -3779,7 +3823,10 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster_purity",
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT))
+                               FROM embeddings)),
     scored AS (SELECT v.vec_id, v.label, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
                FROM embeddings v, c),
