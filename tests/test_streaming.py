@@ -881,3 +881,290 @@ def test_streaming_containment_append_mode_finalizes(spark, tmp_path):
     # the day-1 match finalized BECAUSE the non-matching heartbeats
     # advanced the watermark — with the old inner shape this was empty
     assert matched == [(10, 1, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide append-mode LIVENESS sweep (round-13 verdict task 2).
+#
+# The watermark-pushdown stall class was found TWICE in round 12 (the winnow
+# twin, then streaming_containment): Catalyst pushes row-dropping predicates
+# that do not reference the event-time column BELOW the watermark node, so a
+# rare-match / heartbeat-only feed never advances the watermark and append
+# mode emits NOTHING, forever, silently. The per-instance pins above guard
+# the two known sites; this sweep pins the CLASS — every watermarked twin in
+# the streaming registry runs against an early content batch followed by
+# no-match/heartbeat-only batches, and must emit the early batch's rows.
+# test_liveness_sweep_covers_every_watermarked_twin scans the package source
+# so a twin added next round cannot dodge the sweep unobserved.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+from datetime import datetime as _dtm
+
+_D1 = _dtm(2026, 1, 1, 0, 30)
+_HB1 = _dtm(2026, 1, 3, 0, 0)
+_HB2 = _dtm(2026, 1, 5, 0, 0)
+
+
+def _file_stream(spark, tmp_path, name, schema, batches):
+    d = str(tmp_path / name)
+    first = True
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if first else "append"
+        ).parquet(d)
+        first = False
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _sweep_windowed_agg(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_windowed_agg
+
+    stream = _file_stream(
+        spark, tmp_path, "in", "ts timestamp, event_type string, value double",
+        [[(_D1, "click", 1.0)], [(_HB1, "hb", 0.0)], [(_HB2, "hb", 0.0)]],
+    )
+    out = streaming_windowed_agg(stream)
+    return out, lambda rows: any(r.event_type == "click" for r in rows)
+
+
+def _sweep_sessionize(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_sessionize
+
+    stream = _file_stream(
+        spark, tmp_path, "in", "ts timestamp, user_id long",
+        [[(_D1, 1)], [(_HB1, -1)], [(_HB2, -2)]],
+    )
+    out = streaming_sessionize(stream)
+    return out, lambda rows: any(r.user_id == 1 for r in rows)
+
+
+def _sweep_dedup_exact(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_dedup_exact
+
+    stream = _file_stream(
+        spark, tmp_path, "in", "ts timestamp, doc_id long, text string",
+        [
+            [(_D1, 1, "aaa"), (_D1, 2, "aaa")],  # 2 is a dup of 1
+            [(_HB1, -1, "hb1")],
+            [(_HB2, -2, "hb2")],
+        ],
+    )
+    out = streaming_dedup_exact(stream)
+    return out, lambda rows: (
+        any(r.doc_id == 1 for r in rows)
+        and not any(r.doc_id == 2 for r in rows)
+    )
+
+
+def _sweep_time_bounded_join(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_time_bounded_join
+
+    left = _file_stream(
+        spark, tmp_path, "left", "ts timestamp, user_id long",
+        [[(_dtm(2026, 1, 1, 1, 0), 1)], [(_HB1, -1)], [(_HB2, -3)]],
+    )
+    right = _file_stream(
+        spark, tmp_path, "right", "ts timestamp, user_id long",
+        [[(_D1, 1)], [(_HB1, -2)], [(_HB2, -4)]],  # hb keys never match
+    )
+    out = streaming_time_bounded_join(left, right, "user_id").select(
+        F.col("l.user_id").alias("lu"), F.col("r.user_id").alias("ru")
+    )
+    return out, lambda rows: any(r.lu == 1 and r.ru == 1 for r in rows)
+
+
+def _sweep_incremental_dedup(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_incremental_dedup
+
+    landed = spark.createDataFrame(
+        [(_hashlib.md5(b"landed text").hexdigest(), 7)],
+        "h string, dup_of long",
+    )
+    stream = _file_stream(
+        spark, tmp_path, "in", "ts timestamp, doc_id long, text string",
+        [
+            [(_D1, 1, "landed text"), (_D1, 2, "brand new")],
+            [(_HB1, -1, "hb1")],
+            [(_HB2, -2, "hb2")],
+        ],
+    )
+    out = streaming_incremental_dedup(stream, landed, ts_col="ts")
+    return out, lambda rows: (
+        any(r.doc_id == 1 and r.dup_of == 7 for r in rows)
+        and any(r.doc_id == 2 and r.dup_of is None for r in rows)
+    )
+
+
+def _sweep_pii_rate(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_pii_rate
+
+    stream = _file_stream(
+        spark, tmp_path, "in",
+        "ts timestamp, source string, text string, n_chars long",
+        [
+            [(_D1, "web", "no matches in this text", 23)],
+            [(_HB1, "hb", "x", 1)],
+            [(_HB2, "hb", "y", 1)],
+        ],
+    )
+    out = streaming_pii_rate(stream)
+    # the NO-MATCH feed must still emit its window row, with zero hits —
+    # absence here is exactly the silent-stall failure mode
+    return out, lambda rows: any(
+        r.source == "web" and r.pii_hits == 0 and r.n_docs == 1
+        for r in rows
+    )
+
+
+def _sweep_heavy_hitters(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_heavy_hitters
+
+    stream = _file_stream(
+        spark, tmp_path, "in", "ts timestamp, user_id long",
+        [[(_D1, 1), (_D1, 1)], [(_HB1, -1)], [(_HB2, -2)]],
+    )
+    out = streaming_heavy_hitters(stream)
+    return out, lambda rows: any(r.user_id == 1 and r.cnt == 2 for r in rows)
+
+
+def _sweep_cluster_purity(spark, tmp_path):
+    from xena_gdc_etl_spark.streaming import streaming_cluster_purity
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, embedding array<float>",
+    )
+    stream = _file_stream(
+        spark, tmp_path, "in",
+        "ts timestamp, vec_id long, embedding array<float>, label int",
+        [
+            [(_D1, 10, [0.9, 0.1, 0.0, 0.0], 3)],
+            [(_HB1, -1, [0.0, 0.9, 0.0, 0.0], 0)],
+            [(_HB2, -2, [0.0, 0.9, 0.0, 0.0], 0)],
+        ],
+    )
+    out = streaming_cluster_purity(stream, centroids)
+    return out, lambda rows: any(
+        r.centroid_id == 0 and r.label == 3 and r.n == 1 for r in rows
+    )
+
+
+def _sweep_containment(spark, tmp_path):
+    from xena_gdc_etl_spark.operators import dedup as dd
+    from xena_gdc_etl_spark.streaming import streaming_containment
+
+    landed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    stream = _file_stream(
+        spark, tmp_path, "in", "doc_id long, text string, ts timestamp",
+        [
+            [(10, "the quick brown fox", _D1)],
+            [(-1, "zz", _HB1)],  # sub-k
+            [(-2, "entirely unrelated words xq", _HB2)],
+        ],
+    )
+    out = streaming_containment(
+        stream, dd.shingles(landed, k=5, distinct=True),
+        window_duration="24 hours",
+    )
+    return out, lambda rows: any(
+        r.a == 10 and r.b == 1 and r.containment_a == 1.0 for r in rows
+    )
+
+
+def _sweep_winnow(spark, tmp_path):
+    from xena_gdc_etl_spark.operators import text as tx
+    from xena_gdc_etl_spark.streaming import streaming_winnow_decontamination
+
+    heldout = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    stream = _file_stream(
+        spark, tmp_path, "in", "doc_id long, text string, ts timestamp",
+        [
+            [(10, "the quick brown fox jumps over it", _D1)],
+            [(-1, "hb", _HB1)],  # sub-k: zero fingerprints
+            [(-2, "hb", _HB2)],
+        ],
+    )
+    out = streaming_winnow_decontamination(
+        stream, tx.winnow_fingerprint_set(heldout),
+        window_duration="24 hours",
+    )
+    return out, lambda rows: (
+        any(r.doc_id == 10 and r.n_fps > 0 for r in rows)
+        and not any(r.doc_id in (-1, -2) for r in rows)
+    )
+
+
+LIVENESS_SWEEP = {
+    "streaming_windowed_agg": _sweep_windowed_agg,
+    "streaming_sessionize": _sweep_sessionize,
+    "streaming_dedup_exact": _sweep_dedup_exact,
+    "streaming_time_bounded_join": _sweep_time_bounded_join,
+    "streaming_incremental_dedup": _sweep_incremental_dedup,
+    "streaming_pii_rate": _sweep_pii_rate,
+    "streaming_heavy_hitters": _sweep_heavy_hitters,
+    "streaming_cluster_purity": _sweep_cluster_purity,
+    "streaming_containment": _sweep_containment,
+    "streaming_winnow_decontamination": _sweep_winnow,
+}
+
+# Watermarked functions deliberately outside the sweep, with the reason —
+# an entry here is a documented adjudication, not an escape hatch.
+LIVENESS_EXEMPT: dict[str, str] = {}
+
+
+@pytest.mark.parametrize("twin", sorted(LIVENESS_SWEEP))
+def test_append_mode_liveness(spark, tmp_path, twin):
+    out, expect = LIVENESS_SWEEP[twin](spark, tmp_path)
+    assert out.isStreaming
+    name = f"liveness_{twin}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(name).collect()
+    assert rows, (
+        f"{twin}: append mode emitted NOTHING on a rare-match feed — "
+        "the watermark stalled (row-dropping predicate pushed below "
+        "the watermark node?)"
+    )
+    assert expect(rows), f"{twin}: early-batch rows missing: {rows}"
+
+
+def test_liveness_sweep_covers_every_watermarked_twin():
+    """A new watermarked twin MUST join the sweep (or the exempt list,
+    with a written reason) — the stall class was found twice in one
+    round; this is the guard that pins the class, not the instances."""
+    import inspect
+
+    from xena_gdc_etl_spark import streaming as S
+    from xena_gdc_etl_spark.streaming import stateful
+
+    covered = set(LIVENESS_SWEEP) | set(LIVENESS_EXEMPT)
+    missing = []
+    for mod in (S, stateful):
+        for fname, fn in vars(mod).items():
+            if not callable(fn) or getattr(fn, "__module__", None) != mod.__name__:
+                continue
+            try:
+                src = inspect.getsource(fn)
+            except (OSError, TypeError):
+                continue
+            if "withWatermark" in src and fname not in covered:
+                missing.append(f"{mod.__name__}.{fname}")
+    assert not missing, (
+        "watermarked streaming twins missing from the append-mode "
+        f"liveness sweep: {missing} — add a LIVENESS_SWEEP spec (or an "
+        "exempt entry with a reason)"
+    )

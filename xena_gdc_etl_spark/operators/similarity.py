@@ -56,6 +56,11 @@ def _collect_bounded(df: DataFrame, what: str, limit: int) -> list:
     return rows
 
 
+# Row-chunk bound for the brute-force top-k matmul: the (chunk, |Q|)
+# sim matrix stays under ~1 GiB float64 even at the bounded-collect
+# query ceiling (65536 queries), independent of Arrow batch sizing.
+TOPK_CHUNK_ROWS = 2048
+
 _TOPK_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -121,28 +126,58 @@ def cosine_topk(
     bc = spark.sparkContext.broadcast((q_ids, qn))
 
     def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Fully vectorized batch stage — no per-query Python loop. The
+        # previous implementation looped `for qid in ids` with an O(n)
+        # mask + lexsort per query: fine at |Q|=200, but |Q| grows with
+        # the corpus (10% rule), so at the 100× lane (|Q|=20k) the loop
+        # ran |Q|×chunks Python-level lexsorts per partition and
+        # dominated the stage. This stage only needs to emit a SUPERSET
+        # of each query's batch-local top-k by the FINAL criterion
+        # (rounded sim desc, id asc) — the global window downstream
+        # applies that exact rule — so it emits every candidate whose
+        # sim reaches the k-th largest per query (ties included; an
+        # arbitrary argpartition tie-cut could drop the smaller-id tie
+        # the exact rule keeps).
         ids, qmat = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            vids = pdf[id_col].to_numpy(dtype=np.int64)
-            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vm /= _safe_norms(vm)
-            sims = np.round(vm @ qmat.T, 6)  # (n_vec, n_query)
-            out_q, out_m, out_s = [], [], []
-            for j, qid in enumerate(ids):
-                col = sims[:, j]
-                mask = vids != qid
-                cand_ids = vids[mask]
-                cand = col[mask]
-                # order by (sim desc, id asc): lexsort keys reversed
-                order = np.lexsort((cand_ids, -cand))[:k]
-                out_q.extend([qid] * len(order))
-                out_m.extend(cand_ids[order])
-                out_s.extend(cand[order])
-            yield pd.DataFrame(
-                {"query_id": out_q, "match_id": out_m, "sim": out_s}
-            )
+            vids_all = pdf[id_col].to_numpy(dtype=np.int64)
+            vm_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vm_all /= _safe_norms(vm_all)
+            # row-chunk the matmul: sims is (chunk, |Q|) float64 and |Q|
+            # is corpus-scale/10 — the chunk bound keeps per-task peak
+            # memory flat no matter the Arrow batch size
+            for lo in range(0, len(vids_all), TOPK_CHUNK_ROWS):
+                vids = vids_all[lo:lo + TOPK_CHUNK_ROWS]
+                vm = vm_all[lo:lo + TOPK_CHUNK_ROWS]
+                n = len(vids)
+                sims = np.round(vm @ qmat.T, 6)  # (n, |Q|)
+                # self-match exclusion, vectorized: locate each query id
+                # in this chunk's (unsorted) vid array via searchsorted
+                # on an argsort permutation, then sink its row to -inf
+                order_v = np.argsort(vids)
+                pos = np.searchsorted(vids, ids, sorter=order_v)
+                safe = np.minimum(pos, n - 1)
+                hit = np.flatnonzero(
+                    (pos < n) & (vids[order_v[safe]] == ids)
+                )
+                sims[order_v[pos[hit]], hit] = -np.inf
+                if n > k:
+                    # k-th largest per query column; >= keeps boundary
+                    # ties for the window to break by id
+                    thr = -np.partition(-sims, k - 1, axis=0)[k - 1]
+                    mask = (sims >= thr[None, :]) & np.isfinite(sims)
+                else:
+                    mask = np.isfinite(sims)
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[c],
+                        "match_id": vids[r],
+                        "sim": sims[r, c],
+                    }
+                )
 
     par = spark.sparkContext.defaultParallelism
     local = _spread_to_cores(
