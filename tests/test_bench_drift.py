@@ -138,3 +138,16 @@ def test_stdout_band_caps_at_eight_noisiest():
     assert len(band) == 8
     # the eight with the largest relative band survive (q12..q19)
     assert set(band) == {f"q{i}" for i in range(12, 20)}
+
+
+def test_stdout_line_carries_host_factor():
+    import json
+
+    import bench as b
+
+    t = {"q1_pricing_summary": 0.3, "x": 1.0, "q1_end_repeat": 0.3}
+    line = json.loads(b._stdout_line(t, 1.6, 0.1, {}, host_factor=1.59))
+    assert line["host_factor_vs_gate"] == 1.59
+    # omitted (not null) when probes were unavailable
+    line2 = json.loads(b._stdout_line(t, 1.6, 0.1, {}, host_factor=None))
+    assert "host_factor_vs_gate" not in line2

@@ -22,59 +22,27 @@ them anyway.
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xena_gdc_etl_spark.sources.artifact import (
+    begin_save as _begin_save,
+    check_format as _check_format,
+    endorse as _endorse,
+    local_artifact_paths,
+    open_manifest as _open_manifest,
+)
+
 INDEX_FORMAT_VERSION = 1
 _SENTINEL = "_index.json"
 
-
-def _local_index_paths(path: str, what: str) -> "tuple[str, str]":
-    """Resolve ``path`` to (local_fs_path, spark_uri).
-
-    The sentinel half of the index uses local ``open()``/``os`` while the
-    tables go through Spark writers/readers — those two halves MUST hit
-    the same filesystem. A bare '://' guard isn't enough: a scheme-less
-    path resolves against ``fs.defaultFS`` in the JVM (HDFS in a cluster
-    deployment) but against the local filesystem in Python, silently
-    splitting the index. So: accept plain local paths and ``file://``
-    URIs (normalized), hand Spark an EXPLICIT ``file://`` URI so the JVM
-    side can never be redirected by ``fs.defaultFS``, and reject every
-    other scheme loudly.
-    """
-    from urllib.parse import urlparse
-
-    parsed = urlparse(path)
-    if parsed.scheme == "file":
-        if parsed.netloc not in ("", "localhost"):
-            raise ValueError(
-                f"{what} supports only local file:// URIs, got {path!r}"
-            )
-        local = parsed.path
-    elif parsed.scheme and len(parsed.scheme) > 1:
-        # reject on the parsed scheme ALONE: 'hdfs:/nn/idx' (single
-        # slash) parses with scheme='hdfs' but contains no '://', and a
-        # substring guard would silently treat it as a local relative
-        # path. One-letter schemes are Windows drive letters ('C:/...'),
-        # which ARE local paths. Deliberate casualty: a relative local
-        # path whose FIRST segment contains a colon ('my:dir/idx') is
-        # rejected too — fail-loud beats guessing, and './my:dir/idx'
-        # parses scheme-less, so the error names that escape hatch.
-        raise ValueError(
-            f"{what} requires a local path or file:// URI, got {path!r}: "
-            "the sentinel is written with local file IO while the tables "
-            "go through Spark writers — on a remote filesystem these "
-            "would land in different places. For a local relative path "
-            "containing ':', prefix it with './'"
-        )
-    else:
-        local = path
-    local = os.path.abspath(local)
-    return local, "file://" + local
+# The path resolver moved to sources/artifact.py (the shared durable-
+# artifact discipline, round-13 factoring); this alias keeps the
+# historical import site working for the other artifact modules.
+_local_index_paths = local_artifact_paths
 
 
 def save_ann_index(
@@ -103,10 +71,7 @@ def save_ann_index(
     (``hdfs://``, ``s3a://``) are rejected loudly rather than splitting
     the index across filesystems.
     """
-    path, spark_uri = _local_index_paths(path, "save_ann_index")
-    stale = os.path.join(path, _SENTINEL)
-    if os.path.exists(stale):
-        os.remove(stale)
+    path, spark_uri = _begin_save(path, _SENTINEL, "save_ann_index")
     spark = centroids.sparkSession
     cdf = centroids.select(
         F.col(centroid_id).cast("bigint").alias("centroid_id"),
@@ -138,11 +103,7 @@ def save_ann_index(
             "k": int(np.asarray(codebooks[0]).shape[0]),
             "dsub": int(np.asarray(codebooks[0]).shape[1]),
         }
-    tmp = os.path.join(path, _SENTINEL + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _SENTINEL))
-    return manifest
+    return _endorse(path, _SENTINEL, manifest)
 
 
 def load_ann_index(
@@ -151,21 +112,19 @@ def load_ann_index(
     """Load (centroids frame, codebooks or None, manifest). Fails loudly
     on a missing/incomplete index (no sentinel), a future format, or a
     non-local path (same local-filesystem / file:// contract as save)."""
-    path, spark_uri = _local_index_paths(path, "load_ann_index")
-    sentinel = os.path.join(path, _SENTINEL)
-    if not os.path.exists(sentinel):
-        raise FileNotFoundError(
+    local, spark_uri, manifest = _open_manifest(
+        path,
+        _SENTINEL,
+        "load_ann_index",
+        absent_msg=(
             f"{path} is not a complete ANN index (missing {_SENTINEL}; "
             "a crashed save leaves no sentinel by design)"
-        )
-    with open(sentinel) as fh:
-        manifest = json.load(fh)
-    if manifest.get("format_version", 0) > INDEX_FORMAT_VERSION:
-        raise ValueError(
-            f"ANN index at {path} has format_version "
-            f"{manifest['format_version']}; this reader supports "
-            f"<= {INDEX_FORMAT_VERSION}"
-        )
+        ),
+    )
+    # forward_only: this reader migrates older layouts, refuses newer
+    _check_format(
+        manifest, INDEX_FORMAT_VERSION, "load_ann_index", forward_only=True
+    )
     centroids = spark.read.parquet(spark_uri + "/centroids.parquet")
     codebooks = None
     if manifest.get("pq"):

@@ -40,23 +40,22 @@ re-shuffled.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xena_gdc_etl_spark.sources.ann_index import _local_index_paths
+from xena_gdc_etl_spark.sources.artifact import (
+    check_format,
+    check_params,
+    endorse,
+    local_artifact_paths,
+    open_manifest,
+    remove_sentinel,
+)
 
 DEDUP_STATE_FORMAT_VERSION = 1
 _SENTINEL = "_dedup_state.json"
-
-
-def _params_of(manifest: dict) -> dict:
-    return {
-        k: manifest.get(k)
-        for k in ("num_hashes", "shingle_k", "band_size", "normalized")
-    }
 
 
 def save_dedup_decisions(
@@ -89,8 +88,9 @@ def save_dedup_decisions(
                 f"save_dedup_decisions: {c} has type {ctype!r} — decision "
                 "tables persist integral ids only"
             )
-    path, spark_uri = _local_index_paths(path, "save_dedup_decisions")
-    stale = os.path.join(path, _SENTINEL)
+    # resolve WITHOUT removing the sentinel yet: this saver validates
+    # staging first, so the prior artifact stays endorsed until the swap
+    path, spark_uri = local_artifact_paths(path, "save_dedup_decisions")
     out = decisions.select(
         F.col(id_col).cast("bigint").alias(id_col),
         F.col(rep_col).cast("bigint").alias(rep_col),
@@ -133,8 +133,7 @@ def save_dedup_decisions(
             "decision table — refusing to endorse the artifact (the "
             "previous decisions.parquet is left untouched)"
         )
-    if os.path.exists(stale):
-        os.remove(stale)
+    remove_sentinel(path, _SENTINEL)
     if os.path.exists(final_dir):
         import shutil
 
@@ -150,11 +149,7 @@ def save_dedup_decisions(
         "rep_col": rep_col,
         "n_docs": int(counts["n"]),
     }
-    tmp = os.path.join(path, _SENTINEL + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _SENTINEL))
-    return manifest
+    return endorse(path, _SENTINEL, manifest)
 
 
 def load_dedup_decisions(
@@ -168,29 +163,24 @@ def load_dedup_decisions(
     """Load a decision artifact, refusing a parameter mismatch — labels
     derived under different LSH parameters encode a different
     equivalence relation and must not mix."""
-    path, spark_uri = _local_index_paths(path, "load_dedup_decisions")
-    sentinel = os.path.join(path, _SENTINEL)
-    if not os.path.exists(sentinel):
-        raise FileNotFoundError(
-            f"load_dedup_decisions: no {_SENTINEL} under {path} — the "
-            "artifact is absent or was interrupted mid-write (the "
-            "sentinel is written last)"
-        )
-    with open(sentinel) as fh:
-        manifest = json.load(fh)
-    expected = {
-        "num_hashes": int(num_hashes),
-        "shingle_k": int(shingle_k),
-        "band_size": int(band_size),
-        "normalized": bool(normalized),
-    }
-    got = _params_of(manifest)
-    if got != expected:
-        raise ValueError(
-            f"load_dedup_decisions: artifact params {got} != expected "
-            f"{expected} — decisions derived under different "
-            "hash/shingle/banding parameters must not mix"
-        )
+    path, spark_uri, manifest = open_manifest(
+        path, _SENTINEL, "load_dedup_decisions"
+    )
+    check_format(
+        manifest, DEDUP_STATE_FORMAT_VERSION, "load_dedup_decisions"
+    )
+    check_params(
+        manifest,
+        {
+            "num_hashes": int(num_hashes),
+            "shingle_k": int(shingle_k),
+            "band_size": int(band_size),
+            "normalized": bool(normalized),
+        },
+        "load_dedup_decisions",
+        "decisions derived under different hash/shingle/banding "
+        "parameters must not mix",
+    )
     return spark.read.parquet(spark_uri + "/decisions.parquet"), manifest
 
 

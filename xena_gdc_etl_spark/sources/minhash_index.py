@@ -34,23 +34,21 @@ policy it was built for.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xena_gdc_etl_spark.sources.ann_index import _local_index_paths
+from xena_gdc_etl_spark.sources.artifact import (
+    begin_save,
+    check_format,
+    check_params,
+    endorse,
+    open_manifest,
+)
 
 MINHASH_FORMAT_VERSION = 1
 _SENTINEL = "_minhash.json"
-
-
-def _params_of(manifest: dict) -> dict:
-    return {
-        k: manifest.get(k)
-        for k in ("num_hashes", "shingle_k", "band_size", "normalized")
-    }
 
 
 def save_minhash_index(
@@ -104,10 +102,7 @@ def save_minhash_index(
             "artifact persists ids as bigint and only integral id "
             "columns cast losslessly; map your ids to integers first"
         )
-    path, spark_uri = _local_index_paths(path, "save_minhash_index")
-    stale = os.path.join(path, _SENTINEL)
-    if os.path.exists(stale):
-        os.remove(stale)
+    path, spark_uri = begin_save(path, _SENTINEL, "save_minhash_index")
     out = signatures.select(
         F.col(id_col).cast("bigint").alias(id_col),
         *[F.col(c).cast("bigint").alias(c) for c in slot_cols],
@@ -141,11 +136,7 @@ def save_minhash_index(
         "id_col": id_col,
         "n_docs": int(n_docs),
     }
-    tmp = os.path.join(path, _SENTINEL + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _SENTINEL))
-    return manifest
+    return endorse(path, _SENTINEL, manifest)
 
 
 def load_minhash_index(
@@ -160,33 +151,22 @@ def load_minhash_index(
     sentinel), a future format, or ANY parameter mismatch — signatures
     under different hash/shingle/banding parameters are incomparable
     numbers and must never mix."""
-    path, spark_uri = _local_index_paths(path, "load_minhash_index")
-    sentinel = os.path.join(path, _SENTINEL)
-    if not os.path.exists(sentinel):
-        raise FileNotFoundError(
-            f"load_minhash_index: no {_SENTINEL} under {path!r} — the "
-            "artifact is missing or was interrupted mid-save"
-        )
-    with open(sentinel) as fh:
-        manifest = json.load(fh)
-    if manifest.get("format_version") != MINHASH_FORMAT_VERSION:
-        raise ValueError(
-            f"load_minhash_index: format_version "
-            f"{manifest.get('format_version')!r} != {MINHASH_FORMAT_VERSION}"
-        )
-    expected = {
-        "num_hashes": int(num_hashes),
-        "shingle_k": int(shingle_k),
-        "band_size": int(band_size),
-        "normalized": bool(normalized),
-    }
-    got = _params_of(manifest)
-    if got != expected:
-        raise ValueError(
-            f"load_minhash_index: artifact params {got} != expected "
-            f"{expected} — signatures built under different "
-            "hash/shingle/banding parameters must not mix"
-        )
+    path, spark_uri, manifest = open_manifest(
+        path, _SENTINEL, "load_minhash_index"
+    )
+    check_format(manifest, MINHASH_FORMAT_VERSION, "load_minhash_index")
+    check_params(
+        manifest,
+        {
+            "num_hashes": int(num_hashes),
+            "shingle_k": int(shingle_k),
+            "band_size": int(band_size),
+            "normalized": bool(normalized),
+        },
+        "load_minhash_index",
+        "signatures built under different hash/shingle/banding "
+        "parameters must not mix",
+    )
     sigs = spark.read.parquet(spark_uri + "/signatures.parquet")
     return sigs, manifest
 

@@ -25,13 +25,18 @@ Layout under ``<path>/``:
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xena_gdc_etl_spark.sources.ann_index import _local_index_paths
+from xena_gdc_etl_spark.sources.artifact import (
+    begin_save,
+    check_format,
+    check_params,
+    endorse,
+    open_manifest,
+)
 
 STATS_FORMAT_VERSION = 1
 _SENTINEL = "_stats.json"
@@ -56,10 +61,7 @@ def save_token_stats(
     the tables go through Spark writers; remote schemes are rejected
     loudly rather than splitting the artifact across filesystems).
     """
-    path, spark_uri = _local_index_paths(path, "save_token_stats")
-    stale = os.path.join(path, _SENTINEL)
-    if os.path.exists(stale):
-        os.remove(stale)
+    path, spark_uri = begin_save(path, _SENTINEL, "save_token_stats")
     tf = tf.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("tok"),
@@ -87,11 +89,7 @@ def save_token_stats(
         "n_tokens": int(totals["n_tokens"] or 0),
         "n_vocab": int(totals["n_vocab"] or 0),
     }
-    tmp = os.path.join(path, _SENTINEL + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _SENTINEL))
-    return manifest
+    return endorse(path, _SENTINEL, manifest)
 
 
 def load_token_stats(
@@ -102,26 +100,16 @@ def load_token_stats(
     """Load (tf, vocab, manifest). Refuses an incomplete artifact (no
     sentinel) or one built under a different tokenizer tag — mixing
     tokenizations silently corrupts every downstream statistic."""
-    path, spark_uri = _local_index_paths(path, "load_token_stats")
-    sentinel = os.path.join(path, _SENTINEL)
-    if not os.path.exists(sentinel):
-        raise FileNotFoundError(
-            f"load_token_stats: no {_SENTINEL} under {path!r} — the "
-            "artifact is missing or was interrupted mid-save"
-        )
-    with open(sentinel) as fh:
-        manifest = json.load(fh)
-    if manifest.get("format_version") != STATS_FORMAT_VERSION:
-        raise ValueError(
-            f"load_token_stats: format_version "
-            f"{manifest.get('format_version')!r} != {STATS_FORMAT_VERSION}"
-        )
-    if manifest.get("tokenizer") != tokenizer:
-        raise ValueError(
-            f"load_token_stats: artifact tokenizer "
-            f"{manifest.get('tokenizer')!r} != expected {tokenizer!r} — "
-            "statistics from different tokenizations must not mix"
-        )
+    path, spark_uri, manifest = open_manifest(
+        path, _SENTINEL, "load_token_stats"
+    )
+    check_format(manifest, STATS_FORMAT_VERSION, "load_token_stats")
+    check_params(
+        manifest,
+        {"tokenizer": tokenizer},
+        "load_token_stats",
+        "statistics from different tokenizations must not mix",
+    )
     tf = spark.read.parquet(spark_uri + "/tf.parquet")
     vocab = spark.read.parquet(spark_uri + "/vocab.parquet")
     return tf, vocab, manifest

@@ -25,13 +25,18 @@ can mean millions of documents in a contamination audit.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xena_gdc_etl_spark.sources.ann_index import _local_index_paths
+from xena_gdc_etl_spark.sources.artifact import (
+    begin_save,
+    check_format,
+    check_params,
+    endorse,
+    open_manifest,
+)
 
 WINNOW_FORMAT_VERSION = 1
 _SENTINEL = "_winnow.json"
@@ -52,10 +57,9 @@ def save_winnow_fingerprints(
     written last via atomic rename."""
     from xena_gdc_etl_spark.operators.text import winnow_fingerprint_set
 
-    path, spark_uri = _local_index_paths(path, "save_winnow_fingerprints")
-    stale = os.path.join(path, _SENTINEL)
-    if os.path.exists(stale):
-        os.remove(stale)
+    path, spark_uri = begin_save(
+        path, _SENTINEL, "save_winnow_fingerprints"
+    )
     fps = winnow_fingerprint_set(
         heldout, id_col=id_col, text_col=text_col, k=k, w=w
     )
@@ -70,11 +74,7 @@ def save_winnow_fingerprints(
         "w": int(w),
         "n_fps": int(n_fps),
     }
-    tmp = os.path.join(path, _SENTINEL + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _SENTINEL))
-    return manifest
+    return endorse(path, _SENTINEL, manifest)
 
 
 def load_winnow_fingerprints(
@@ -82,22 +82,17 @@ def load_winnow_fingerprints(
 ) -> "tuple[DataFrame, dict]":
     """Load a fingerprint artifact, refusing a (k, w) mismatch — the
     probe's verbatim-span guarantee is parameterized by both."""
-    path, spark_uri = _local_index_paths(path, "load_winnow_fingerprints")
-    sentinel = os.path.join(path, _SENTINEL)
-    if not os.path.exists(sentinel):
-        raise FileNotFoundError(
-            f"load_winnow_fingerprints: no {_SENTINEL} under {path} — "
-            "artifact absent or interrupted mid-write (the sentinel is "
-            "written last)"
-        )
-    with open(sentinel) as fh:
-        manifest = json.load(fh)
-    got = {"k": manifest.get("k"), "w": manifest.get("w")}
-    expected = {"k": int(k), "w": int(w)}
-    if got != expected:
-        raise ValueError(
-            f"load_winnow_fingerprints: artifact params {got} != expected "
-            f"{expected} — fingerprints selected under different (k, w) "
-            "are a different hash space and a different span guarantee"
-        )
+    path, spark_uri, manifest = open_manifest(
+        path, _SENTINEL, "load_winnow_fingerprints"
+    )
+    check_format(
+        manifest, WINNOW_FORMAT_VERSION, "load_winnow_fingerprints"
+    )
+    check_params(
+        manifest,
+        {"k": int(k), "w": int(w)},
+        "load_winnow_fingerprints",
+        "fingerprints selected under different (k, w) are a different "
+        "hash space and a different span guarantee",
+    )
     return spark.read.parquet(spark_uri + "/fingerprints.parquet"), manifest

@@ -4656,6 +4656,136 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 82. Incremental keep DECISIONS — the frozen-labels daily-dedup rule as a
+#     driver-gated query (round-13 verdict task 6; the operator itself is
+#     sources/dedup_state.py:incremental_cc_update, previously only
+#     unit/example-tested). Fixture roles derived deterministically from
+#     the documents table: landed corpus = doc_id % 10 != 0 (its frozen
+#     labels = the house CC over prefix/suffix-bucket duplicate edges),
+#     increment = doc_id % 10 == 0. Edges: two docs are duplicate
+#     candidates iff they share the md5 of their first 128 chars OR of
+#     their last 128 chars — a rule that CHAINS (A~B by prefix, B~C by
+#     suffix), so the oracle needs a real recursive-CTE closure, and the
+#     inherit-smallest-touched-landed-rep precedence is exercised across
+#     multi-hop components, not just hash groups. All joins are
+#     equi-joins on the bucket keys (the OR is a union of two hash
+#     joins, never a cartesian); the landed corpus is touched by ONE key
+#     join against the increment's cross-edges, exactly the artifact
+#     loop's scale shape.
+# --------------------------------------------------------------------------
+@query(
+    "incremental_keep_decisions",
+    """
+    WITH RECURSIVE
+    d AS (SELECT doc_id,
+                 md5(substr(text, 1, 128)) AS pk,
+                 md5(substr(text, greatest(length(text) - 127, 1), 128)) AS sk
+          FROM documents),
+    landed AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+    inc    AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+    led AS (
+        SELECT x.doc_id AS src, y.doc_id AS dst
+        FROM landed x JOIN landed y ON x.pk = y.pk
+        WHERE x.doc_id <> y.doc_id
+        UNION
+        SELECT x.doc_id, y.doc_id
+        FROM landed x JOIN landed y ON x.sk = y.sk
+        WHERE x.doc_id <> y.doc_id),
+    lreach(node, lab) AS (
+        SELECT doc_id, doc_id FROM landed
+        UNION
+        SELECT e.dst, r.lab FROM lreach r JOIN led e ON e.src = r.node),
+    frozen AS (SELECT node AS doc_id, min(lab) AS rep
+               FROM lreach GROUP BY node),
+    ied AS (
+        SELECT x.doc_id AS src, y.doc_id AS dst
+        FROM inc x JOIN inc y ON x.pk = y.pk WHERE x.doc_id <> y.doc_id
+        UNION
+        SELECT x.doc_id, y.doc_id
+        FROM inc x JOIN inc y ON x.sk = y.sk WHERE x.doc_id <> y.doc_id),
+    ireach(node, lab) AS (
+        SELECT doc_id, doc_id FROM inc
+        UNION
+        SELECT e.dst, r.lab FROM ireach r JOIN ied e ON e.src = r.node),
+    icomp AS (SELECT node AS doc_id, min(lab) AS cluster_id
+              FROM ireach GROUP BY node),
+    cross_anchor AS (
+        SELECT i.doc_id, min(f.rep) AS a
+        FROM inc i
+        JOIN landed l ON i.pk = l.pk OR i.sk = l.sk
+        JOIN frozen f ON f.doc_id = l.doc_id
+        GROUP BY i.doc_id),
+    comp_anchor AS (
+        SELECT c.cluster_id, min(a.a) AS anchor
+        FROM icomp c JOIN cross_anchor a ON a.doc_id = c.doc_id
+        GROUP BY c.cluster_id)
+    SELECT c.doc_id,
+           CAST(coalesce(ca.anchor, c.cluster_id) AS BIGINT) AS cluster_rep,
+           CAST(CASE WHEN coalesce(ca.anchor, c.cluster_id) = c.doc_id
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM icomp c LEFT JOIN comp_anchor ca ON ca.cluster_id = c.cluster_id
+    """,
+)
+def incremental_keep_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from xena_gdc_etl_spark.operators.dedup import connected_components
+    from xena_gdc_etl_spark.sources.dedup_state import incremental_cc_update
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 128)).alias("pk"),
+        F.md5(
+            F.expr("substr(text, greatest(length(text) - 127, 1), 128)")
+        ).alias("sk"),
+    )
+    landed = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def bucket_pairs(df: DataFrame) -> DataFrame:
+        # duplicate-candidate edges as a UNION of two equi-joins — the
+        # OR-of-keys rule must never become a non-equi (nested-loop) join
+        pairs = None
+        for key in ("pk", "sk"):
+            x = df.select(F.col(key).alias("__k"), F.col("doc_id").alias("a"))
+            y = df.select(F.col(key).alias("__k"), F.col("doc_id").alias("b"))
+            p = (
+                x.join(y, "__k")
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b")
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        return pairs.distinct()
+
+    frozen = connected_components(
+        bucket_pairs(landed), landed.select("doc_id"), id_col="doc_id"
+    ).select("doc_id", F.col("cluster_id").alias("cluster_rep"))
+    cross = None
+    for key in ("pk", "sk"):
+        c = (
+            inc.select(F.col(key).alias("__k"), F.col("doc_id").alias("new_id"))
+            .join(
+                landed.select(
+                    F.col(key).alias("__k"), F.col("doc_id").alias("landed_id")
+                ),
+                "__k",
+            )
+            .select("new_id", "landed_id")
+        )
+        cross = c if cross is None else cross.unionByName(c)
+    out = incremental_cc_update(
+        frozen, inc.select("doc_id"), cross.distinct(), bucket_pairs(inc)
+    )
+    return out.select(
+        "doc_id",
+        "cluster_rep",
+        (F.col("doc_id") == F.col("cluster_rep"))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — self-maintaining driver-window rotation.
 #
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
