@@ -56,10 +56,16 @@ def _collect_bounded(df: DataFrame, what: str, limit: int) -> list:
     return rows
 
 
-# Row-chunk bound for the brute-force top-k matmul: the (chunk, |Q|)
-# sim matrix stays under ~1 GiB float64 even at the bounded-collect
-# query ceiling (65536 queries), independent of Arrow batch sizing.
+# Row-chunk bound for the brute-force top-k matmul: the (|Q|, chunk)
+# candidate matrix stays bounded even at the bounded-collect query
+# ceiling (65536 queries), independent of Arrow batch sizing.
 TOPK_CHUNK_ROWS = 2048
+# Block width for the two-level per-query threshold (see _local_topk):
+# the k-th largest of the row's BLOCK MAXIMA is provably <= the row's
+# k-th largest element, so thresholding on it keeps a small superset
+# while reading the candidate matrix with plain vectorized maxes
+# instead of a per-row introselect.
+TOPK_BLOCK = 16
 
 _TOPK_SCHEMA = StructType(
     [
@@ -138,44 +144,80 @@ def cosine_topk(
         # sim reaches the k-th largest per query (ties included; an
         # arbitrary argpartition tie-cut could drop the smaller-id tie
         # the exact rule keeps).
+        # Bandwidth discipline (the 100x-lane-found knee at |Q|=20k,
+        # N=200k): 32 concurrent workers each streaming a (|Q|, chunk)
+        # float64 matrix several times saturate host DRAM — the solo-
+        # fast paths (full-matrix round, argmax passes, per-row
+        # introselect over float64) all degraded 25x under concurrency.
+        # So the candidate pass runs in FLOAT32 (half the traffic) into
+        # one reused buffer, the per-query threshold comes from a
+        # two-level BLOCK-MAX cut that reads the matrix once with plain
+        # vectorized maxes, and only the ~k survivors per query are
+        # re-scored exactly in float64 and rounded. Exactness: for any
+        # j, the j-th largest of a row's block maxima is <= the row's
+        # j-th largest element (the top-j blocks contain j distinct
+        # elements >= it), so thresholding at (block-kth - 1e-3) keeps
+        # a superset of the float64 rounded top-k incl. 6-dp ties
+        # (float32 dot error at d<=4096 unit vectors is <~1e-5, orders
+        # under the margin); the downstream window applies the exact
+        # (rounded sim desc, id asc) rule to the superset.
         ids, qmat = bc.value
+        qmat32 = qmat.astype(np.float32)
+        sims_buf = None
         for pdf in batches:
             if pdf.empty:
                 continue
             vids_all = pdf[id_col].to_numpy(dtype=np.int64)
             vm_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             vm_all /= _safe_norms(vm_all)
-            # row-chunk the matmul: sims is (chunk, |Q|) float64 and |Q|
-            # is corpus-scale/10 — the chunk bound keeps per-task peak
-            # memory flat no matter the Arrow batch size
+            vm32_all = vm_all.astype(np.float32)
             for lo in range(0, len(vids_all), TOPK_CHUNK_ROWS):
                 vids = vids_all[lo:lo + TOPK_CHUNK_ROWS]
-                vm = vm_all[lo:lo + TOPK_CHUNK_ROWS]
+                vm32 = vm32_all[lo:lo + TOPK_CHUNK_ROWS]
                 n = len(vids)
-                sims = np.round(vm @ qmat.T, 6)  # (n, |Q|)
+                if sims_buf is None or sims_buf.shape != (len(ids), n):
+                    sims_buf = np.empty((len(ids), n), dtype=np.float32)
+                sims = np.matmul(qmat32, vm32.T, out=sims_buf)
                 # self-match exclusion, vectorized: locate each query id
                 # in this chunk's (unsorted) vid array via searchsorted
-                # on an argsort permutation, then sink its row to -inf
+                # on an argsort permutation, then sink its cell to -inf
                 order_v = np.argsort(vids)
                 pos = np.searchsorted(vids, ids, sorter=order_v)
                 safe = np.minimum(pos, n - 1)
                 hit = np.flatnonzero(
                     (pos < n) & (vids[order_v[safe]] == ids)
                 )
-                sims[order_v[pos[hit]], hit] = -np.inf
+                sims[hit, order_v[pos[hit]]] = -np.inf
                 if n > k:
-                    # k-th largest per query column; >= keeps boundary
-                    # ties for the window to break by id
-                    thr = -np.partition(-sims, k - 1, axis=0)[k - 1]
-                    mask = (sims >= thr[None, :]) & np.isfinite(sims)
+                    nb = n // TOPK_BLOCK
+                    if n % TOPK_BLOCK == 0 and nb > k:
+                        bm = sims.reshape(
+                            len(ids), nb, TOPK_BLOCK
+                        ).max(axis=2)
+                        thr = np.partition(bm, nb - k, axis=1)[:, nb - k]
+                    else:
+                        # ragged tail chunk: direct per-row introselect
+                        # on the small remainder
+                        thr = np.partition(sims, n - k, axis=1)[:, n - k]
+                    mask = sims >= (thr - 1e-3)[:, None]
                 else:
                     mask = np.isfinite(sims)
-                r, c = np.nonzero(mask)
+                q_idx, v_idx = np.nonzero(mask)
+                # exact float64 re-score of the ~k survivors per query —
+                # the emitted value is identical to the all-float64 path
+                vals = np.round(
+                    np.einsum(
+                        "ij,ij->i",
+                        qmat[q_idx],
+                        vm_all[lo:lo + TOPK_CHUNK_ROWS][v_idx],
+                    ),
+                    6,
+                )
                 yield pd.DataFrame(
                     {
-                        "query_id": ids[c],
-                        "match_id": vids[r],
-                        "sim": sims[r, c],
+                        "query_id": ids[q_idx],
+                        "match_id": vids[v_idx],
+                        "sim": vals,
                     }
                 )
 
