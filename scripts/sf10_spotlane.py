@@ -181,6 +181,30 @@ def build_embeddings_fixture(spark, sf_dir: str, work_dir: str) -> None:
     is exactly the bounded-cell contract the 100× lane defends."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     d = len(emb.select("embedding").first()[0])
+    # The noise-floor claim above holds only for energy-SPREAD vectors:
+    # two copies sharing a rotation give cos = Σ ε_i (Rx)_i², which
+    # approaches ±1 when one coordinate carries most of the energy
+    # (near-one-hot), adding spurious cross-copy τ pairs and perturbing
+    # the ×100 output invariants. Guard: the worst per-vector max-
+    # coordinate energy share must stay far from 1 (isotropic Gaussians
+    # at d=64 concentrate near 2·ln(d)/d ≈ 0.13; 0.5 is a loose cliff).
+    worst_share = emb.select(
+        F.max(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (m, x) -> greatest(m, cast(x as double) * x))"
+                " / aggregate(embedding, cast(0.0 as double),"
+                " (s, x) -> s + cast(x as double) * x)"
+            )
+        )
+    ).first()[0]
+    if worst_share is None or worst_share > 0.5:
+        raise AssertionError(
+            "embeddings fixture precondition violated: base vectors must"
+            " be near-isotropic for signed-rotation copies to stay at the"
+            f" cross-copy noise floor (worst max-coord energy share ="
+            f" {worst_share}, limit 0.5)"
+        )
     parts = []
     for i in range(COPIES):
         vid = (F.col("vec_id") + F.lit(i * STRIDE)).alias("vec_id")

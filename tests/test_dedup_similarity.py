@@ -140,6 +140,23 @@ def test_cosine_topk_exact_neighbors(spark):
     assert [r.match_id for r in sorted(out, key=lambda r: r.rank)] == [4, 1]
 
 
+def test_cosine_topk_excludes_every_duplicate_self_row(spark):
+    # Dirty ingest can land the same vec_id twice; BOTH copies must be
+    # excluded as self matches — a first-occurrence-only sink lets the
+    # second copy survive as a spurious sim=1.0 neighbor.
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (0, [1.0, 0.0, 0.0]),
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0).limit(1), k=2).collect()
+    assert all(r.match_id != 0 for r in out)
+    assert [r.match_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
 def test_ivf_assign_puts_vector_with_nearest_centroid(spark):
     emb = _emb_df(spark)
     centroids = emb.filter(F.col("vec_id").isin(0, 2)).select(

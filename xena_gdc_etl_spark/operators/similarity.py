@@ -180,14 +180,25 @@ def cosine_topk(
                 sims = np.matmul(qmat32, vm32.T, out=sims_buf)
                 # self-match exclusion, vectorized: locate each query id
                 # in this chunk's (unsorted) vid array via searchsorted
-                # on an argsort permutation, then sink its cell to -inf
+                # on an argsort permutation, then sink its cells to
+                # -inf. left/right bounds cover EVERY occurrence of a
+                # duplicated id (dirty ingest), not just the first —
+                # a single-position sink would let the second copy of a
+                # self row survive as sim=1.0.
                 order_v = np.argsort(vids)
-                pos = np.searchsorted(vids, ids, sorter=order_v)
-                safe = np.minimum(pos, n - 1)
-                hit = np.flatnonzero(
-                    (pos < n) & (vids[order_v[safe]] == ids)
-                )
-                sims[hit, order_v[pos[hit]]] = -np.inf
+                sv = vids[order_v]
+                left = np.searchsorted(sv, ids, side="left")
+                right = np.searchsorted(sv, ids, side="right")
+                cnt = right - left
+                if cnt.any():
+                    hit_q = np.repeat(np.arange(len(ids)), cnt)
+                    total = int(cnt.sum())
+                    starts = np.repeat(left, cnt)
+                    offs = (
+                        np.arange(total)
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    )
+                    sims[hit_q, order_v[starts + offs]] = -np.inf
                 if n > k:
                     nb = n // TOPK_BLOCK
                     if n % TOPK_BLOCK == 0 and nb > k:

@@ -84,10 +84,14 @@ def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outputs are bit-identical: ceil(2000/250)=8 at sf0.1 and
 # max(8, ceil(500/250))=8 at sf0.01 — exactly the 8 cells every prior
 # round pinned. The oracle SQL computes the same rule via
-# _IVF_CELLS_SQL, so Spark and DuckDB stay in lockstep at every scale.
+# _IVF_CELLS_SQL, so Spark and DuckDB stay in lockstep at every scale —
+# including the driver-broadcast ceiling: suggest_n_cells clamps at
+# max_cells=65536 (the bounded-collect cap), so the SQL carries the
+# matching LEAST(65536, ...) and the two sides agree on centroid sets
+# even for corpora above ~16.4M rows.
 IVF_TARGET_CELL_ROWS = 250
 _IVF_CELLS_SQL = (
-    "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) "
+    "(SELECT LEAST(65536, GREATEST(8, CAST(CEIL(COUNT(*) / 250.0) AS BIGINT))) "
     "FROM embeddings)"
 )
 
@@ -96,13 +100,28 @@ _IVF_CACHE: "_weakref.WeakKeyDictionary[SparkSession, tuple[str, DataFrame]]" = 
 )
 
 
+# n_cells is a pure function of the embeddings corpus, so one count()
+# per (session, sf_dir) suffices — without the memo every
+# ann_ivf_nprobe call (and every _shared_ivf_assigned cache miss) pays
+# a redundant full-corpus scan just to re-derive the same integer.
+_IVF_N_CELLS_CACHE: (
+    "_weakref.WeakKeyDictionary[SparkSession, dict[str, int]]"
+) = _weakref.WeakKeyDictionary()
+
+
 def _ivf_n_cells(spark: SparkSession, sf_dir: str) -> int:
     from xena_gdc_etl_spark.operators import similarity as sim
 
+    per_session = _IVF_N_CELLS_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
     n = Catalog(spark, sf_dir).embeddings.count()
-    return sim.suggest_n_cells(
+    n_cells = sim.suggest_n_cells(
         n, target_cell_rows=IVF_TARGET_CELL_ROWS, min_cells=8
     )
+    per_session[sf_dir] = n_cells
+    return n_cells
 
 
 def _shared_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,8 +1261,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings
-               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
-                                                       AS BIGINT))
+               WHERE vec_id < (SELECT LEAST(65536, GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT)))
                                FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
@@ -1284,8 +1303,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings
-               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
-                                                       AS BIGINT))
+               WHERE vec_id < (SELECT LEAST(65536, GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT)))
                                FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
@@ -1337,8 +1356,8 @@ def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings
-               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
-                                                       AS BIGINT))
+               WHERE vec_id < (SELECT LEAST(65536, GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT)))
                                FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
@@ -1413,8 +1432,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings
-               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
-                                                       AS BIGINT))
+               WHERE vec_id < (SELECT LEAST(65536, GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT)))
                                FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
@@ -1446,8 +1465,8 @@ def embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings
-               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
-                                                       AS BIGINT))
+               WHERE vec_id < (SELECT LEAST(65536, GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT)))
                                FROM embeddings)),
     scored AS (SELECT v.vec_id, v.embedding, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
@@ -3824,8 +3843,8 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings
-               WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
-                                                       AS BIGINT))
+               WHERE vec_id < (SELECT LEAST(65536, GREATEST(8, CAST(CEIL(COUNT(*) / 250.0)
+                                                       AS BIGINT)))
                                FROM embeddings)),
     scored AS (SELECT v.vec_id, v.label, c.centroid_id,
                       round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6) AS sim
