@@ -4749,14 +4749,23 @@ def incremental_keep_decisions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from xena_gdc_etl_spark.operators.dedup import connected_components
+    from xena_gdc_etl_spark.operators.seams import seam
     from xena_gdc_etl_spark.sources.dedup_state import incremental_cc_update
 
-    docs = Catalog(spark, sf_dir).documents.select(
-        "doc_id",
-        F.md5(F.substring("text", 1, 128)).alias("pk"),
-        F.md5(
-            F.expr("substr(text, greatest(length(text) - 127, 1), 128)")
-        ).alias("sk"),
+    # EIGHT branches read the (doc_id, pk, sk) hash frame (2x2 bucket
+    # self-joins per corpus half, the cross join's two keys, the CC node
+    # sets) — seaming the 3-narrow-column frame runs the md5-over-text
+    # scan ONCE instead of per branch, and the eager fill's actual-bytes
+    # stats let every downstream bucket join pick its strategy from real
+    # sizes (at corpus scale these joins must shuffle, not broadcast).
+    docs = seam(
+        Catalog(spark, sf_dir).documents.select(
+            "doc_id",
+            F.md5(F.substring("text", 1, 128)).alias("pk"),
+            F.md5(
+                F.expr("substr(text, greatest(length(text) - 127, 1), 128)")
+            ).alias("sk"),
+        )
     )
     landed = docs.filter(F.col("doc_id") % 10 != 0)
     inc = docs.filter(F.col("doc_id") % 10 == 0)
