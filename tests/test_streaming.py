@@ -906,19 +906,39 @@ _HB1 = _dtm(2026, 1, 3, 0, 0)
 _HB2 = _dtm(2026, 1, 5, 0, 0)
 
 
+# When _DEFER_BATCHES is set (the restart-recovery sweep), _file_stream
+# writes only the FIRST batch up front and parks the rest here, keyed by
+# source dir; _flush_pending appends them between the two query runs so
+# the same builders drive both the liveness and the restart protocol.
+_PENDING_BATCHES: "dict[str, tuple]" = {}
+_DEFER_BATCHES = False
+
+
 def _file_stream(spark, tmp_path, name, schema, batches):
     d = str(tmp_path / name)
+    now = batches[:1] if _DEFER_BATCHES and len(batches) > 1 else batches
     first = True
-    for rows in batches:
+    for rows in now:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite" if first else "append"
         ).parquet(d)
         first = False
+    if _DEFER_BATCHES and len(batches) > 1:
+        _PENDING_BATCHES[d] = (schema, batches[1:])
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
+
+
+def _flush_pending(spark):
+    for d, (schema, batches) in _PENDING_BATCHES.items():
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+    _PENDING_BATCHES.clear()
 
 
 def _sweep_windowed_agg(spark, tmp_path):
@@ -1167,4 +1187,71 @@ def test_liveness_sweep_covers_every_watermarked_twin():
         "watermarked streaming twins missing from the append-mode "
         f"liveness sweep: {missing} — add a LIVENESS_SWEEP spec (or an "
         "exempt entry with a reason)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide RESTART-RECOVERY sweep (round 14).
+#
+# A production streaming job restarts — deploys, preemptions, OOMs — and
+# every restart exercises three recovery paths the liveness sweep never
+# touches: the file-source OFFSET log (run 2 must not re-ingest run 1's
+# files), the STATE store (watermark position, windowed-agg partials,
+# applyInPandasWithState group state must survive the restart), and the
+# file-sink COMMIT log (a finalized window is emitted exactly once across
+# runs). Failure modes are silent at scale: re-ingestion double-counts,
+# lost state drops run-1 rows from windows finalized after the restart,
+# a broken sink log duplicates output downstream.
+#
+# Protocol, per twin, reusing the SAME builders as the liveness sweep:
+# run 1 sees only the content batch (availableNow, then the query ends);
+# the heartbeat batches land while the query is DOWN; run 2 restarts from
+# the same checkpoint + file sink and must finalize run-1's windows. The
+# union of both runs' output must contain the content rows (state
+# survived) and no fully-duplicated row (offsets and sink log survived) —
+# every twin's output grain is one row per logical key, so an exact
+# duplicate row can only come from reprocessing or double-finalization.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("twin", sorted(LIVENESS_SWEEP))
+def test_restart_recovery(spark, tmp_path, twin, monkeypatch):
+    import sys as _sys
+
+    mod = _sys.modules[__name__]
+    _PENDING_BATCHES.clear()
+    monkeypatch.setattr(mod, "_DEFER_BATCHES", True)
+    out, expect = LIVENESS_SWEEP[twin](spark, tmp_path)
+    monkeypatch.setattr(mod, "_DEFER_BATCHES", False)
+    assert out.isStreaming
+    chk = str(tmp_path / "restart_chk")
+    sink = str(tmp_path / "restart_sink")
+
+    def run_once():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # run 1: content batch only; query terminates (availableNow)
+    assert _PENDING_BATCHES, "builder wrote no deferred batches"
+    _flush_pending(spark)  # heartbeats arrive while the query is down
+    run_once()  # run 2: restart from the same checkpoint + sink log
+    rows = spark.read.parquet(sink).collect()
+    assert rows, (
+        f"{twin}: nothing emitted across a restart — run-1 state (or the "
+        "watermark position) did not survive the checkpoint"
+    )
+    assert expect(rows), (
+        f"{twin}: content rows missing after restart (state lost): {rows}"
+    )
+    as_tuples = [tuple(r) for r in rows]
+    assert len(as_tuples) == len(set(as_tuples)), (
+        f"{twin}: duplicate output rows across restart — source offsets "
+        f"re-ingested or a window double-finalized: {sorted(as_tuples)}"
     )
