@@ -88,3 +88,39 @@ def test_evicted_seam_recomputes_correctly(spark):
     assert derived.collect()[0]["s"] == sum(range(11))
     release_seams(spark)
     assert _cache_empty(spark)
+
+
+def test_serving_soak_memory_bounded(spark, sf_dir):
+    """The measured serving-loop claim (scripts/serve_soak.py, BASELINE
+    §serve-soak) at test scale: three iterations of a seam-heavy basket
+    under the serving discipline keep the JVM-cached entry set BOUNDED
+    (the warm tiers stay resident by design; nothing else survives
+    release) and produce identical results every iteration."""
+    import importlib.util
+    import os
+
+    _fresh(spark)
+    from xena_gdc_etl_spark import workload
+
+    # drop warm shared caches so the bound is established by iteration 1
+    for cache in (workload._IVF_CACHE, workload._PAIRS_CACHE):
+        entry = cache.pop(spark, None)
+        if entry is not None:
+            entry[-1].unpersist()
+    spec = importlib.util.spec_from_file_location(
+        "serve_soak",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "serve_soak.py",
+        ),
+    )
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+    out = soak.run_soak(spark, sf_dir, iters=3)
+    s = out["summary"]
+    assert s["rows_stable"], out["iterations"]
+    assert s["cached_bounded"], (
+        "JVM-cached entries GREW across serving iterations: "
+        f"{s['n_cached_series']}"
+    )
