@@ -193,3 +193,28 @@ def test_winnow_artifact_param_mismatch_refused(spark, tmp_path):
         wi.load_winnow_fingerprints(spark, d, k=7, w=4)
     with pytest.raises(FileNotFoundError):
         wi.load_winnow_fingerprints(spark, str(tmp_path / "absent"), k=5, w=4)
+
+
+def test_crash_mid_swap_detected_and_resave_recovers(spark, tmp_path):
+    """The worst crash window is between sentinel removal and the
+    staging→final swap: the table may be missing entirely while a stale
+    staging dir lingers. Contract: the load REFUSES (the sentinel is
+    written last, so no sentinel = mid-save crash), and a plain re-save
+    rolls forward — clearing the stale staging dir and re-endorsing —
+    with no manual surgery."""
+    import shutil
+
+    d = str(tmp_path / "state")
+    ds.save_dedup_decisions(_frozen(spark), d, **P)
+    # simulate the crash: sentinel gone, live table gone, staging left
+    os.remove(os.path.join(d, "_dedup_state.json"))
+    shutil.move(
+        os.path.join(d, "decisions.parquet"),
+        os.path.join(d, "decisions.parquet.staging"),
+    )
+    with pytest.raises(FileNotFoundError, match="mid-save"):
+        ds.load_dedup_decisions(spark, d, **P)
+    ds.save_dedup_decisions(_frozen(spark), d, **P)
+    assert not os.path.exists(os.path.join(d, "decisions.parquet.staging"))
+    loaded, m = ds.load_dedup_decisions(spark, d, **P)
+    assert m["n_docs"] == 4 and loaded.count() == 4
