@@ -296,9 +296,18 @@ def main() -> None:
         if q1_ref and GATE_Q1 > 0 and sf == 0.1
         else None
     )
-    # Full-precision record (incl. warm lines) always lands on disk.
+    # Full-precision record (incl. warm lines) always lands on disk —
+    # but bench_detail.json is the GATE-SCALE (sf0.1) record the judge
+    # reads against BASELINE.md; a smoke run at another SF writes an
+    # sf-suffixed sidecar instead of clobbering it (round-13 incident:
+    # an sf0.01 smoke overwrote the published sf0.1 detail).
+    detail_name = (
+        "bench_detail.json"
+        if sf == 0.1
+        else f"bench_detail_sf{sf}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     noise_band = {
         k: round(mx - mn, 4) for k, (mn, mx) in trial_spread.items()
@@ -456,7 +465,7 @@ def _stdout_line(
             payload["noise_band"] = noisy
         if elided:
             payload["elided"] = elided
-            payload["detail"] = "bench_detail.json"
+            payload["detail"] = detail_name
         return json.dumps(payload, separators=(",", ":"))
 
     for digits in (4, 3, 2):

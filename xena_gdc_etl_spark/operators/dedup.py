@@ -317,14 +317,19 @@ def connected_components(
                 f"nodes (first few: {[r[0] for r in foreign]}) — the "
                 "pairs ⊆ nodes precondition is violated"
             )
-    # LIMIT-bounded probe (logreg.py driver-cap pattern): short-circuits
-    # at cap+1 rows instead of a full count over a pair set that is
-    # destined for the distributed path anyway when it is large.
+    # LIMIT-bounded probe (logreg.py driver-cap pattern): collect up to
+    # cap+1 rows in ONE job — if the edge set fits, the collected frame
+    # IS the full set (limit ≤ total returns everything), so the probe
+    # and the driver-path collect are the same action instead of a
+    # count job followed by a toPandas job over the same persisted
+    # frame. A graph destined for the distributed path pays one ≈64 MB
+    # bounded transfer instead of a scalar count — noise next to the
+    # contraction loop it then runs.
     cap = 2 * driver_max_edges if driver_max_edges else 0
-    if driver_max_edges and edges.limit(cap + 1).count() <= cap:
+    pdf = edges.limit(cap + 1).toPandas() if driver_max_edges else None
+    if pdf is not None and len(pdf) <= cap:
         if stats is not None:
             stats["path"] = "driver_union_find"
-        pdf = edges.toPandas()
         find = _driver_union_find(zip(pdf["src"], pdf["dst"]))
         seen = set(pdf["src"])  # symmetric edges: src covers both sides
         best: dict = {}
@@ -354,6 +359,7 @@ def connected_components(
                 F.coalesce("__cl", "node").alias("cluster_id"),
             )
         )
+    del pdf  # cap+1-row probe frame: release before the contraction loop
     # ---- distributed path: alternating large-star / small-star --------
     # (Kiveris et al., "Connected Components in MapReduce and Beyond",
     # SoCC'14 — public algorithm.) Unlike min-label propagation, which
@@ -560,8 +566,15 @@ def connected_components_bipartite(
     all_labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     )
-    if driver_max_edges and assign.count() <= driver_max_edges:
-        pdf = assign.toPandas()
+    # same one-job probe+collect as connected_components: limit ≤ total
+    # returns the full assignment table, so a fitting table is collected
+    # by its own probe instead of a count job followed by toPandas
+    pdf = (
+        assign.limit(driver_max_edges + 1).toPandas()
+        if driver_max_edges
+        else None
+    )
+    if pdf is not None and len(pdf) <= driver_max_edges:
         find = _driver_union_find(
             (("n", n), ("b", b)) for n, b in zip(pdf["node"], pdf["bkey"])
         )
@@ -590,6 +603,7 @@ def connected_components_bipartite(
                 F.coalesce("__cl", "node").alias("cluster_id"),
             )
         )
+    del pdf  # cap+1-row probe frame: release before the propagation loop
     # Nodes with no bucket (e.g. empty docs with zero shingles) are
     # singletons: the first hop's inner join on node drops them from the
     # iteration automatically — at corpus scale that whole population rides

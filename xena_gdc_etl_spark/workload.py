@@ -4752,12 +4752,12 @@ def incremental_keep_decisions(
     from xena_gdc_etl_spark.operators.seams import seam
     from xena_gdc_etl_spark.sources.dedup_state import incremental_cc_update
 
-    # EIGHT branches read the (doc_id, pk, sk) hash frame (2x2 bucket
-    # self-joins per corpus half, the cross join's two keys, the CC node
-    # sets) — seaming the 3-narrow-column frame runs the md5-over-text
-    # scan ONCE instead of per branch, and the eager fill's actual-bytes
-    # stats let every downstream bucket join pick its strategy from real
-    # sizes (at corpus scale these joins must shuffle, not broadcast).
+    # EIGHT branches read the (doc_id, pk, sk) hash frame (the bucket
+    # self-joins, the CC node sets) — seaming the 3-narrow-column frame
+    # runs the md5-over-text scan ONCE instead of per branch, and the
+    # eager fill's actual-bytes stats let every downstream bucket join
+    # pick its strategy from real sizes (at corpus scale these joins
+    # must shuffle, not broadcast).
     docs = seam(
         Catalog(spark, sf_dir).documents.select(
             "doc_id",
@@ -4770,39 +4770,41 @@ def incremental_keep_decisions(
     landed = docs.filter(F.col("doc_id") % 10 != 0)
     inc = docs.filter(F.col("doc_id") % 10 == 0)
 
-    def bucket_pairs(df: DataFrame) -> DataFrame:
-        # duplicate-candidate edges as a UNION of two equi-joins — the
-        # OR-of-keys rule must never become a non-equi (nested-loop) join
-        pairs = None
-        for key in ("pk", "sk"):
-            x = df.select(F.col(key).alias("__k"), F.col("doc_id").alias("a"))
-            y = df.select(F.col(key).alias("__k"), F.col("doc_id").alias("b"))
-            p = (
-                x.join(y, "__k")
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b")
-            )
-            pairs = p if pairs is None else pairs.unionByName(p)
-        return pairs.distinct()
+    # ONE corpus-wide pair build instead of three (landed-landed,
+    # inc-inc, inc-landed × 2 keys = six self-joins in the original
+    # shape): self-join the whole hash frame per key, canonicalize
+    # a < b, distinct ONCE, seam the result, then derive the three edge
+    # sets by half-membership FILTER over the cached pairs. At corpus
+    # scale this is one shuffle over the bucket keys instead of three;
+    # the OR-of-keys rule stays a UNION of equi-joins (never a
+    # nested-loop join).
+    pairs = None
+    for key in ("pk", "sk"):
+        x = docs.select(F.col(key).alias("__k"), F.col("doc_id").alias("a"))
+        y = docs.select(F.col(key).alias("__k"), F.col("doc_id").alias("b"))
+        p = (
+            x.join(y, "__k")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    a_inc = F.col("a") % 10 == 0
+    b_inc = F.col("b") % 10 == 0
+    pairs = seam(pairs.distinct())
+    landed_pairs = pairs.filter(~a_inc & ~b_inc)
+    inc_pairs = pairs.filter(a_inc & b_inc)
+    # canonical (a < b) pairs with exactly one increment endpoint map
+    # 1:1 onto (new_id, landed_id) rows, so the distinct carries over
+    cross = pairs.filter(a_inc != b_inc).select(
+        F.when(a_inc, F.col("a")).otherwise(F.col("b")).alias("new_id"),
+        F.when(a_inc, F.col("b")).otherwise(F.col("a")).alias("landed_id"),
+    )
 
     frozen = connected_components(
-        bucket_pairs(landed), landed.select("doc_id"), id_col="doc_id"
+        landed_pairs, landed.select("doc_id"), id_col="doc_id"
     ).select("doc_id", F.col("cluster_id").alias("cluster_rep"))
-    cross = None
-    for key in ("pk", "sk"):
-        c = (
-            inc.select(F.col(key).alias("__k"), F.col("doc_id").alias("new_id"))
-            .join(
-                landed.select(
-                    F.col(key).alias("__k"), F.col("doc_id").alias("landed_id")
-                ),
-                "__k",
-            )
-            .select("new_id", "landed_id")
-        )
-        cross = c if cross is None else cross.unionByName(c)
     out = incremental_cc_update(
-        frozen, inc.select("doc_id"), cross.distinct(), bucket_pairs(inc)
+        frozen, inc.select("doc_id"), cross, inc_pairs
     )
     return out.select(
         "doc_id",
