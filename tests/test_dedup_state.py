@@ -218,3 +218,65 @@ def test_crash_mid_swap_detected_and_resave_recovers(spark, tmp_path):
     assert not os.path.exists(os.path.join(d, "decisions.parquet.staging"))
     loaded, m = ds.load_dedup_decisions(spark, d, **P)
     assert m["n_docs"] == 4 and loaded.count() == 4
+
+
+def test_star_edges_match_pairwise_oracle_on_hot_bucket(spark, tmp_path):
+    """incremental_keep_decisions builds STAR-reduced edges (member →
+    bucket min) instead of pairwise bucket self-joins; the oracle SQL is
+    the full pairwise recursive closure. This fixture is the adversarial
+    corpus for that reduction: a 40-member shared-boilerplate prefix
+    bucket (the shape that makes pairwise |B|² and star O(|B|)), a
+    pk→sk→pk chain (components must propagate THROUGH star centers,
+    not just within one bucket), an increment doc whose only path to a
+    frozen rep crosses the chain, and a singleton. Star ≡ pairwise on
+    components AND inherited anchors, else this fails."""
+    import duckdb
+
+    from xena_gdc_etl_spark.workload import ORACLES, QUERIES
+
+    def mk(prefix: str, suffix: str) -> str:
+        return prefix.ljust(128, "p") + "x" * 40 + suffix.rjust(128, "s")
+
+    rows = []
+    # hot bucket: one boilerplate prefix, 40 members, both halves
+    for i in range(100, 140):
+        rows.append((i, mk("BOILERPLATE-LICENSE", f"tail{i}"), "web"))
+    # chain: 200 ~pk~ 201 ~sk~ 202 ~pk~ 210(inc) — 210's anchor is 200
+    rows += [
+        (200, mk("AAA", "BBB"), "web"),
+        (201, mk("AAA", "CCC"), "web"),
+        (202, mk("DDD", "CCC"), "web"),
+        (210, mk("DDD", "EEE"), "web"),
+        (400, mk("SOLO", "SOLO2"), "web"),  # singleton increment? 400%10==0
+        (401, mk("LONE", "LONE2"), "web"),  # landed singleton
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = {
+        (r["doc_id"], r["cluster_rep"], r["keep"])
+        for r in QUERIES["incremental_keep_decisions"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = set(
+        map(tuple, con.execute(ORACLES["incremental_keep_decisions"]).fetchall())
+    )
+    assert out == oracle
+    # spot-pin the scenario semantics, not just equivalence (note the
+    # %10==0 docs — 100, 200, 210, 400 — are the INCREMENT half, so the
+    # frozen chain is {201, 202} with rep 201):
+    by_id = {d: (rep, keep) for d, rep, keep in out}
+    assert by_id[210] == (201, 0)  # chain-crossing anchor, never a keep
+    assert by_id[200] == (201, 0)  # pk-edge to the same frozen chain
+    assert by_id[400] == (400, 1)  # singleton increment keeps itself
+    hot_inc = [d for d in range(100, 140) if d % 10 == 0]
+    # hot-bucket arrivals inherit the bucket's min LANDED id (101)
+    assert all(by_id[d] == (101, 0) for d in hot_inc)

@@ -4770,34 +4770,60 @@ def incremental_keep_decisions(
     landed = docs.filter(F.col("doc_id") % 10 != 0)
     inc = docs.filter(F.col("doc_id") % 10 == 0)
 
-    # ONE corpus-wide pair build instead of three (landed-landed,
-    # inc-inc, inc-landed × 2 keys = six self-joins in the original
-    # shape): self-join the whole hash frame per key, canonicalize
-    # a < b, distinct ONCE, seam the result, then derive the three edge
-    # sets by half-membership FILTER over the cached pairs. At corpus
-    # scale this is one shuffle over the bucket keys instead of three;
-    # the OR-of-keys rule stays a UNION of equi-joins (never a
-    # nested-loop join).
-    pairs = None
-    for key in ("pk", "sk"):
-        x = docs.select(F.col(key).alias("__k"), F.col("doc_id").alias("a"))
-        y = docs.select(F.col(key).alias("__k"), F.col("doc_id").alias("b"))
-        p = (
-            x.join(y, "__k")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
+    # STAR-REDUCED edges — never a bucket self-join. A shared-boilerplate
+    # bucket (a license-header prefix at corpus scale) has |B| members;
+    # the pairwise expansion emits |B|² edge rows, but connectivity only
+    # needs a star: every member → the bucket's min member gives the
+    # SAME components (each bucket's members end up connected through
+    # the min), so edges are O(corpus), not O(hot-bucket²). The anchor
+    # rule survives the reduction too: all landed members of one bucket
+    # are in one frozen component (they share the bucket), hence share
+    # ONE rep — an increment doc touching the bucket inherits the same
+    # min whether it edges to every landed member or only to the
+    # bucket's min landed id. Melt (pk, sk) to (kind, key) rows, ONE
+    # partial-aggregated groupBy for per-bucket (min landed, min inc),
+    # one equi-join back; the three edge sets fall out as filters.
+    melted = docs.select(
+        "doc_id",
+        F.posexplode(F.array("pk", "sk")).alias("__kind", "__k"),
+    )
+    mins = (
+        melted.groupBy("__kind", "__k")
+        .agg(
+            F.min(
+                F.when(F.col("doc_id") % 10 != 0, F.col("doc_id"))
+            ).alias("__min_landed"),
+            F.min(
+                F.when(F.col("doc_id") % 10 == 0, F.col("doc_id"))
+            ).alias("__min_inc"),
+            F.count(F.lit(1)).alias("__cnt"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    a_inc = F.col("a") % 10 == 0
-    b_inc = F.col("b") % 10 == 0
-    pairs = seam(pairs.distinct())
-    landed_pairs = pairs.filter(~a_inc & ~b_inc)
-    inc_pairs = pairs.filter(a_inc & b_inc)
-    # canonical (a < b) pairs with exactly one increment endpoint map
-    # 1:1 onto (new_id, landed_id) rows, so the distinct carries over
-    cross = pairs.filter(a_inc != b_inc).select(
-        F.when(a_inc, F.col("a")).otherwise(F.col("b")).alias("new_id"),
-        F.when(a_inc, F.col("b")).otherwise(F.col("a")).alias("landed_id"),
+        # singleton buckets (the overwhelming majority of a real corpus)
+        # produce no edges — dropping them BEFORE the join-back leaves a
+        # frame of only the duplicate buckets, which AQE sees post-
+        # shuffle and broadcasts on benign corpora (the melted side then
+        # never shuffles for this join); on a boilerplate-heavy corpus
+        # it degrades gracefully to a shuffle join that is still one row
+        # per bucket, never |B|² pairs
+        .filter(F.col("__cnt") >= 2)
+        .drop("__cnt")
+    )
+    # seam the joined dup-bucket member frame: it is SMALL (members of
+    # multi-member buckets only) and all three edge derivations below
+    # read it — unseamed, each re-runs the melt+groupBy+join pipeline
+    m = seam(melted.join(mins, ["__kind", "__k"]))
+    is_inc = F.col("doc_id") % 10 == 0
+    # duplicate star edges across pk/sk need no distinct: CC dedupes its
+    # edge set internally and the anchor fold is a min
+    landed_pairs = m.filter(
+        ~is_inc & (F.col("doc_id") != F.col("__min_landed"))
+    ).select(F.col("__min_landed").alias("a"), F.col("doc_id").alias("b"))
+    inc_pairs = m.filter(
+        is_inc & (F.col("doc_id") != F.col("__min_inc"))
+    ).select(F.col("__min_inc").alias("a"), F.col("doc_id").alias("b"))
+    cross = m.filter(is_inc & F.col("__min_landed").isNotNull()).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("__min_landed").alias("landed_id"),
     )
 
     frozen = connected_components(
