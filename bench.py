@@ -465,7 +465,12 @@ def _stdout_line(
             payload["noise_band"] = noisy
         if elided:
             payload["elided"] = elided
-            payload["detail"] = detail_name
+            # mirror main()'s sidecar naming: sf0.1 owns bench_detail.json
+            payload["detail"] = (
+                "bench_detail.json"
+                if sf == 0.1
+                else f"bench_detail_sf{sf}.json"
+            )
         return json.dumps(payload, separators=(",", ":"))
 
     for digits in (4, 3, 2):
