@@ -1035,3 +1035,56 @@ def test_multimodal_decoder_branch_selection(spark):
     injected = mm.extract_features(media, n_features=4, decoder=halves)
     assert injected.schema == mm.extract_features(media).schema
     assert {tuple(r.features) for r in injected.collect()} == {(0.5,) * 4}
+
+
+def test_simhash_pairs_match_blocks_equivalence(spark):
+    """Manku combination banding (match_blocks > 1) must find EXACTLY the
+    brute-force hamming <= d pair set, and exactly what the classic
+    one-band scheme finds — on synthetic 64-bit signatures with planted
+    near-dups (distances 0-4 incl. errors packed into one block and
+    spread across blocks), negatives included (bit 63 set: arithmetic
+    shiftright must not corrupt block extraction)."""
+    import itertools
+
+    base = 0x5A5A_C3C3_0F0F_9999  # bit 63 set -> negative as bigint
+    sigs = [
+        ("b0", base),
+        ("d0", base),                         # distance 0
+        ("d1", base ^ (1 << 7)),              # 1 bit, block 0
+        ("d3_packed", base ^ 0b111),          # 3 bits, all in block 0
+        ("d3_spread", base ^ (1 << 3) ^ (1 << 23) ^ (1 << 43)),  # 3 blocks
+        ("d4", base ^ (1 << 1) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),
+        ("far", 0x1234_5678_9ABC_DEF0),
+    ]
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    ids = {name: i for i, (name, _) in enumerate(sigs)}
+    df = spark.createDataFrame(
+        [(i, to_i64(v)) for i, (_, v) in enumerate(sigs)],
+        "doc_id bigint, simhash bigint",
+    )
+    vals = {i: v for i, (_, v) in enumerate(sigs)}
+    brute = {
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert brute  # fixture sanity: some pairs qualify
+    assert (ids["b0"], ids["d4"], 4) not in brute  # ...and some don't
+    for bands, match in ((4, 1), (6, 3), (8, 5)):
+        got = {
+            tuple(r)
+            for r in dd.simhash_pairs(
+                df, bits=64, bands=bands, max_distance=3,
+                match_blocks=match,
+            ).collect()
+        }
+        assert got == brute, f"bands={bands}, match_blocks={match}"
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dd.simhash_pairs(df, bits=64, bands=4, max_distance=3,
+                         match_blocks=2)
+    with pytest.raises(ValueError, match="bigint"):
+        dd.simhash_pairs(df, bits=64, bands=2, max_distance=0,
+                         match_blocks=2)

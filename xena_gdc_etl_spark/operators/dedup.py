@@ -712,42 +712,74 @@ def simhash_pairs(
     bands: int = 4,
     max_distance: int = 3,
     max_bucket_size: int | None = None,
+    match_blocks: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_distance``.
 
-    Pigeonhole exactness: splitting ``bits`` into ``bands`` equal slices,
-    two fingerprints within Hamming distance ``bands - 1`` MUST agree on at
-    least one whole slice — so banding the bits and pairing only within a
-    (band, value) bucket finds every qualifying pair without an O(n²) self
-    join (the classic Manku/Jain/Sarma web-dedup plan). Candidates then
-    verify exactly with ``bit_count(a XOR b)``. Requires
-    ``max_distance < bands`` for completeness (checked).
+    Pigeonhole exactness: splitting ``bits`` into ``bands`` equal blocks,
+    a pair within Hamming distance d has its d differing bits inside at
+    most d blocks, so it agrees EXACTLY on every combination of
+    ``bands - d`` untouched blocks — key each signature by every
+    C(bands, match_blocks) combination of ``match_blocks`` block values
+    and pair only within a (combination, key) bucket: every qualifying
+    pair is found without an O(n²) self join, candidates verify exactly
+    with ``bit_count(a XOR b)``. Completeness requires
+    ``max_distance <= bands - match_blocks`` (checked). This is the
+    Manku/Jain/Sarma WWW'07 web-dedup table scheme; ``match_blocks=1``
+    (the default) is the familiar "agree on one band" special case.
 
-    The scale default is 64-bit fingerprints in 16-bit bands — 65,536
-    bucket values per band, so bucket population thins with corpus growth.
-    (The 16-bit/4-band oracle fixture has only 64 buckets total; never run
-    that configuration at scale.) A (band, value) bucket of m docs expands
-    to m·(m-1)/2 candidate pairs; ``max_bucket_size`` drops over-limit
-    buckets BEFORE expansion, same mitigation as ``lsh_candidate_pairs`` —
-    a giant bucket means the members also collide in their other bands, or
-    are so frequent that a sampled representative suffices.
+    **Scale knob — why match_blocks exists.** Random (non-duplicate)
+    candidate volume is Θ(tables · N² / 2^keybits): with the classic
+    4×16-bit single-block bands, key space 2¹⁶ saturates by birthday
+    as N grows — the round-14 100× lane measured the 16-bit oracle
+    fixture going quadratic (431× output at 100×), and even 64-bit
+    signatures in 16-bit bands give ~7.6M random candidates at 500k
+    docs (Θ(4N²/2¹⁶)). Widening the key by matching MORE blocks
+    trades a linear table fan-out for an exponential collision drop:
+    bands=6, match_blocks=3 → C(6,3)=20 tables keyed on ~32 bits —
+    ~582 random candidates at 500k docs, and still complete for
+    hamming ≤ 3. Per-doc signature stream is C(bands, match_blocks)
+    rows; keep ``match_blocks·(bits//bands) <= 63`` (checked) so the
+    folded key stays a bigint.
+
+    A (combination, key) bucket of m docs expands to m·(m-1)/2
+    candidate pairs; ``max_bucket_size`` drops over-limit buckets
+    BEFORE expansion, same mitigation as ``lsh_candidate_pairs`` — a
+    giant bucket means the members also collide in their other tables,
+    or are so frequent that a sampled representative suffices.
     """
-    if max_distance >= bands:
+    import itertools
+
+    if max_distance > bands - match_blocks:
         raise ValueError(
-            f"max_distance={max_distance} needs bands > max_distance "
-            f"(pigeonhole completeness); got bands={bands}"
+            f"max_distance={max_distance} needs "
+            f"bands - match_blocks >= max_distance (pigeonhole "
+            f"completeness); got bands={bands}, match_blocks={match_blocks}"
         )
     width = bits // bands
-    mask = (1 << width) - 1
-    slices = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col(sim_col), b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("v"),
+    if match_blocks * width > 63:
+        raise ValueError(
+            f"match_blocks={match_blocks} x block width {width} exceeds "
+            "a bigint key (63 bits); use more bands or fewer match_blocks"
         )
-        for b in range(bands)
-    ]
+    mask = (1 << width) - 1
+
+    def _block(b: int):
+        return F.shiftright(F.col(sim_col), b * width).bitwiseAND(
+            F.lit(mask)
+        )
+
+    slices = []
+    for ci, combo in enumerate(
+        itertools.combinations(range(bands), match_blocks)
+    ):
+        key = None
+        for i, b in enumerate(combo):
+            part = _block(b) * F.lit(1 << (width * i))
+            key = part if key is None else key + part
+        slices.append(
+            F.struct(F.lit(ci).alias("band"), key.alias("v"))
+        )
     buckets = fingerprints.select(
         F.col(id_col), F.explode(F.array(*slices)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.v").alias("v"))
