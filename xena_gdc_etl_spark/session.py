@@ -53,5 +53,25 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Serving-session heap discipline: the SQL app-status store
+        # retains per-execution plan graphs + metrics even with the UI
+        # off (default 1000 executions). The round-14 soak measured
+        # ~3.3 MB/iteration of monotonic post-GC heap growth from
+        # exactly this — bounded at the default, but ~hundreds of MB of
+        # dead-weight for a long-lived server answering thousands of
+        # queries. 64 retained executions keeps recent diagnostics and
+        # makes the soak's heap series flat (scripts/serve_soak.py,
+        # BASELINE §serve-soak).
+        .config(
+            "spark.sql.ui.retainedExecutions",
+            os.environ.get("SPARK_GRAFT_RETAINED_EXECUTIONS", "64"),
+        )
+        # ...and the job/stage/task stores (defaults 1000/1000/100k):
+        # the A/B soak showed executions alone leaves ~1 MB/iter of
+        # creep from task/stage records; with all four bounded the
+        # 30-iteration heap series is flat.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
     )
     return builder.getOrCreate()
