@@ -342,10 +342,10 @@ def main() -> None:
 
 
 _PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "15"))
-# The gate table's pinned q1 line (BASELINE §r12: 0.280 s best-of-3 at
+# The gate table's pinned q1 line (BASELINE §r14: 0.253 s best-of-3 at
 # sf0.1). host_factor_vs_gate = this run's fastest q1 probe / GATE_Q1 —
 # update the default when the gate is re-pinned on a new host.
-GATE_Q1 = float(os.environ.get("SPARK_GRAFT_GATE_Q1", "0.280"))
+GATE_Q1 = float(os.environ.get("SPARK_GRAFT_GATE_Q1", "0.253"))
 # extra trials when the base trials disagree by >30% (see the adaptive
 # retry in the query loop)
 _RETRY_TRIALS = int(os.environ.get("SPARK_GRAFT_RETRY_TRIALS", "2"))
