@@ -56,6 +56,9 @@ EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double"
 )
+DOCS_SCHEMA = "doc_id bigint, ts timestamp, text string"
+DOC_ROWS_PER_FILE = 500  # one micro-batch of arriving documents
+DOC_TWINS = ("lsh_probe", "winnow_decontam")
 
 
 def build_fixture(spark, sf_dir: str, work: str, scale: str) -> str:
@@ -104,6 +107,114 @@ def build_fixture(spark, sf_dir: str, work: str, scale: str) -> str:
             seq += 1
     open(done, "w").close()
     return out
+
+
+def build_docs_fixture(spark, sf_dir: str, work: str, scale: str) -> str:
+    """Arriving-document stream: sf0.1 documents with a synthetic
+    chronological ts, DOC_ROWS_PER_FILE per micro-batch file. ×10 = 10
+    copies (doc_id offset i·10M, ts shifted +31 days each) — text is
+    deliberately UNCHANGED per copy, so every copy probes the same
+    artifact matches: the serving claim is per-batch work and state,
+    not match sparsity."""
+    out = os.path.join(work, f"{scale}_docs")
+    done = os.path.join(out, "_FIXTURE_OK")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    import pandas as pd
+
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    base["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        base.index * 2, unit="s"
+    )
+    copies = COPIES if scale == "x10" else 1
+    seq = 0
+    for i in range(copies):
+        c = base.copy()
+        if i:
+            c["doc_id"] += i * STRIDE
+            c["ts"] = c["ts"] + pd.Timedelta(days=31 * i)
+        for lo in range(0, len(c), DOC_ROWS_PER_FILE):
+            path = os.path.join(out, f"b{seq:05d}.parquet")
+            c.iloc[lo : lo + DOC_ROWS_PER_FILE][
+                ["doc_id", "ts", "text"]
+            ].to_parquet(
+                path,
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
+            seq += 1
+    open(done, "w").close()
+    return out
+
+
+def build_serving_artifacts(spark, sf_dir: str):
+    """Day-0 freeze the two static serve-side artifacts, eagerly
+    persisted once for the whole lane: the landed corpus's MinHash
+    signatures (probe target) and the held-out winnow fingerprint set
+    (decontamination target)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from xena_gdc_etl_spark.catalog import Catalog
+    from xena_gdc_etl_spark.operators import text as tx
+    from xena_gdc_etl_spark.sources import minhash_index as mh
+
+    docs = Catalog(spark, sf_dir).documents
+    landed_sigs = mh.build_signatures(
+        docs.filter(F.col("doc_id") % 5 == 0), num_hashes=8, shingle_k=5
+    ).persist()
+    landed_sigs.count()
+    held_fps = tx.winnow_fingerprint_set(
+        docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    ).persist()
+    held_fps.count()
+    return {"landed_sigs": landed_sigs, "held_fps": held_fps}
+
+
+def doc_twins(spark, src_dir: str, artifacts: dict) -> dict:
+    """Artifact-serving twins over the arriving-documents stream —
+    the standing near-dedup probe and the standing decontamination
+    serve loop, each scoring arrivals against a frozen static side."""
+    from xena_gdc_etl_spark import streaming as S
+
+    def reader():
+        return (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    return {
+        # stateless: sign → band → stream-static join on the frozen
+        # signature artifact; no join state accumulates
+        "lsh_probe": (
+            lambda: S.streaming_lsh_probe(
+                reader().select("doc_id", "text"),
+                artifacts["landed_sigs"],
+            ),
+            "append",
+        ),
+        # watermarked windowed agg over the fingerprint hits — state is
+        # the open window's docs, dropped as the watermark passes
+        "winnow_decontam": (
+            lambda: S.streaming_winnow_decontamination(
+                reader(),
+                artifacts["held_fps"],
+                watermark="30 minutes",
+                window_duration="10 minutes",
+            ),
+            "append",
+        ),
+    }
 
 
 def _drain(spark, make_stream, work: str, mode: str):
@@ -227,9 +338,18 @@ def main() -> None:
     except (OSError, ValueError):
         results = {}
 
+    artifacts = None
     for scale in ("x1", "x10"):
-        src = build_fixture(spark, sf_dir, work, scale)
-        for name, (mk, mode) in twins(spark, src).items():
+        all_twins = {}
+        if not only or (set(only) - set(DOC_TWINS)):
+            src = build_fixture(spark, sf_dir, work, scale)
+            all_twins.update(twins(spark, src))
+        if not only or (set(only) & set(DOC_TWINS)):
+            if artifacts is None:
+                artifacts = build_serving_artifacts(spark, sf_dir)
+            dsrc = build_docs_fixture(spark, sf_dir, work, scale)
+            all_twins.update(doc_twins(spark, dsrc, artifacts))
+        for name, (mk, mode) in all_twins.items():
             if only and name not in only:
                 continue
             wall, prog = _drain(
