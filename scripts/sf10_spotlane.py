@@ -235,7 +235,7 @@ def build_embeddings_fixture(spark, sf_dir: str, work_dir: str) -> None:
     )
 
 
-TPCH_QUERIES = {"range_join"}  # orders+lineitem consumers
+TPCH_QUERIES = {"range_join", "postprocess_dedup"}  # orders/lineitem/supplier consumers
 
 
 def build_tpch_fixture(spark, sf_dir: str, work_dir: str) -> None:
@@ -249,6 +249,11 @@ def build_tpch_fixture(spark, sf_dir: str, work_dir: str) -> None:
         "lineitem": (
             {"l_orderkey", "l_partkey", "l_suppkey"}, {"l_shipdate"},
         ),
+        # postprocess_dedup joins lineitem→supplier on suppkey; the
+        # copy-offset must match l_suppkey's. s_name repeats per copy,
+        # which is safe for its DISTINCT: l_partkey is copy-offset, so
+        # cross-copy rows stay distinct and output replicates ×COPIES.
+        "supplier": ({"s_suppkey"}, set()),
     }
     for table, (id_shifts, ts_shifts) in specs.items():
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
