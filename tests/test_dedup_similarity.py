@@ -1088,3 +1088,32 @@ def test_simhash_pairs_match_blocks_equivalence(spark):
     with pytest.raises(ValueError, match="bigint"):
         dd.simhash_pairs(df, bits=64, bands=2, max_distance=0,
                          match_blocks=2)
+
+
+def test_sq_l2_topk_exact_and_dup_id_safe(spark):
+    """sq_l2_topk == brute-force (rounded d2 asc, id asc) top-k with
+    self-matches excluded, including a duplicated query id in the corpus
+    (both copies must be sunk) and an exact d2 tie broken by id."""
+    import itertools
+
+    import numpy as np
+
+    vecs = {
+        1: [0.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 1.0],
+        4: [1.0, 1.0], 5: [2.0, 0.0],
+    }
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    rows.append((1, [5.0, 5.0]))  # duplicated id: second self copy
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qdf = df.filter("vec_id = 1").limit(1)
+    got = sorted(
+        (r.query_id, r.match_id, r.d2, r.rank)
+        for r in sim.sq_l2_topk(df, qdf, k=3).collect()
+    )
+    # brute force from id 1 = [0,0]: d2 -> 2:1, 3:1, 4:2, 5:4; both id-1
+    # rows excluded; tie 2/3 at d2=1 broken by id
+    assert got == [(1, 2, 1.0, 1), (1, 3, 1.0, 2), (1, 4, 2.0, 3)]
+    # empty query side -> empty frame, stable schema
+    empty = sim.sq_l2_topk(df, df.filter("vec_id = 99"), k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "match_id", "d2", "rank"]

@@ -246,6 +246,128 @@ def cosine_topk(
     )
 
 
+def sq_l2_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+    max_driver_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+) -> DataFrame:
+    """Exact top-k by SQUARED L2 distance (ascending) for every query
+    vector, self-match excluded — the L2 sibling of :func:`cosine_topk`
+    with the same two-stage shape: broadcast query matrix, one BLAS
+    expansion per Arrow chunk (‖v‖² + ‖q‖² − 2·v·q), float32 candidate
+    pass with a margined threshold cut, exact float64 re-score of the
+    ~k survivors, then the global (rounded d2 asc, id asc) window.
+
+    Built for the PQ recall gate's ground-truth side: its original
+    zip_with form evaluated |Q|·N interpreted higher-order folds —
+    measured e=1.26 SUPER-linear at the 100× lane (657 s: 800M folds) —
+    where the contract is Θ(|Q|·N·d) FLOPs that belong in a GEMM. The
+    candidate cut emits a SUPERSET of each query's batch-local top-k
+    including 6-dp ties (float32 d2 error on O(100)-magnitude values is
+    ≲1e-3, far under the 0.01 margin), and the downstream window applies
+    the exact rule, so results are identical to the all-float64 path.
+    """
+    spark = vectors.sparkSession
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    qrows = _collect_bounded(
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "the query side of sq_l2_topk",
+        max_driver_rows,
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id bigint, match_id bigint, d2 double, rank bigint"
+        )
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.qv for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, qm))
+
+    def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qmat = bc.value
+        qmat32 = qmat.astype(np.float32)
+        q2_32 = np.einsum("ij,ij->i", qmat32, qmat32)
+        d2_buf = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids_all = pdf[id_col].to_numpy(dtype=np.int64)
+            vm_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vm32_all = vm_all.astype(np.float32)
+            for lo in range(0, len(vids_all), TOPK_CHUNK_ROWS):
+                vids = vids_all[lo:lo + TOPK_CHUNK_ROWS]
+                vm32 = vm32_all[lo:lo + TOPK_CHUNK_ROWS]
+                n = len(vids)
+                if d2_buf is None or d2_buf.shape != (len(ids), n):
+                    d2_buf = np.empty((len(ids), n), dtype=np.float32)
+                np.matmul(qmat32, vm32.T, out=d2_buf)
+                d2_buf *= -2.0
+                d2_buf += q2_32[:, None]
+                d2_buf += np.einsum("ij,ij->i", vm32, vm32)[None, :]
+                # self-exclusion: sink EVERY occurrence of a query id in
+                # this chunk (dup-id-safe — same discipline as
+                # cosine_topk)
+                order_v = np.argsort(vids)
+                sv = vids[order_v]
+                left = np.searchsorted(sv, ids, side="left")
+                right = np.searchsorted(sv, ids, side="right")
+                cnt = right - left
+                if cnt.any():
+                    hit_q = np.repeat(np.arange(len(ids)), cnt)
+                    total = int(cnt.sum())
+                    starts = np.repeat(left, cnt)
+                    offs = (
+                        np.arange(total)
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    )
+                    d2_buf[hit_q, order_v[starts + offs]] = np.inf
+                if n > k:
+                    thr = np.partition(d2_buf, k - 1, axis=1)[:, k - 1]
+                    mask = d2_buf <= (thr + 1e-2)[:, None]
+                else:
+                    mask = np.isfinite(d2_buf)
+                q_idx, v_idx = np.nonzero(mask)
+                diff = (
+                    qmat[q_idx]
+                    - vm_all[lo:lo + TOPK_CHUNK_ROWS][v_idx]
+                )
+                vals = np.round(
+                    np.einsum("ij,ij->i", diff, diff), round_digits
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[q_idx],
+                        "match_id": vids[v_idx],
+                        "d2": vals,
+                    }
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    local = _spread_to_cores(
+        vectors.select(id_col, vec_col), par
+    ).mapInPandas(
+        _local_topk, schema="query_id long, match_id long, d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("match_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            "d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def quantize_int8(
     vectors: DataFrame,
     id_col: str = "vec_id",
