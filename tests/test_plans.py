@@ -463,16 +463,17 @@ def test_pmi_min_support_before_joins_no_python(spark, sf_dir):
     assert int(m_f.group(1)) < max(joins)
 
 
-def test_pq_recall_no_python_in_exact_half(spark, sf_dir):
-    # the exact-L2 half is zip_with/aggregate codegen over a broadcast
-    # 10-row query side; only the ADC half uses Arrow-batched pandas
-    from xena_gdc_etl_spark.plans import window_specs
-
+def test_pq_recall_exact_half_is_gemm_batch_stage(spark, sf_dir):
+    # round-14 shape: the exact-L2 ground truth is sq_l2_topk's Arrow
+    # batch stage (BLAS expansion + batch-local top-k), NOT the old
+    # broadcast-queries zip_with nested loop the 100x lane measured
+    # super-linear (e=1.26, 800M interpreted folds at x100) — and the
+    # global window only ever sees the pruned partitions x ~k survivors
     df = QUERIES["ann_pq_recall_eval"](spark, sf_dir)
     assert python_udf_count(df) == 0  # row-at-a-time Python: none
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    # the exact top-k must be the two-stage sharded shape: a lone
-    # per-query window would pull a corpus of distances into one task
-    specs = window_specs(df)
-    assert any("__shard" in s for s in specs), specs
+    # the zip_with shape planned the != join as BroadcastNestedLoop; the
+    # GEMM shape must have none anywhere in the query
+    assert "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" in plan  # the batch GEMM stage is present
