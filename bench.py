@@ -37,6 +37,16 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "2")))
 
 
+def _detail_name(sf: float) -> str:
+    """Single source of truth for the detail sidecar name: sf0.1 owns
+    bench_detail.json (the gate-scale record the judge reads); any other
+    SF writes an sf-suffixed sidecar so a smoke run can't clobber it.
+    Used by both main() and _stdout_line() so the written file and the
+    advertised "detail" pointer can never drift.
+    """
+    return "bench_detail.json" if sf == 0.1 else f"bench_detail_sf{sf}.json"
+
+
 def infer_sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
@@ -301,13 +311,8 @@ def main() -> None:
     # reads against BASELINE.md; a smoke run at another SF writes an
     # sf-suffixed sidecar instead of clobbering it (round-13 incident:
     # an sf0.01 smoke overwrote the published sf0.1 detail).
-    detail_name = (
-        "bench_detail.json"
-        if sf == 0.1
-        else f"bench_detail_sf{sf}.json"
-    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), detail_name
+        os.path.dirname(os.path.abspath(__file__)), _detail_name(sf)
     )
     noise_band = {
         k: round(mx - mn, 4) for k, (mn, mx) in trial_spread.items()
@@ -465,12 +470,7 @@ def _stdout_line(
             payload["noise_band"] = noisy
         if elided:
             payload["elided"] = elided
-            # mirror main()'s sidecar naming: sf0.1 owns bench_detail.json
-            payload["detail"] = (
-                "bench_detail.json"
-                if sf == 0.1
-                else f"bench_detail_sf{sf}.json"
-            )
+            payload["detail"] = _detail_name(sf)
         return json.dumps(payload, separators=(",", ":"))
 
     for digits in (4, 3, 2):

@@ -1117,3 +1117,60 @@ def test_sq_l2_topk_exact_and_dup_id_safe(spark):
     empty = sim.sq_l2_topk(df, df.filter("vec_id = 99"), k=3)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "match_id", "d2", "rank"]
+
+def test_topk_dup_heavy_chunk_self_leak_guard(spark):
+    """Regression (r14 ADVICE): a chunk where duplicated query-id copies
+    leave fewer than k finite entries (n-dup < k < n) made the partition
+    threshold itself +inf (sq_l2) / -inf (cosine), and inf<=inf re-
+    admitted the sunk self rows — an exact-dup self copy then re-scored
+    to d2=0 / sim=1.0 and ranked #1, violating the self-excluded
+    contract. 200 self copies + 3 distinct rows over the spread's 32
+    round-robin partitions make EVERY populated chunk hit that geometry
+    (each holds >k rows with at most one non-self entry)."""
+    rows = [(1, [1.0, 1.0])] * 200
+    rows += [(2, [1.1, 1.0]), (3, [1.5, 1.0]), (4, [3.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = sorted(
+        (r.match_id, r.rank) for r in sim.sq_l2_topk(df, qdf, k=2).collect()
+    )
+    assert got == [(2, 1), (3, 2)]  # no self copy may appear
+    got_c = sorted(
+        (r.match_id, r.rank) for r in sim.cosine_topk(df, qdf, k=2).collect()
+    )
+    assert got_c == [(2, 1), (3, 2)]
+
+
+def test_sq_l2_topk_large_magnitude_margin(spark):
+    """Regression (r14 ADVICE): the fixed 1e-2 float32 candidate margin
+    silently cut true top-k members once ||v||^2 outgrew the O(100)
+    regime — the expansion's float32 cancellation error scales with the
+    squared norms. With ~1e3-magnitude coordinates (||v||^2 ~ 2e6) two
+    vectors closer to the query than a float32-favored decoy must still
+    win under the data-scaled margin."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0.0, 1000.0, size=64)
+    rows = [(1, [float(x) for x in base])]
+    # true neighbors: tiny exact offsets from the query
+    rows.append((2, [float(x) for x in base + 0.001]))
+    rows.append((3, [float(x) for x in base - 0.002]))
+    # crowd: far vectors whose float32 d2 may undercut the true ones —
+    # large enough that every spread chunk holds n > k rows, so the
+    # float32 candidate cut actually runs (tiny corpora take the
+    # isfinite-only n<=k branch and would never exercise the margin)
+    for i in range(4, 2004):
+        rows.append((i, [float(x) for x in base + rng.normal(0.0, 0.5, 64)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(1, [float(x) for x in base])], "vec_id bigint, embedding array<double>"
+    )
+    got = sim.sq_l2_topk(df, qdf, k=2).collect()
+    assert sorted((r.match_id, r.rank) for r in got) == [(2, 1), (3, 2)]
+    # exact float64 distances survive the re-score
+    d2 = {r.match_id: r.d2 for r in got}
+    assert d2[2] == pytest.approx(64 * 0.001**2, rel=1e-3)
+    assert d2[3] == pytest.approx(64 * 0.002**2, rel=1e-3)

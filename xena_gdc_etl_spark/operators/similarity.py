@@ -163,6 +163,10 @@ def cosine_topk(
         # (rounded sim desc, id asc) rule to the superset.
         ids, qmat = bc.value
         qmat32 = qmat.astype(np.float32)
+        # Unit vectors bound every |sim| by 1, so the float32 dot error
+        # is ≤ ~d·eps32; the margin scales with d past the 1e-3 floor so
+        # very wide embeddings (d ≳ 4k) can't outgrow a fixed constant.
+        margin = max(1e-3, 2.0 * qmat.shape[1] * float(np.finfo(np.float32).eps))
         sims_buf = None
         for pdf in batches:
             if pdf.empty:
@@ -210,7 +214,13 @@ def cosine_topk(
                         # ragged tail chunk: direct per-row introselect
                         # on the small remainder
                         thr = np.partition(sims, n - k, axis=1)[:, n - k]
-                    mask = sims >= (thr - 1e-3)[:, None]
+                    # & isfinite: mirrored guard to sq_l2_topk — a chunk
+                    # where a duplicated query id leaves fewer than k
+                    # finite entries yields thr=-inf, and -inf >= -inf
+                    # would re-admit the sunk self rows.
+                    mask = (
+                        sims >= (thr - margin)[:, None]
+                    ) & np.isfinite(sims)
                 else:
                     mask = np.isfinite(sims)
                 q_idx, v_idx = np.nonzero(mask)
@@ -292,6 +302,16 @@ def sq_l2_topk(
         ids, qmat = bc.value
         qmat32 = qmat.astype(np.float32)
         q2_32 = np.einsum("ij,ij->i", qmat32, qmat32)
+        # The float32 cancellation error of the ‖v‖²+‖q‖²−2·v·q expansion
+        # scales with the squared norms (γ_d·magnitude), so a FIXED
+        # candidate margin silently cuts true top-k members once ‖·‖²
+        # outgrows the O(100) regime the old constant assumed. Scale it:
+        # 2·d·eps32·(max‖q‖² + max per-chunk ‖v‖²) dominates the d-term
+        # accumulation bound; the 1e-2 floor keeps the benign-case
+        # candidate count unchanged.
+        eps32 = float(np.finfo(np.float32).eps)
+        dim = qmat.shape[1]
+        q2max = float(q2_32.max())
         d2_buf = None
         for pdf in batches:
             if pdf.empty:
@@ -308,7 +328,8 @@ def sq_l2_topk(
                 np.matmul(qmat32, vm32.T, out=d2_buf)
                 d2_buf *= -2.0
                 d2_buf += q2_32[:, None]
-                d2_buf += np.einsum("ij,ij->i", vm32, vm32)[None, :]
+                v2_32 = np.einsum("ij,ij->i", vm32, vm32)
+                d2_buf += v2_32[None, :]
                 # self-exclusion: sink EVERY occurrence of a query id in
                 # this chunk (dup-id-safe — same discipline as
                 # cosine_topk)
@@ -328,7 +349,19 @@ def sq_l2_topk(
                     d2_buf[hit_q, order_v[starts + offs]] = np.inf
                 if n > k:
                     thr = np.partition(d2_buf, k - 1, axis=1)[:, k - 1]
-                    mask = d2_buf <= (thr + 1e-2)[:, None]
+                    margin = max(
+                        1e-2,
+                        2.0 * dim * eps32 * (q2max + float(v2_32.max())),
+                    )
+                    # & isfinite: when a duplicated query id leaves fewer
+                    # than k finite entries in a chunk, thr itself is
+                    # +inf and inf <= inf+margin would re-admit the sunk
+                    # self rows — they'd re-score exactly to d2=0 and an
+                    # exact-dup self copy would rank #1, violating the
+                    # self-excluded contract.
+                    mask = (
+                        d2_buf <= (thr + margin)[:, None]
+                    ) & np.isfinite(d2_buf)
                 else:
                     mask = np.isfinite(d2_buf)
                 q_idx, v_idx = np.nonzero(mask)
