@@ -1124,6 +1124,55 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 23c. SimHash pairs, PRODUCTION config — the Manku/Jain/Sarma WWW'07
+#      combination-banding table scheme: 60-bit md5-derived fingerprint
+#      (portable bit-for-bit to the DuckDB oracle), bands=6 /
+#      match_blocks=3 → C(6,3)=20 tables keyed on 30 bits. Same exact
+#      hamming<=3 semantics as 23b, but the key space is 2^30 instead of
+#      2^16: random-candidate volume Θ(tables·N²/2^keybits) stays ~linear
+#      where the 16-bit fixture config measured quadratic at the 100×
+#      lane (e=1.22, birthday saturation of 64 bucket values). Full
+#      corpus, no sample — that is the point of the scale-safe config.
+# --------------------------------------------------------------------------
+def _manku_sql() -> str:
+    import itertools
+
+    combos = ", ".join(
+        f"({ci}, {c[0]}, {c[1]}, {c[2]})"
+        for ci, c in enumerate(itertools.combinations(range(6), 3))
+    )
+    return f"""
+    WITH fp AS ({_simhash_sql(60)}),
+    combos(ci, c0, c1, c2) AS (VALUES {combos}),
+    keys AS (
+        SELECT doc_id, ci,
+               ((simhash >> (10 * c0)) & 1023)
+             + ((simhash >> (10 * c1)) & 1023) * 1024
+             + ((simhash >> (10 * c2)) & 1023) * 1048576 AS v
+        FROM fp CROSS JOIN combos),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM keys x JOIN keys y ON x.ci = y.ci AND x.v = y.v
+        WHERE x.doc_id < y.doc_id)
+    SELECT a, b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM cand JOIN fp fa ON fa.doc_id = a JOIN fp fb ON fb.doc_id = b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+    """
+
+
+@query("simhash_pairs_manku", _manku_sql())
+def simhash_pairs_manku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    fps = dd.simhash(docs, bits=60)
+    return dd.simhash_pairs(
+        fps, bits=60, bands=6, max_distance=3, match_blocks=3
+    )
+
+
+# --------------------------------------------------------------------------
 # 34b. Passage-level dedup signal: fraction of each document's 10-word
 #      chunks that appear verbatim in at least one other document
 #      (ExactSubstr-lite at chunk granularity). Per-doc output — never the
