@@ -56,6 +56,29 @@ BASKET = [
     "contamination",
 ]
 
+# --evict basket: EVERY seam-bearing registered query (12 seam
+# registrations per iteration — winnow_contamination and
+# incremental_keep_decisions register 2 each — against SEAM_CAP=8), so
+# FIFO cap-eviction fires 4× per iteration, every iteration. This is the
+# r13-documented eviction-broadcast-misplan risk run hot: each query
+# consumes its plan before the next registers, so evicted seams are
+# always already-consumed — the soak pins that the discipline holds
+# under sustained eviction pressure (rows stable, no wall/heap creep,
+# evictions growing linearly), not just under the default basket that
+# stays below the cap.
+EVICT_BASKET = [
+    "ngram_jaccard",
+    "dup_spans",
+    "containment_pairs",
+    "bigram_lm_score",
+    "quality_buckets",
+    "winnow_contamination",
+    "vocab_overlap",
+    "heavy_hitters",
+    "source_jsd",
+    "incremental_keep_decisions",
+]
+
 
 def jvm_heap_used_post_gc(spark) -> int:
     rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
@@ -81,11 +104,14 @@ def cached_storage(spark) -> "tuple[int, int]":
     return len(infos), sum(i.memSize() + i.diskSize() for i in infos)
 
 
-def run_soak(spark, sf_dir: str, iters: int) -> dict:
+def run_soak(spark, sf_dir: str, iters: int, basket: list | None = None) -> dict:
     from pyspark.sql import functions as F
 
+    from xena_gdc_etl_spark.operators import seams
     from xena_gdc_etl_spark.operators.seams import release_seams
     from xena_gdc_etl_spark.workload import QUERIES
+
+    basket = basket or BASKET
 
     def consume(df) -> int:
         h = F.xxhash64(*[F.col(c) for c in df.columns])
@@ -93,9 +119,10 @@ def run_soak(spark, sf_dir: str, iters: int) -> dict:
 
     iterations = []
     for it in range(iters):
+        ev0 = seams.EVICTIONS
         t0 = time.perf_counter()
         rows = 0
-        for name in BASKET:
+        for name in basket:
             rows += consume(QUERIES[name](spark, sf_dir))
         wall = time.perf_counter() - t0
         released = release_seams(spark)
@@ -105,6 +132,7 @@ def run_soak(spark, sf_dir: str, iters: int) -> dict:
             "wall_sec": round(wall, 3),
             "rows": rows,
             "seams_released": released,
+            "seams_evicted": seams.EVICTIONS - ev0,
             "n_cached": n_cached,
             "cached_mb": round(cached_bytes / 2**20, 1),
             "jvm_heap_used_mb": round(jvm_heap_used_post_gc(spark) / 2**20, 1),
@@ -121,7 +149,8 @@ def run_soak(spark, sf_dir: str, iters: int) -> dict:
     summary = {
         "iters": iters,
         "sf_dir": sf_dir,
-        "basket": BASKET,
+        "basket": basket,
+        "seams_evicted_total": sum(r["seams_evicted"] for r in iterations),
         "cached_bounded": all(
             r["n_cached"] <= iterations[min(1, len(iterations) - 1)]["n_cached"]
             for r in iterations[1:]
@@ -147,16 +176,22 @@ def run_soak(spark, sf_dir: str, iters: int) -> dict:
 
 
 def main() -> None:
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--evict"]
+    evict = "--evict" in sys.argv[1:]
+    iters = int(args[0]) if args else 30
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     from xena_gdc_etl_spark.session import get_spark
 
     spark = get_spark(app_name="serve-soak")
     try:
-        out = run_soak(spark, sf_dir, iters)
+        out = run_soak(
+            spark, sf_dir, iters, EVICT_BASKET if evict else BASKET
+        )
     finally:
         spark.stop()
-    path = os.path.join(REPO, "serve_soak.json")
+    path = os.path.join(
+        REPO, "serve_soak_evict.json" if evict else "serve_soak.json"
+    )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out["summary"]))

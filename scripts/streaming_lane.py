@@ -356,7 +356,15 @@ def main() -> None:
                 spark, mk, os.path.join(work, f"{scale}_{name}"), mode
             )
             m = _metrics(wall, prog)
-            row = results.setdefault(name, {})
+            # SPARK_GRAFT_STATE_STORE=rocksdb (session.py) swaps the
+            # state-store provider; its rows land under a suffixed key so
+            # the heap-backed baseline rows stay pinned alongside
+            rec = name
+            if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == (
+                "rocksdb"
+            ):
+                rec = f"{name}@rocksdb"
+            row = results.setdefault(rec, {})
             row[scale] = m
             if "x1" in row and "x10" in row:
                 r1, r10 = row["x1"], row["x10"]
@@ -369,7 +377,7 @@ def main() -> None:
                         r10["max_state_rows"] / r1["max_state_rows"], 2
                     )
             print(
-                json.dumps({"scale": scale, "twin": name, **m}), flush=True
+                json.dumps({"scale": scale, "twin": rec, **m}), flush=True
             )
             with open(out_path, "w") as fh:
                 json.dump(

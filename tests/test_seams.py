@@ -124,3 +124,49 @@ def test_serving_soak_memory_bounded(spark, sf_dir):
         "JVM-cached entries GREW across serving iterations: "
         f"{s['n_cached_series']}"
     )
+
+
+def test_eviction_counter_tracks_cap_evictions(spark):
+    """seams.EVICTIONS grows by exactly (registrations - SEAM_CAP) when
+    a loop registers past the cap — the observability hook the --evict
+    soak (scripts/serve_soak.py) reads to prove eviction actually fired
+    every iteration."""
+    _fresh(spark)
+    before = seams.EVICTIONS
+    extra = 4
+    for i in range(seams.SEAM_CAP + extra):
+        seam(spark.range(20 + i).selectExpr(f"id + {100 + i} as v"))
+    assert seams.EVICTIONS - before == extra
+    assert release_seams(spark) == seams.SEAM_CAP
+    assert _cache_empty(spark)
+
+
+def test_eviction_pressure_soak_results_stable(spark, sf_dir):
+    """The r13-documented eviction risk, run hot (r14 verdict task 7):
+    a serving basket with MORE seam registrations per iteration than
+    SEAM_CAP must evict every iteration AND keep results identical and
+    the cache bounded — evicted seams are always already-consumed in
+    the query-at-a-time serving discipline, so the broadcast-misplan
+    bait never arms."""
+    import importlib.util
+    import os
+
+    _fresh(spark)
+    spec = importlib.util.spec_from_file_location(
+        "serve_soak",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "serve_soak.py",
+        ),
+    )
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+    out = soak.run_soak(spark, sf_dir, iters=2, basket=soak.EVICT_BASKET)
+    s = out["summary"]
+    assert s["rows_stable"], out["iterations"]
+    assert s["cached_bounded"], s["n_cached_series"]
+    # the whole point of this basket: the cap fires EVERY iteration
+    assert all(
+        r["seams_evicted"] >= 1 for r in out["iterations"]
+    ), out["iterations"]

@@ -54,6 +54,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 SEAM_CAP = 8
 
+# Monotonic count of cap-evicted seams (process-wide): observability for
+# the eviction-pressure soak (scripts/serve_soak.py --evict) and tests —
+# a serving loop that hits the cap every iteration should see this grow
+# by (registrations - SEAM_CAP) per iteration, with results unchanged.
+EVICTIONS = 0
+
 _REG: "weakref.WeakKeyDictionary[SparkSession, OrderedDict]" = (
     weakref.WeakKeyDictionary()
 )
@@ -95,7 +101,9 @@ def seam(df: DataFrame, eager: bool = True) -> DataFrame:
         # CacheManager entry under the earlier handle too)
         reg.pop(key)
     reg[key] = df
+    global EVICTIONS
     while len(reg) > SEAM_CAP:
+        EVICTIONS += 1
         # Evicting an UNCONSUMED seam is not just a recompute: its
         # eager-filled statistics vanish, so a not-yet-executed plan
         # referencing it re-plans from the child's estimate — the

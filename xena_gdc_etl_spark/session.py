@@ -74,4 +74,19 @@ def get_spark(
         .config("spark.ui.retainedStages", "100")
         .config("spark.ui.retainedTasks", "2000")
     )
+    # Streaming state-store posture (env-gated): the default
+    # HDFSBackedStateStoreProvider keeps every state row on the executor
+    # HEAP — fine for the bounded-state twins at lane scale, but at
+    # 100 TB/day the bounded-state claim must also hold off-heap.
+    # SPARK_GRAFT_STATE_STORE=rocksdb switches to the RocksDB provider
+    # (native memory + local disk, changelog-checkpointed), the setting a
+    # production deployment of the stateful twins would run with; the
+    # streaming lane pins a twin's row under it (BASELINE
+    # §streaming-lane-rocksdb).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     return builder.getOrCreate()
