@@ -477,3 +477,48 @@ def test_pq_recall_exact_half_is_gemm_batch_stage(spark, sf_dir):
     # GEMM shape must have none anywhere in the query
     assert "BroadcastNestedLoop" not in plan
     assert "MapInPandas" in plan  # the batch GEMM stage is present
+
+
+# BASELINE §lane-coverage class audit (round 15): the sub-second-tier
+# queries carry plan-property justifications instead of lane rows; these
+# lists pin the MEASURED properties so the prose can never drift from
+# the plans. Strict = zero exchanges + zero Python stages; spread-only =
+# at most the fill-aware pre-explode round-robin (absent on a filled
+# 100 TB scan); broadcast = the dim side must hash-broadcast.
+CLASS_S_STRICT = [
+    "search_filter", "snv_vaf", "survival_transform", "gopher_quality",
+    "quality_filter", "scrub_pii", "token_count", "text_quality",
+    "lang_id", "doc_fingerprint", "winnow_fingerprint", "embed_quantize",
+    "sample_by_group", "flatten_props", "multimodal_features",
+    "logreg_score",
+]
+CLASS_S_SPREAD_ONLY = [
+    "doc_repetition", "train_split", "weighted_sample", "pq_adc_score",
+]
+CLASS_B_BROADCAST = [
+    "project_info", "keep_samples", "snv_placeholder_filter",
+]
+
+
+def test_lane_coverage_class_s_strict(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    for name in CLASS_S_STRICT:
+        df = QUERIES[name](spark, sf_dir)
+        assert shuffle_count(df) == 0, f"{name}: expected zero exchanges"
+        assert python_udf_count(df) == 0, f"{name}: expected zero Python"
+
+
+def test_lane_coverage_class_s_spread_only(spark, sf_dir):
+    from xena_gdc_etl_spark.plans import shuffle_count
+
+    for name in CLASS_S_SPREAD_ONLY:
+        df = QUERIES[name](spark, sf_dir)
+        assert shuffle_count(df) <= 1, f"{name}: expected <=1 exchange"
+        assert python_udf_count(df) == 0, f"{name}: expected zero Python"
+
+
+def test_lane_coverage_class_b_broadcasts(spark, sf_dir):
+    for name in CLASS_B_BROADCAST:
+        df = QUERIES[name](spark, sf_dir)
+        assert uses_broadcast_join(df), f"{name}: expected broadcast join"
