@@ -1174,3 +1174,56 @@ def test_sq_l2_topk_large_magnitude_margin(spark):
     d2 = {r.match_id: r.d2 for r in got}
     assert d2[2] == pytest.approx(64 * 0.001**2, rel=1e-3)
     assert d2[3] == pytest.approx(64 * 0.002**2, rel=1e-3)
+
+
+def test_sq_l2_topk_randomized_brute_equivalence(spark):
+    """Seeded randomized equivalence vs a NumPy brute force applying the
+    operator's exact contract (rounded d2 asc, id asc, ALL self rows
+    excluded) — sweeps magnitudes (unit vs ~1e3 coordinates, exercising
+    the data-scaled margin), duplicate ids on both corpus and query ids,
+    and corpus sizes spanning the n<=k / n>k chunk branches."""
+    import numpy as np
+
+    rng = np.random.default_rng(2026)
+    for case, (n, k, scale, n_dup) in enumerate([
+        (5, 10, 1.0, 0),      # n <= k branch
+        (40, 3, 1.0, 3),      # dup ids, small
+        (120, 10, 1000.0, 5),  # large magnitude + dups
+        (300, 5, 1.0, 0),
+        (200, 10, 1000.0, 20),
+    ]):
+        d = int(rng.integers(4, 17))
+        ids = list(range(n))
+        # duplicate ids: reuse existing ids for the last n_dup rows
+        for j in range(n_dup):
+            ids[n - 1 - j] = int(rng.integers(0, n // 2))
+        vecs = rng.normal(0.0, scale, size=(n, d))
+        qid = int(rng.integers(0, n // 2))
+        qvec = vecs[ids.index(qid)]
+        rows = [(ids[i], [float(x) for x in vecs[i]]) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        qdf = spark.createDataFrame(
+            [(qid, [float(x) for x in qvec])],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = [
+            (r.match_id, r.d2, r.rank)
+            for r in sim.sq_l2_topk(df, qdf, k=k)
+            .orderBy("rank")
+            .collect()
+        ]
+        # brute force: every corpus ROW (dup ids are distinct rows),
+        # all rows carrying the query id excluded
+        cand = [
+            (ids[i], round(float(np.sum((vecs[i] - qvec) ** 2)), 6))
+            for i in range(n)
+            if ids[i] != qid
+        ]
+        cand.sort(key=lambda t: (t[1], t[0]))
+        want = [(m, d2, r + 1) for r, (m, d2) in enumerate(cand[:k])]
+        # identical (d2, id) ties are interchangeable rows: compare as
+        # sorted multisets with the rank sequence
+        assert sorted(got) == sorted(want), f"case {case}"
+        assert [r for _, _, r in got] == list(range(1, len(want) + 1))
