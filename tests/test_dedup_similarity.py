@@ -1227,3 +1227,47 @@ def test_sq_l2_topk_randomized_brute_equivalence(spark):
         # sorted multisets with the rank sequence
         assert sorted(got) == sorted(want), f"case {case}"
         assert [r for _, _, r in got] == list(range(1, len(want) + 1))
+
+
+def test_cosine_topk_randomized_brute_equivalence(spark):
+    """Mirror of the sq_l2 randomized sweep for cosine_topk: rounded sim
+    DESC, id asc, all self rows excluded; magnitudes are irrelevant after
+    normalization but dup ids and the n<=k / n>k branches are swept."""
+    import numpy as np
+
+    rng = np.random.default_rng(4094)
+    for case, (n, k, n_dup) in enumerate([
+        (5, 10, 0),
+        (60, 3, 4),
+        (250, 5, 12),
+    ]):
+        d = int(rng.integers(4, 17))
+        ids = list(range(n))
+        for j in range(n_dup):
+            ids[n - 1 - j] = int(rng.integers(0, n // 2))
+        vecs = rng.normal(0.0, 1.0, size=(n, d))
+        qid = int(rng.integers(0, n // 2))
+        qvec = vecs[ids.index(qid)]
+        rows = [(ids[i], [float(x) for x in vecs[i]]) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        qdf = spark.createDataFrame(
+            [(qid, [float(x) for x in qvec])],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = [
+            (r.match_id, r.sim, r.rank)
+            for r in sim.cosine_topk(df, qdf, k=k).orderBy("rank").collect()
+        ]
+        qn = qvec / np.linalg.norm(qvec)
+        cand = []
+        for i in range(n):
+            if ids[i] == qid:
+                continue
+            v = vecs[i] / np.linalg.norm(vecs[i])
+            cand.append((ids[i], round(float(np.dot(qn, v)), 6)))
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        want = [(m, s, r + 1) for r, (m, s) in enumerate(cand[:k])]
+        assert sorted(got) == sorted(want), f"case {case}"
+        assert [r for _, _, r in got] == list(range(1, len(want) + 1))
