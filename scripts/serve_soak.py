@@ -111,7 +111,12 @@ def run_soak(spark, sf_dir: str, iters: int, basket: list | None = None) -> dict
     from xena_gdc_etl_spark.operators.seams import release_seams
     from xena_gdc_etl_spark.workload import QUERIES
 
-    basket = basket or BASKET
+    # None means "use the default basket"; an explicitly passed empty list
+    # is a caller error (the summary stats would divide by zero) — reject
+    # it instead of silently substituting the default.
+    if basket is not None and not basket:
+        raise ValueError("basket must be None (default) or non-empty")
+    basket = BASKET if basket is None else basket
 
     def consume(df) -> int:
         h = F.xxhash64(*[F.col(c) for c in df.columns])

@@ -58,6 +58,12 @@ SEAM_CAP = 8
 # the eviction-pressure soak (scripts/serve_soak.py --evict) and tests —
 # a serving loop that hits the cap every iteration should see this grow
 # by (registrations - SEAM_CAP) per iteration, with results unchanged.
+# SINGLE-THREADED counter: the registry in _REG is keyed per session, but
+# this counter is a plain unsynchronized module global — concurrent
+# serving threads or multiple sessions in one process would interleave
+# increments and per-iteration deltas could misattribute evictions. Fine
+# for the one-session soak it instruments; key it per session next to
+# _REG before instrumenting concurrent serving.
 EVICTIONS = 0
 
 _REG: "weakref.WeakKeyDictionary[SparkSession, OrderedDict]" = (

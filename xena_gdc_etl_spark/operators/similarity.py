@@ -163,10 +163,13 @@ def cosine_topk(
         # (rounded sim desc, id asc) rule to the superset.
         ids, qmat = bc.value
         qmat32 = qmat.astype(np.float32)
-        # Unit vectors bound every |sim| by 1, so the float32 dot error
-        # is ≤ ~d·eps32; the margin scales with d past the 1e-3 floor so
-        # very wide embeddings (d ≳ 4k) can't outgrow a fixed constant.
-        margin = max(1e-3, 2.0 * qmat.shape[1] * float(np.finfo(np.float32).eps))
+        # Unit vectors bound every |sim| by 1, so each float32 dot carries
+        # deterministic error ≤ ~2·γ_d ≈ 2·d·eps32. The cut compares TWO
+        # independently-erring float32 values (candidate vs threshold), so
+        # the margin is 2× that — 4·d·eps32 — a deterministic superset
+        # guarantee, not a statistical one; it scales with d past the 1e-3
+        # floor so very wide embeddings (d ≳ 4k) can't outgrow a constant.
+        margin = max(1e-3, 4.0 * qmat.shape[1] * float(np.finfo(np.float32).eps))
         sims_buf = None
         for pdf in batches:
             if pdf.empty:
@@ -305,10 +308,13 @@ def sq_l2_topk(
         # The float32 cancellation error of the ‖v‖²+‖q‖²−2·v·q expansion
         # scales with the squared norms (γ_d·magnitude), so a FIXED
         # candidate margin silently cuts true top-k members once ‖·‖²
-        # outgrows the O(100) regime the old constant assumed. Scale it:
-        # 2·d·eps32·(max‖q‖² + max per-chunk ‖v‖²) dominates the d-term
-        # accumulation bound; the 1e-2 floor keeps the benign-case
-        # candidate count unchanged.
+        # outgrows the O(100) regime the old constant assumed. Each
+        # expanded value carries deterministic error ≤ ~2·γ_d·(‖q‖²+‖v‖²),
+        # and the cut compares TWO independently-erring values (candidate
+        # vs threshold), so the margin is twice that:
+        # 4·d·eps32·(max‖q‖² + max per-chunk ‖v‖²) — a deterministic
+        # superset bound. The 1e-2 floor keeps the benign-case candidate
+        # count unchanged.
         eps32 = float(np.finfo(np.float32).eps)
         dim = qmat.shape[1]
         q2max = float(q2_32.max())
@@ -351,7 +357,7 @@ def sq_l2_topk(
                     thr = np.partition(d2_buf, k - 1, axis=1)[:, k - 1]
                     margin = max(
                         1e-2,
-                        2.0 * dim * eps32 * (q2max + float(v2_32.max())),
+                        4.0 * dim * eps32 * (q2max + float(v2_32.max())),
                     )
                     # & isfinite: when a duplicated query id leaves fewer
                     # than k finite entries in a chunk, thr itself is
