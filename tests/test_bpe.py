@@ -1,0 +1,186 @@
+"""BPE tokenizer-training primitives (operators/bpe.py).
+
+The single round is oracle-gated by the driver (`bpe_merge_round` in the
+registry); these tests pin the pieces the oracle cannot see — the greedy
+non-overlapping merge fold, the deterministic tiebreak, and the ITERATED
+trainer against a pure-Python textbook implementation of Sennrich 2016
+(the same one-round-oracle / iterated-test split as kmeans_round).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from xena_gdc_etl_spark.operators import bpe
+
+
+# --- pure-Python textbook reference ---------------------------------------
+
+def ref_init(word_freqs: dict) -> dict:
+    return {
+        tuple(w) + (bpe.EOW,): f for w, f in word_freqs.items()
+    }
+
+
+def ref_pair_counts(segments: dict) -> Counter:
+    counts: Counter = Counter()
+    for syms, f in segments.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += f
+    return counts
+
+
+def ref_top(counts: Counter):
+    # count desc, then (lhs, rhs) asc — the engine's total order
+    return min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+
+def ref_apply(segments: dict, pair) -> dict:
+    left, right = pair
+    out = {}
+    for syms, f in segments.items():
+        merged, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == left
+                and syms[i + 1] == right
+            ):
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        out[tuple(merged)] = f
+    return out
+
+
+def ref_train(word_freqs: dict, n: int):
+    seg = ref_init(word_freqs)
+    merges = []
+    for _ in range(n):
+        counts = ref_pair_counts(seg)
+        if not counts:
+            break
+        pair = ref_top(counts)
+        merges.append(pair)
+        seg = ref_apply(seg, pair)
+    return merges, seg
+
+
+def _wf_df(spark, word_freqs: dict):
+    return spark.createDataFrame(
+        list(word_freqs.items()), "word string, freq bigint"
+    )
+
+
+# --- unit pins -------------------------------------------------------------
+
+def test_init_segments_chars_plus_eow(spark):
+    seg = {
+        r.word: (list(r.symbols), r.freq)
+        for r in bpe.bpe_init_segments(
+            _wf_df(spark, {"the": 5, "a": 2})
+        ).collect()
+    }
+    assert seg == {
+        "the": (["t", "h", "e", bpe.EOW], 5),
+        "a": (["a", bpe.EOW], 2),
+    }
+
+
+def test_pair_counts_weighted_by_freq(spark):
+    seg = bpe.bpe_init_segments(_wf_df(spark, {"ab": 3, "ba": 2}))
+    got = {
+        (r.lhs, r.rhs): r.pair_count
+        for r in bpe.bpe_pair_counts(seg).collect()
+    }
+    assert got == {
+        ("a", "b"): 3,
+        ("b", bpe.EOW): 3,
+        ("b", "a"): 2,
+        ("a", bpe.EOW): 2,
+    }
+
+
+def test_apply_merge_greedy_non_overlapping(spark):
+    # [a,a,a] -> [aa,a], [a,a,a,a] -> [aa,aa]: the textbook greedy rule
+    df = spark.createDataFrame(
+        [("x", ["a", "a", "a"], 1), ("y", ["a", "a", "a", "a"], 1)],
+        "word string, symbols array<string>, freq bigint",
+    )
+    got = {
+        r.word: list(r.symbols)
+        for r in bpe.bpe_apply_merge(df, "a", "a").collect()
+    }
+    assert got == {"x": ["aa", "a"], "y": ["aa", "aa"]}
+
+
+def test_apply_merge_merged_symbol_not_re_merged(spark):
+    # after (t,h)->th, a 'th' symbol must not match a lone 't' or 'h'
+    df = spark.createDataFrame(
+        [("w", ["t", "h", "t", "h", "h"], 1)],
+        "word string, symbols array<string>, freq bigint",
+    )
+    got = bpe.bpe_apply_merge(df, "t", "h").collect()[0]
+    assert list(got.symbols) == ["th", "th", "h"]
+
+
+def test_top_merges_deterministic_tiebreak(spark):
+    # equal counts break on (lhs, rhs) ascending
+    df = spark.createDataFrame(
+        [("b", "a", 5), ("a", "b", 5), ("a", "a", 5), ("c", "c", 9)],
+        "lhs string, rhs string, pair_count bigint",
+    )
+    got = [
+        (r.lhs, r.rhs, r.pair_count, r.rnk)
+        for r in bpe.bpe_top_merges(df, k=3).orderBy("rnk").collect()
+    ]
+    assert got == [
+        ("c", "c", 9, 1),
+        ("a", "a", 5, 2),
+        ("a", "b", 5, 3),
+    ]
+
+
+def test_merge_round_replays_frozen_merges(spark):
+    wf = {"the": 10, "then": 4, "hen": 3}
+    ref_seg = ref_apply(ref_apply(ref_init(wf), ("t", "h")), ("th", "e"))
+    ref_counts = ref_pair_counts(ref_seg)
+    out = bpe.bpe_merge_round(
+        _wf_df(spark, wf), merges=[("t", "h"), ("th", "e")], k=100
+    ).collect()
+    got = {(r.lhs, r.rhs): r.pair_count for r in out}
+    assert got == dict(ref_counts)
+
+
+# --- iterated-trainer composition pin --------------------------------------
+
+@pytest.mark.parametrize("n_merges", [1, 3, 5])
+def test_train_matches_textbook_reference(spark, n_merges):
+    wf = {
+        "low": 5,
+        "lower": 2,
+        "newest": 6,
+        "widest": 3,
+        "new": 2,
+        "a": 1,
+    }
+    exp_merges, exp_seg = ref_train(wf, n_merges)
+    merges, seg = bpe.bpe_train(_wf_df(spark, wf), n_merges)
+    assert merges == exp_merges
+    got_seg = {
+        tuple(r.symbols): r.freq for r in seg.collect()
+    }
+    assert got_seg == exp_seg
+
+
+def test_train_stops_when_no_pairs(spark):
+    # single-char words exhaust after merging with </w>
+    merges, seg = bpe.bpe_train(_wf_df(spark, {"a": 3}), 5)
+    # round 1 merges (a, </w>); afterwards every word is ONE symbol, no
+    # pairs remain, and the trainer stops early instead of erroring
+    assert merges == [("a", bpe.EOW)]
+    assert [list(r.symbols) for r in seg.collect()] == [["a" + bpe.EOW]]

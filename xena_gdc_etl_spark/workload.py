@@ -4359,6 +4359,58 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 77b. BPE tokenizer-training round (Sennrich 2016): under the FROZEN
+#      round-1 state (character vocab + </w> end-of-word marker), count
+#      adjacent symbol pairs weighted by corpus word frequency and emit
+#      the deterministic top-20 merge candidates. Completes the
+#      tokenizer-training story vocab_topk / cooccurrence_pmi feed: all
+#      work runs on the vocabulary frame off the shared tf artifact —
+#      the token stream is never re-read — and the only shuffle is the
+#      partial-agg pair groupBy (distinct adjacent pairs ≲ a few ×
+#      vocab). The iterated trainer (bpe_train) is pinned against a
+#      pure-Python textbook reference in tests/test_bpe.py, the same
+#      one-round-oracle / iterated-test split as kmeans_round.
+# --------------------------------------------------------------------------
+@query(
+    "bpe_merge_round",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                   x -> x <> '')) AS tok
+        FROM documents),
+    wf AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+    idx AS (
+        SELECT tok, freq,
+               unnest(range(1, CAST(length(tok) AS BIGINT) + 1)) AS i
+        FROM wf),
+    pairs AS (
+        SELECT substr(tok, CAST(i AS INT), 1) AS lhs,
+               CASE WHEN i < length(tok)
+                    THEN substr(tok, CAST(i AS INT) + 1, 1)
+                    ELSE '</w>' END AS rhs,
+               freq
+        FROM idx),
+    counts AS (
+        SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1, 2)
+    SELECT lhs, rhs, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, lhs, rhs)
+                AS BIGINT) AS rnk
+    FROM counts
+    ORDER BY pair_count DESC, lhs, rhs
+    LIMIT 20
+    """,
+)
+def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xena_gdc_etl_spark.operators import bpe
+
+    tf = _shared_doc_tf(spark, sf_dir)
+    wf = tf.groupBy("tok").agg(F.sum("tf").alias("freq"))
+    return bpe.bpe_merge_round(wf, merges=(), k=20, word_col="tok")
+
+
+# --------------------------------------------------------------------------
 # 78. PQ recall gate — ann_recall_eval's twin for the PQ/ADC layout:
 #     recall@10 of the frozen-codebook ADC ranking against the exact
 #     squared-L2 top-10 (ADC approximates Euclidean, so Euclidean is the
