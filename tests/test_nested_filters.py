@@ -79,6 +79,49 @@ def test_gdc_search_payload_shape():
         search_payload("nope")
 
 
+def test_gdc_search_payload_expand_and_get():
+    """The reference's expand= field groups and method='GET' query-string
+    form (gdc.py:276-296; mirrors reference tests/test_gdc.py:96
+    test_search's method validation)."""
+    import pytest as _pytest
+
+    from xena_gdc_etl_spark.sources.gdc_api import search_payload
+
+    # expand: list form, comma-joined like fields
+    url, body = search_payload(
+        "cases",
+        FilterSpec(include={"project.project_id": "TARGET-CCSK"}),
+        fields=["submitter_id"],
+        expand=["samples", "samples.portions"],
+        method="GET",
+    )
+    assert url == "https://api.gdc.cancer.gov/cases"
+    assert body["expand"] == "samples,samples.portions"
+    assert body["fields"] == "submitter_id"
+
+    # str form passes through verbatim (reference promotes str -> [str]);
+    # a bare string must not be char-iterated
+    _, body = search_payload(
+        "cases", fields="case_id", expand="samples.portions.analytes"
+    )
+    assert body["fields"] == "case_id"
+    assert body["expand"] == "samples.portions.analytes"
+
+    # no expand -> key absent (reference: only set when truthy)
+    _, body = search_payload("cases")
+    assert "expand" not in body and "fields" not in body
+
+    # method validation with the reference's exact error text
+    with _pytest.raises(ValueError) as exc:
+        search_payload("cases", method="PUT")
+    assert exc.value.args[0] == (
+        'Invalid method: PUT\n method must be either "GET" or "POST".'
+    )
+    # GET/POST both accepted, case-insensitively
+    for m in ("GET", "get", "POST", "post"):
+        search_payload("cases", method=m)
+
+
 def test_format_multiple_collapses_per_id(spark):
     from xena_gdc_etl_spark.operators.nested import format_multiple
 

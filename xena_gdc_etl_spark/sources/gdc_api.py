@@ -22,23 +22,50 @@ GDC_API_BASE = "https://api.gdc.cancer.gov"
 VALID_ENDPOINTS = ("files", "cases", "projects", "annotations")
 
 
+def _csv_param(value: "Sequence[str] | str") -> str:
+    """The reference accepts fields/expand as a list, a comma-separated
+    string, or a mix (gdc.py:276-279 isinstance-str promotion); normalize
+    to the comma-joined request form either way. A bare string must NOT
+    be iterated char-by-char."""
+    if isinstance(value, str):
+        return value
+    return ",".join(value)
+
+
 def search_payload(
     endpoint: str,
     filter_spec: FilterSpec | None = None,
-    fields: Sequence[str] = (),
+    fields: "Sequence[str] | str" = (),
     size: int = 10_000,
     from_: int = 0,
+    expand: "Sequence[str] | str" = (),
+    method: str = "POST",
 ) -> tuple[str, dict]:
-    """(url, POST body) for one search page — the reference's request shape
-    (method='dict', typ='dataframe' handling stays with the caller)."""
+    """(url, payload) for one search page — the reference's request shape
+    (gdc.py:221 ``search``; typ='dataframe' handling stays with the
+    caller). ``expand`` mirrors the reference's field-group expansion
+    (gdc.py:279,286: comma-joined into the ``expand`` param). ``method``
+    is validated like the reference (gdc.py:288-296): the SAME payload
+    dict serves as the POST form body or the GET query-string params —
+    requests stringifies the int size/from either way — so the caller
+    picks ``requests.post(url, data=payload)`` or
+    ``requests.get(url, params=payload)``."""
     if endpoint not in VALID_ENDPOINTS:
         raise ValueError(f"endpoint must be one of {VALID_ENDPOINTS}")
+    if method.upper() not in ("GET", "POST"):
+        # reference error text, gdc.py:292-296
+        raise ValueError(
+            'Invalid method: {}\n method must be either "GET" '
+            'or "POST".'.format(method)
+        )
     body: dict = {"size": size, "from": from_}
     gdc_filter = (filter_spec or FilterSpec()).to_gdc()
     if gdc_filter:
         body["filters"] = json.dumps(gdc_filter)
     if fields:
-        body["fields"] = ",".join(fields)
+        body["fields"] = _csv_param(fields)
+    if expand:
+        body["expand"] = _csv_param(expand)
     return f"{GDC_API_BASE}/{endpoint}", body
 
 
@@ -68,11 +95,16 @@ def fetch_table(
     fields: Sequence[str] = (),
     page_size: int = 10_000,
     n_pages: int = 1,
+    expand: "Sequence[str] | str" = (),
+    method: str = "POST",
 ) -> DataFrame:
     """Fetch search pages IN PARALLEL on executors and return the hits as a
     DataFrame (spark.read.json over the responses). Requires network +
     ``requests``; raises if either is unavailable. Page ranges distribute
     one page per task — the driver never holds more than the URLs.
+    ``expand``/``method`` mirror the reference's search surface
+    (gdc.py:221): GET sends the payload as query-string params, POST as
+    the JSON body.
     """
     try:
         import requests  # noqa: F401
@@ -82,13 +114,19 @@ def fetch_table(
             "build payloads with search_payload() and fetch elsewhere"
         ) from exc
 
-    url, base_body = search_payload(endpoint, filter_spec, fields, page_size)
+    url, base_body = search_payload(
+        endpoint, filter_spec, fields, page_size, expand=expand, method=method
+    )
+    get = method.upper() == "GET"
 
     def _fetch(page: int) -> list[str]:
         import requests as rq
 
         body = dict(base_body, **{"from": page * page_size})
-        resp = rq.post(url, json=body, timeout=120)
+        if get:
+            resp = rq.get(url, params=body, timeout=120)
+        else:
+            resp = rq.post(url, json=body, timeout=120)
         resp.raise_for_status()
         return [json.dumps(hit) for hit in resp.json()["data"]["hits"]]
 
