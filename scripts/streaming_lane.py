@@ -356,14 +356,12 @@ def main() -> None:
                 spark, mk, os.path.join(work, f"{scale}_{name}"), mode
             )
             m = _metrics(wall, prog)
-            # SPARK_GRAFT_STATE_STORE=rocksdb (session.py) swaps the
-            # state-store provider; its rows land under a suffixed key so
-            # the heap-backed baseline rows stay pinned alongside
-            rec = name
-            if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == (
-                "rocksdb"
-            ):
-                rec = f"{name}@rocksdb"
+            # SPARK_GRAFT_STATE_STORE (session.py) swaps the state-store
+            # provider; its rows land under the env value as a suffix
+            # ("@rocksdb", "@rocksdb-changelog") so the heap-backed
+            # baseline rows stay pinned alongside every variant
+            ss = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+            rec = f"{name}@{ss}" if ss else name
             row = results.setdefault(rec, {})
             row[scale] = m
             if "x1" in row and "x10" in row:

@@ -79,14 +79,25 @@ def get_spark(
     # HEAP — fine for the bounded-state twins at lane scale, but at
     # 100 TB/day the bounded-state claim must also hold off-heap.
     # SPARK_GRAFT_STATE_STORE=rocksdb switches to the RocksDB provider
-    # (native memory + local disk, changelog-checkpointed), the setting a
-    # production deployment of the stateful twins would run with; the
-    # streaming lane pins a twin's row under it (BASELINE
-    # §streaming-lane-rocksdb).
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+    # (native memory + local disk), the setting a production deployment
+    # of the stateful twins would run with; the streaming lane pins a
+    # twin's row under it (BASELINE §streaming-lane-rocksdb).
+    # SPARK_GRAFT_STATE_STORE=rocksdb-changelog additionally enables
+    # changelog checkpointing: per-batch commits upload only the delta
+    # instead of a full snapshot (Spark leaves this OFF by default), the
+    # knob the r15 lane's 23-29% throughput cost pointed at — measured
+    # A/B in §streaming-lane-rocksdb.
+    state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    if state_store.startswith("rocksdb"):
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        if "changelog" in state_store:
+            builder = builder.config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
     return builder.getOrCreate()
