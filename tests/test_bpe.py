@@ -177,6 +177,30 @@ def test_train_matches_textbook_reference(spark, n_merges):
     assert got_seg == exp_seg
 
 
+def test_train_matches_reference_on_random_corpora(spark):
+    """Property pin: on randomized small-alphabet corpora (adversarial
+    for merge interactions — lots of repeated symbols and ties) the
+    distributed trainer tracks the textbook reference exactly, merges
+    AND final segmentation. Deterministic seed, several corpora."""
+    import random
+
+    rng = random.Random(0xB9E)
+    for case in range(6):
+        words = {
+            "".join(
+                rng.choice("ab" if case % 2 else "abc")
+                for _ in range(rng.randint(1, 7))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(3, 12))
+        }
+        n = rng.randint(1, 4)
+        exp_merges, exp_seg = ref_train(words, n)
+        merges, seg = bpe.bpe_train(_wf_df(spark, words), n)
+        assert merges == exp_merges, (case, words, n)
+        got = {tuple(r.symbols): r.freq for r in seg.collect()}
+        assert got == exp_seg, (case, words, n)
+
+
 def test_train_stops_when_no_pairs(spark):
     # single-char words exhaust after merging with </w>
     merges, seg = bpe.bpe_train(_wf_df(spark, {"a": 3}), 5)
