@@ -201,6 +201,58 @@ def test_train_matches_reference_on_random_corpora(spark):
         assert got == exp_seg, (case, words, n)
 
 
+# --- encoding -----------------------------------------------------------
+
+def test_encode_word_matches_sequential_merge_application():
+    """Priority (rank-order) encoding must equal applying the training
+    merges sequentially in order — the property that makes encode
+    consistent with the trainer's segmentation."""
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges, _ = ref_train(wf, 6)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for word in list(wf) + ["lowest", "newer", "wide", "zq"]:
+        seq = {tuple(word) + (bpe.EOW,): 1}
+        for m in merges:
+            seq = ref_apply(seq, m)
+        assert bpe.encode_word(word, ranks) == list(next(iter(seq)))
+
+
+def test_bpe_encode_reproduces_training_segments(spark):
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges, seg = ref_train(wf, 5)
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "widest low unseen")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: list(r.subwords)
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    exp_seg = {w: bpe.encode_word(w, {m: i for i, m in enumerate(merges)})
+               for w in ["low", "lower", "newest", "widest", "unseen"]}
+    # training words must land on their final training segmentation
+    train_final = {"".join(s).replace(bpe.EOW, ""): list(s) for s in seg}
+    for w in wf:
+        assert exp_seg[w] == train_final[w]
+    assert out[1] == exp_seg["low"] + exp_seg["lower"] + exp_seg["newest"]
+    assert out[2] == exp_seg["widest"] + exp_seg["low"] + exp_seg["unseen"]
+
+
+def test_bpe_encode_plan_has_no_pertoken_python(spark):
+    """The Python stage must sit on the DISTINCT-WORD frame: the plan's
+    single Arrow stage hangs off a Deduplicate/aggregate of words, and
+    the token stream reaches the output through join+flatten only."""
+    docs = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    plan = (
+        bpe.bpe_encode(docs, [("a", bpe.EOW)])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Deduplicate" in plan or "Aggregate" in plan
+
+
 def test_train_stops_when_no_pairs(spark):
     # single-char words exhaust after merging with </w>
     merges, seg = bpe.bpe_train(_wf_df(spark, {"a": 3}), 5)

@@ -145,6 +145,110 @@ def bpe_merge_round(
     return bpe_top_merges(bpe_pair_counts(seg), k=k)
 
 
+def encode_word(word: str, ranks: "dict[tuple[str, str], int]") -> "list[str]":
+    """Textbook BPE encoding of ONE word: start from characters + EOW,
+    repeatedly apply the highest-priority (lowest-rank) applicable merge,
+    greedy left-to-right non-overlapping per pass — the same rule the
+    trainer's fold implements, so words seen in training encode to their
+    final training segments. Pure Python: this runs on the VOCABULARY
+    frame only (see :func:`bpe_encode`), never per token."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = pair, r
+        if best is None:
+            break
+        left, right = best
+        merged, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == left
+                and syms[i + 1] == right
+            ):
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Tokenize documents under a TRAINED merge list → (id, subwords).
+
+    Scale shape — the Python encode loop runs on the VOCABULARY frame
+    (distinct words, Arrow-batched mapInPandas), never the token stream:
+    a 100 TB corpus has a vocab orders of magnitude smaller than its
+    token count, so the expensive per-word merge search is paid once per
+    distinct word and the corpus-scale work is one join of the per-doc
+    word list against the segmented vocab (AQE broadcasts the vocab side
+    when it fits, which it essentially always does) plus a JVM-side
+    flatten. Mirrors the train-side discipline: the token stream is
+    only ever exploded/joined, never iterated in Python.
+
+    ``lowercase`` must match how the training word frequencies were
+    built (the workload's shared tf artifact lowercases).
+    """
+    from xena_gdc_etl_spark.operators.text import WS_RE
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(F.split(text, WS_RE), lambda t: t != F.lit("")).alias(
+            "__words"
+        ),
+    )
+    vocab = toks.select(
+        F.explode("__words").alias("word")
+    ).distinct()
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "subwords": [
+                        encode_word(w, ranks) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    seg = vocab.mapInPandas(
+        _encode, schema="word string, subwords array<string>"
+    )
+    exploded = toks.select(
+        F.col(id_col), F.posexplode("__words").alias("__pos", "word")
+    )
+    return (
+        exploded.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "subwords"))
+                    ),
+                    lambda s: s["subwords"],
+                )
+            ).alias("subwords")
+        )
+    )
+
+
 def bpe_train(
     word_freqs: DataFrame,
     n_merges: int,
