@@ -154,3 +154,51 @@ def test_postprocess_rename_dedup_properties(spark, cells, mapping):
     got2 = {(r.sample, r.feature, r.value) for r in out2}
     assert len(got2) == len(out2)
     assert got2 == {(rn(s), g, float(v)) for s, g, v in cells}
+
+
+def test_simhash_packed_matches_reference(spark):
+    import hashlib
+    import re
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the one two two three",
+        "a",
+        "x y z x y z x y",
+        "lorem ipsum dolor sit amet consectetur",
+    ]
+
+    def ref_simhash(bits):
+        out = {}
+        for i, t in enumerate(texts):
+            toks = [x for x in re.split(r"[ \t\n\r\f]+", t) if x]
+            sums = [0] * bits
+            for tok in toks:
+                h = int(
+                    hashlib.md5(("sim:" + tok).encode()).hexdigest()[:15],
+                    16,
+                )
+                for j in range(bits):
+                    sums[j] += 1 if (h >> j) & 1 else -1
+            out[i] = sum(
+                1 << j for j in range(bits) if sums[j] > 0
+            )
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"],
+    )
+    # widths exercising the partial-last-group path (bits % lanes != 0)
+    # and a non-default lane_width (2 lanes of 31 bits per counter)
+    for bits in (1, 7, 13, 33, 60):
+        got = {
+            r.doc_id: r.simhash
+            for r in dd.simhash(df, bits=bits).collect()
+        }
+        assert got == ref_simhash(bits), f"bits={bits}"
+    got31 = {
+        r.doc_id: r.simhash
+        for r in dd.simhash(df, bits=60, lane_width=31).collect()
+    }
+    assert got31 == ref_simhash(60)
