@@ -101,6 +101,25 @@ def test_clinical_last_form_wins():
 
 
 @needs_fixtures
+def test_malformed_file_yields_error_row_not_job_failure(spark, tmp_path):
+    import shutil
+
+    good = tmp_path / "good.xml"
+    shutil.copy(OMF + ".xml", good)
+    (tmp_path / "bad.xml").write_bytes(b"<omf:tcga_bcr>truncated")
+    out = tcga_xml.read_clinical(spark, str(tmp_path) + "/*.xml").collect()
+    by_err = {bool(r.error): r for r in out}
+    assert len(out) == 2
+    assert by_err[False].row_key == "TCGA-RW-A68A"
+    bad = by_err[True]
+    assert bad.row_key == "" and bad.fields == {}
+    assert "ParseError" in bad.error
+    # wide pivot excludes the error row
+    wide = tcga_xml.to_wide(tcga_xml.read_clinical(spark, str(tmp_path) + "/*.xml"))
+    assert [r.row_key for r in wide.collect()] == ["TCGA-RW-A68A"]
+
+
+@needs_fixtures
 def test_distributed_readers_and_wide_pivot(spark):
     bio_long = tcga_xml.read_biospecimen(spark, BIO + ".xml")
     rows = bio_long.collect()

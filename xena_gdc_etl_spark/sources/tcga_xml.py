@@ -107,22 +107,45 @@ def clinical_row(xml_bytes: bytes) -> "dict[str, str]":
     return row
 
 
-_LONG_SCHEMA = "path string, row_key string, fields map<string,string>"
+_LONG_SCHEMA = (
+    "path string, row_key string, fields map<string,string>, error string"
+)
 
 
 def _reader(parse, key_field: str):
+    """Per-file parse with PER-FILE error capture: one malformed
+    supplement in a 100k-file batch must yield one error row, not kill
+    the whole job — the same failure-row discipline as the distributed
+    downloader (sources/download.py). Successful rows carry error=NULL;
+    a failed file contributes exactly one row with empty fields and the
+    exception text."""
+
     def _parse_files(batches) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            paths, keys, maps = [], [], []
+            paths, keys, maps, errs = [], [], [], []
             for path, content in zip(pdf["path"], pdf["content"]):
-                for row in parse(bytes(content)):
+                try:
+                    rows = parse(bytes(content))
+                except Exception as exc:  # malformed XML → error row
+                    paths.append(path)
+                    keys.append("")
+                    maps.append({})
+                    errs.append(f"{type(exc).__name__}: {exc}")
+                    continue
+                for row in rows:
                     paths.append(path)
                     keys.append(row.get(key_field, ""))
                     maps.append(row)
+                    errs.append(None)
             yield pd.DataFrame(
-                {"path": paths, "row_key": keys, "fields": maps}
+                {
+                    "path": paths,
+                    "row_key": keys,
+                    "fields": maps,
+                    "error": errs,
+                }
             )
 
     return _parse_files
@@ -151,12 +174,18 @@ def read_clinical(spark: SparkSession, path: str) -> DataFrame:
 def to_wide(long_df: DataFrame) -> DataFrame:
     """Pivot the long (row_key, fields) frame to the reference's wide
     per-row layout: one column per field name, alphabetically ordered,
-    missing fields as empty strings. The distinct-keys job is bounded by
-    FIELD-NAME cardinality (a few hundred across all BCR form versions),
-    never data volume."""
+    missing fields as empty strings. Error rows (malformed files) are
+    excluded — read them off the long frame's ``error`` column. The
+    distinct-keys job is bounded by FIELD-NAME cardinality (a few
+    hundred across all BCR form versions), never data volume."""
+    ok = (
+        long_df.filter(F.col("error").isNull())
+        if "error" in long_df.columns
+        else long_df
+    )
     keys = sorted(
         r[0]
-        for r in long_df.select(
+        for r in ok.select(
             F.explode(F.map_keys("fields")).alias("k")
         )
         .distinct()
@@ -166,4 +195,4 @@ def to_wide(long_df: DataFrame) -> DataFrame:
         F.coalesce(F.col("fields").getItem(k), F.lit("")).alias(k)
         for k in keys
     ]
-    return long_df.select(*cols)
+    return ok.select(*cols)
