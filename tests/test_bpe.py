@@ -201,6 +201,44 @@ def test_train_matches_reference_on_random_corpora(spark):
         assert got == exp_seg, (case, words, n)
 
 
+def test_train_batched_k1_equals_exact(spark):
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    exact_m, exact_s = bpe.bpe_train(_wf_df(spark, wf), 4)
+    batch_m, batch_s = bpe.bpe_train(
+        _wf_df(spark, wf), 4, merges_per_round=1
+    )
+    assert batch_m == exact_m
+    assert {tuple(r.symbols): r.freq for r in batch_s.collect()} == {
+        tuple(r.symbols): r.freq for r in exact_s.collect()
+    }
+
+
+def test_train_batched_accepts_only_symbol_disjoint_pairs(spark):
+    # 'aba' makes the top pairs (a,b) and (b,a) share symbols: a batch
+    # of 2 must accept (a,b) [count ties broken lexicographically] and
+    # SKIP (b,a), falling through to a disjoint pair instead
+    wf = {"abacd": 4}
+    merges, _ = bpe.bpe_train(_wf_df(spark, wf), 2, merges_per_round=2)
+    assert merges[0] == ("a", "b")
+    l, r = merges[1]
+    assert not ({l, r} & {"a", "b"}), merges
+    # every adjacent batch window is pairwise symbol-disjoint
+    sym0, sym1 = set(merges[0]), set(merges[1])
+    assert not (sym0 & sym1)
+
+
+def test_train_batched_merge_list_is_valid_encoder_input(spark):
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "wide": 2}
+    merges, seg = bpe.bpe_train(_wf_df(spark, wf), 6, merges_per_round=3)
+    ranks = {m: i for i, m in enumerate(merges)}
+    # encoding every training word with the batched merge list must
+    # reproduce the trainer's own final segmentation
+    final = {"".join(s).replace(bpe.EOW, ""): list(s) for s in
+             {tuple(r.symbols) for r in seg.collect()}}
+    for w in wf:
+        assert bpe.encode_word(w, ranks) == final[w], w
+
+
 # --- encoding -----------------------------------------------------------
 
 def test_encode_word_matches_sequential_merge_application():

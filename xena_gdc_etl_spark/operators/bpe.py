@@ -254,22 +254,58 @@ def bpe_train(
     n_merges: int,
     word_col: str = "word",
     freq_col: str = "freq",
+    merges_per_round: int = 1,
 ) -> "tuple[list[tuple[str, str]], DataFrame]":
-    """Iterated trainer: ``n_merges`` rounds of count → argmax → apply.
-    Driver transfer is ONE row per round (the winning pair — the same
+    """Iterated trainer: rounds of count → argmax → apply. Driver
+    transfer is top-``merges_per_round`` rows per round (the same
     bounded-state discipline as the kmeans/logreg trainers); the
     segment state localCheckpoints per round so lineage depth stays
     constant. Returns (merge list in application order, final
-    segments)."""
+    segments).
+
+    ``merges_per_round=1`` (default) is the EXACT textbook trainer —
+    each merge is the true argmax after all earlier merges. Larger
+    values are the standard scale approximation for real vocabularies
+    (tens of thousands of merges would otherwise mean that many
+    strictly sequential Spark rounds): per round, take the top counted
+    pairs in order but keep only those SYMBOL-DISJOINT from the pairs
+    already accepted this round: a pair sharing a symbol with an
+    accepted merge has its count invalidated by it, while a disjoint
+    pair's occurrences are untouched (neither of its symbols
+    participates in the other merge), so every count in the batch is
+    still the true pre-round count when applied. Each batch applies
+    sequentially in count order, so the merge LIST remains a valid
+    rank-ordered encoder input. The approximation is solely that
+    merges CREATED mid-round (e.g. a new (ab, c) pair after merging
+    (a, b)) cannot outrank the rest of the batch until the next round
+    — the standard distributed-BPE trade.
+    """
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be >= 1, got {merges_per_round}"
+        )
     seg = bpe_init_segments(word_freqs, word_col, freq_col)
     merges: "list[tuple[str, str]]" = []
-    for _ in range(n_merges):
-        top = bpe_top_merges(bpe_pair_counts(seg), k=1).collect()
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
+        # over-fetch so disjointness filtering still fills the batch
+        # when the top pairs share symbols
+        top = bpe_top_merges(
+            bpe_pair_counts(seg), k=max(want * 4, want)
+        ).collect()
         if not top:
             break
-        left, right = top[0]["lhs"], top[0]["rhs"]
-        merges.append((left, right))
-        seg = bpe_apply_merge(seg, left, right).localCheckpoint(
-            eager=True
-        )
+        batch: "list[tuple[str, str]]" = []
+        used: "set[str]" = set()
+        for r in top:
+            pair = (r["lhs"], r["rhs"])
+            if want == 1 or not ({pair[0], pair[1]} & used):
+                batch.append(pair)
+                used.update(pair)
+                if len(batch) == want:
+                    break
+        for left, right in batch:
+            merges.append((left, right))
+            seg = bpe_apply_merge(seg, left, right)
+        seg = seg.localCheckpoint(eager=True)
     return merges, seg
