@@ -276,6 +276,19 @@ def test_bpe_encode_reproduces_training_segments(spark):
     assert out[2] == exp_seg["widest"] + exp_seg["low"] + exp_seg["unseen"]
 
 
+def test_bpe_encode_keeps_wordless_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: list(r.subwords)
+        for r in bpe.bpe_encode(docs, [("l", "o")]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2] == [] and out[3] == []
+    assert out[1] == ["lo", "w", bpe.EOW] * 2
+
+
 def test_bpe_encode_plan_has_no_pertoken_python(spark):
     """The Python stage must sit on the DISTINCT-WORD frame: the plan's
     single Arrow stage hangs off a Deduplicate/aggregate of words, and

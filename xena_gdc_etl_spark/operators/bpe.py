@@ -233,7 +233,7 @@ def bpe_encode(
     exploded = toks.select(
         F.col(id_col), F.posexplode("__words").alias("__pos", "word")
     )
-    return (
+    encoded = (
         exploded.join(seg, "word")
         .groupBy(id_col)
         .agg(
@@ -246,6 +246,14 @@ def bpe_encode(
                 )
             ).alias("subwords")
         )
+    )
+    # a document with no words vanishes in the explode; it must come
+    # back as an EMPTY subword list, not disappear from the corpus
+    return toks.select(id_col).join(encoded, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(
+            "subwords", F.array().cast("array<string>")
+        ).alias("subwords"),
     )
 
 
