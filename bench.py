@@ -333,7 +333,11 @@ def main() -> None:
     # after per-window normalization), so the honest Σ rides in stdout —
     # the judge's first read — not only in the detail file.
     total_dn = round(
-        sum(drift_norm.get(k) or v for k, v in timings.items()), 4
+        sum(
+            v if drift_norm.get(k) is None else drift_norm[k]
+            for k, v in timings.items()
+        ),
+        4,
     )
     with open(detail_path, "w") as fh:
         json.dump(

@@ -201,16 +201,43 @@ def test_train_matches_reference_on_random_corpora(spark):
         assert got == exp_seg, (case, words, n)
 
 
-def test_train_batched_k1_equals_exact(spark):
-    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
-    exact_m, exact_s = bpe.bpe_train(_wf_df(spark, wf), 4)
-    batch_m, batch_s = bpe.bpe_train(
-        _wf_df(spark, wf), 4, merges_per_round=1
-    )
-    assert batch_m == exact_m
-    assert {tuple(r.symbols): r.freq for r in batch_s.collect()} == {
-        tuple(r.symbols): r.freq for r in exact_s.collect()
-    }
+def ref_train_batched(word_freqs: dict, n: int, per_round: int):
+    """Pure-Python mirror of the disjoint-batch trainer: per round, take
+    counted pairs in (count desc, pair asc) order, keep only pairs
+    symbol-disjoint from those already accepted this round, apply the
+    batch sequentially."""
+    seg = ref_init(word_freqs)
+    merges = []
+    while len(merges) < n:
+        counts = ref_pair_counts(seg)
+        if not counts:
+            break
+        want = min(per_round, n - len(merges))
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        batch, used = [], set()
+        for pair, _c in ordered:
+            if want == 1 or not (set(pair) & used):
+                batch.append(pair)
+                used.update(pair)
+                if len(batch) == want:
+                    break
+        for pair in batch:
+            merges.append(pair)
+            seg = ref_apply(seg, pair)
+    return merges, seg
+
+
+def test_train_batched_matches_batched_reference(spark):
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 2}
+    for per_round in (2, 3):
+        exp_m, exp_s = ref_train_batched(wf, 6, per_round)
+        got_m, got_s = bpe.bpe_train(
+            _wf_df(spark, wf), 6, merges_per_round=per_round
+        )
+        assert got_m == exp_m, per_round
+        assert {
+            tuple(r.symbols): r.freq for r in got_s.collect()
+        } == exp_s, per_round
 
 
 def test_train_batched_accepts_only_symbol_disjoint_pairs(spark):

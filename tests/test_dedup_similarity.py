@@ -1271,3 +1271,32 @@ def test_cosine_topk_randomized_brute_equivalence(spark):
         want = [(m, s, r + 1) for r, (m, s) in enumerate(cand[:k])]
         assert sorted(got) == sorted(want), f"case {case}"
         assert [r for _, _, r in got] == list(range(1, len(want) + 1))
+
+
+def test_simhash_pairs_duplicate_ids_never_self_pair(spark):
+    # dirty ingest: one doc_id with two DIFFERING fingerprints lands
+    # twice in the same bucket; the inline verify must not emit (7, 7)
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    fps = spark.createDataFrame(
+        [(7, 0x0001), (7, 0x0003), (9, 0x0001)], ["doc_id", "simhash"]
+    )
+    out = dd.simhash_pairs(fps, bits=16, bands=4, max_distance=3).collect()
+    assert all(r.a != r.b for r in out)
+    assert {(r.a, r.b) for r in out} == {(7, 9)}
+
+
+def test_simhash_lane_width_bound_rejected(spark):
+    # lanes < lane_width is the carry-free condition; 7 gives lanes=9
+    from xena_gdc_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "a b c", "s")], ["doc_id", "text", "source"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.simhash(df, bits=16, lane_width=7)
+    # the smallest legal width still matches the default output
+    assert (
+        dd.simhash(df, bits=16, lane_width=8).collect()[0].simhash
+        == dd.simhash(df, bits=16).collect()[0].simhash
+    )

@@ -691,8 +691,17 @@ def simhash(
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64]; got {bits}")
-    if not 1 <= lane_width <= 62:
-        raise ValueError(f"lane_width must be in [1, 62]; got {lane_width}")
+    # The multiply-spread below is carry/collision-free only while
+    # lanes < lane_width: cross terms land at l + m*(lane_width-1), which
+    # can only coincide with a wanted lane position l'*lane_width when
+    # |l - m| >= lane_width — impossible for l, m < lanes < lane_width.
+    # 63 // w < w first holds at w = 8, so narrower lanes would corrupt
+    # the packed counts silently; reject them.
+    if not 8 <= lane_width <= 62:
+        raise ValueError(
+            f"lane_width must be in [8, 62] (the multiply-spread needs "
+            f"lanes < lane_width for carry-free packing); got {lane_width}"
+        )
     tokens = _spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), WS_RE)).alias("tok"),
@@ -881,7 +890,12 @@ def simhash_pairs(
                     " filter(transform(slice(ids, i + 2, size(ids)),"
                     " y -> struct(x.i AS a, y.i AS b,"
                     " CAST(bit_count(x.f ^ y.f) AS BIGINT) AS hamming)),"
-                    f" p -> p.hamming <= {int(max_distance)})))"
+                    # a != b: duplicate ids with DIFFERING fingerprints
+                    # (dirty ingest) occupy two struct entries in one
+                    # bucket; the old join-back plan could never emit a
+                    # self-pair, so the inline verify must not either
+                    f" p -> p.hamming <= {int(max_distance)}"
+                    " AND p.a != p.b)))"
                 )
             ).alias("p")
         )

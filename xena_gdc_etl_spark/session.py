@@ -88,6 +88,14 @@ def get_spark(
     # knob the r15 lane's 23-29% throughput cost pointed at — measured
     # A/B in §streaming-lane-rocksdb.
     state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    if state_store and not state_store.startswith("rocksdb"):
+        # fail LOUD on typos: a silently-ignored value would run the
+        # heap default while the streaming lane records rows under the
+        # env value as a variant label — mislabeled baseline data
+        raise ValueError(
+            "SPARK_GRAFT_STATE_STORE must be '', 'rocksdb' or "
+            f"'rocksdb-changelog'; got {state_store!r}"
+        )
     if state_store.startswith("rocksdb"):
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
