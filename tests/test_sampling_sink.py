@@ -379,3 +379,64 @@ def test_token_stats_artifact_guards(spark, tmp_path):
         load_token_stats(spark, str(tmp_path / "s2"), tokenizer="bpe_v9")
     with pytest.raises(ValueError, match="local"):
         save_token_stats(tf, "hdfs://nn/stats")
+
+
+def test_rebalance_groups_keeps_null_group(spark):
+    """A NULL group key is a regular group: the rates join must be
+    null-safe or every null-keyed row silently vanishes (round-16 review
+    finding)."""
+    from xena_gdc_etl_spark.operators.sampling import rebalance_groups
+
+    df = spark.createDataFrame(
+        [(None, i) for i in range(40)] + [("web", i + 100) for i in range(40)],
+        "source string, doc_id bigint",
+    )
+    out = rebalance_groups(df, "source", "doc_id")
+    groups = {r.source for r in out.select("source").distinct().collect()}
+    assert None in groups and "web" in groups
+    # uniform target: both groups have equal size, so ~all rows survive
+    assert out.count() > 40
+
+
+def test_split_assign_rejects_non_unit_fractions(spark):
+    import pytest as _pytest
+
+    from xena_gdc_etl_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError):
+        split_assign(df, "k", {"train": 0.5, "valid": 0.25})
+    # exact unit sums still fine
+    split_assign(df, "k", {"train": 0.75, "valid": 0.25}).collect()
+
+
+def test_mixture_plan_zero_token_group_plans_zero(spark):
+    """Under ANSI mode target/0 would THROW; a zero-token group must
+    instead plan rate 0, epochs 0, 0 tokens (round-16 review finding)."""
+    from xena_gdc_etl_spark.operators.sampling import (
+        mixture_plan,
+        mixture_temperature,
+    )
+
+    df = spark.createDataFrame(
+        [("web", 100), ("web", 200), ("empty", 0), ("nulls", None)],
+        "source string, n_tokens int",
+    )
+    rows = {r.source: r for r in mixture_plan(df, "source", "n_tokens").collect()}
+    for g in ("empty", "nulls"):
+        assert rows[g].group_tokens == 0
+        assert rows[g].sample_rate == 0.0
+        assert rows[g].epochs == 0.0
+        assert rows[g].planned_tokens == 0
+    # web holds all 300 tokens; uniform target = 300/3 groups = 100 →
+    # rate 1/3, planned 100 — degenerate groups do not distort the math
+    assert rows["web"].sample_rate == 0.333333
+    assert rows["web"].planned_tokens == 100
+    trows = {
+        r.source: r
+        for r in mixture_temperature(df, "source", "n_tokens").collect()
+    }
+    for g in ("empty", "nulls"):
+        assert trows[g].token_share == 0.0
+        assert trows[g].temp_weight == 0.0
+        assert trows[g].resample_factor == 0.0

@@ -236,6 +236,16 @@ def group_prefix_sum(
     def sum_typed(col: Column) -> Column:
         return col.cast("bigint") if integral else col
 
+    # The OUTPUT type is pinned to sum(value)'s type on BOTH paths: the
+    # sharded path's _OFF + _LOCAL addition would otherwise widen
+    # decimals a second time (sum(decimal(p,s)) → decimal(p+10,s), the
+    # addition → decimal(p+21,s)), making the schema depend on the
+    # runtime row-count probe — exactly what the one-schema comment at
+    # the bottom promises not to happen. Plan-only probe, no job.
+    sum_dt = df.select(
+        sum_typed(F.sum(value)).alias("__s")
+    ).schema[0].dataType
+
     order_exprs = [c.desc() if d else c.asc() for c, d in specs]
 
     boundaries: list[tuple] = []
@@ -314,9 +324,13 @@ def group_prefix_sum(
         off[_SHARD], *[off[c] for c in group_cols]
     )
     out = (
-        joined.withColumn(out_col, sum_typed(F.col(_OFF) + F.col(_LOCAL)))
+        joined.withColumn(
+            out_col, (F.col(_OFF) + F.col(_LOCAL)).cast(sum_dt)
+        )
         .drop(_SHARD, _LOCAL, _OFF)
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(total_col).cast(sum_dt))
     # Same column ORDER as the small-frame fast path above (input columns,
     # then out_col, then total_col): positional consumers (union-by-
     # position, row-tuple compares) must see one schema regardless of

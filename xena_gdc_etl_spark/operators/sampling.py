@@ -19,12 +19,13 @@ _BUCKETS = 10_000
 
 
 def _bucket(key: Column, seed: str) -> Column:
+    from xena_gdc_etl_spark.functions import md5_hash60
+
     # Null keys hash as a sentinel string, not null — otherwise every
     # comparison on the bucket is null and null-keyed rows silently fall
     # into whatever the otherwise-branch is.
     key_str = F.coalesce(key.cast("string"), F.lit("\x00null"))
-    digest = F.md5(F.concat(F.lit(seed), key_str))
-    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % _BUCKETS
+    return md5_hash60(key_str, seed=seed) % _BUCKETS
 
 
 def split_assign(
@@ -41,6 +42,12 @@ def split_assign(
     Pure projection — no shuffle, survives any repartitioning.
     """
     splits = dict(splits or {"train": 0.8, "valid": 0.1, "test": 0.1})
+    if abs(sum(splits.values()) - 1.0) > 1e-6:
+        # the last split absorbs the remainder of the hash space, so a
+        # non-unit sum silently resizes it — fail loud instead
+        raise ValueError(
+            f"split fractions must sum to 1, got {sum(splits.values())}"
+        )
     bucket = _bucket(F.col(key_col), seed)
     expr = None
     upper = 0.0
@@ -84,7 +91,12 @@ def weighted_sample(
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     bucket = _bucket(F.col(key_col), seed)
-    # clamp into [0,1] so an out-of-range score can't silently keep/drop all
+    # clamp into [0,1] so an out-of-range score can't silently keep/drop
+    # all. The threshold TRUNCATES to the 1/10000 grid (floor, not
+    # round): keep probability is quantized conservatively downward, so
+    # a weight below 1e-4 keeps nothing — deliberate (a floor never
+    # keeps more than the stated weight) and replayed identically by the
+    # oracle's CAST-to-integer.
     thresh = (
         F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * _BUCKETS
     ).cast("bigint")
@@ -103,6 +115,12 @@ def rebalance_groups(
     group is cut to the size of the smallest (uniform mixture); with
     ``target`` proportions, each group keeps
     ``min(1, target_g · N_total / n_g)`` of its rows.
+
+    A ``target`` mapping is EXHAUSTIVE: a group absent from it has share
+    0 and is dropped entirely (a mixture spec that omits a source is
+    excluding it) — list every group you want kept, with its share.
+    NULL group keys are a regular group (the rates join is null-safe,
+    matching the groupBy that counted them).
 
     Plan shape: one partial-aggregated count per group (tiny — one row per
     group), broadcast back onto the corpus, then the same deterministic
@@ -133,8 +151,19 @@ def rebalance_groups(
         group_col, F.least(F.lit(1.0), frac).alias("__keep_frac")
     )
     bucket = _bucket(F.col(key_col), seed)
+    # null-safe join: a NULL group key was counted as a regular group
+    # above, so a plain name-list equi-join (NULL never equals NULL)
+    # would silently drop every null-keyed row here — the same
+    # discipline as quantile_band_filter / the prefix offsets join
+    lhs, rhs = df.alias("__lhs"), F.broadcast(rates).alias("__rhs")
     return (
-        df.join(F.broadcast(rates), group_col)
+        lhs.join(
+            rhs,
+            F.col(f"__lhs.{group_col}").eqNullSafe(
+                F.col(f"__rhs.{group_col}")
+            ),
+        )
+        .drop(rhs[group_col])
         .filter(bucket < (F.col("__keep_frac") * _BUCKETS).cast("bigint"))
         .drop("__keep_frac")
     )
@@ -183,14 +212,28 @@ def mixture_plan(
     """
     per_group = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(weight_col).cast("bigint").alias("group_tokens"),
+        # all-NULL weights → 0 tokens, not a NULL that F.least would
+        # silently skip downstream
+        F.coalesce(F.sum(weight_col), F.lit(0))
+        .cast("bigint")
+        .alias("group_tokens"),
     )
     totals = per_group.agg(
         F.sum("group_tokens").cast("bigint").alias("__total"),
         F.count(F.lit(1)).cast("bigint").alias("__n_groups"),
     )
     target = F.col("__total") / F.col("__n_groups")
-    ratio = target / F.col("group_tokens")
+    # zero-token group guard: under ANSI mode target/0 THROWS
+    # DIVIDE_BY_ZERO (and a NULL ratio would make F.least silently
+    # report sample_rate 1.0 / max epochs for a group contributing
+    # nothing) — a degenerate group plans rate 0, epochs 0, 0 tokens
+    ratio = F.when(
+        F.col("group_tokens") > 0, target / F.col("group_tokens")
+    ).otherwise(F.lit(0.0))
+    share = F.when(
+        F.col("__total") > 0,
+        F.col("group_tokens") / F.col("__total"),
+    ).otherwise(F.lit(0.0))
     epochs = F.least(ratio, F.lit(float(max_epochs)))
     return (
         per_group.crossJoin(F.broadcast(totals))
@@ -198,9 +241,7 @@ def mixture_plan(
             F.col(group_col),
             "n_docs",
             "group_tokens",
-            F.round(F.col("group_tokens") / F.col("__total"), 6).alias(
-                "token_share"
-            ),
+            F.round(share, 6).alias("token_share"),
             F.round(F.least(ratio, F.lit(1.0)), 6).alias("sample_rate"),
             F.round(epochs, 6).alias("epochs"),
             F.floor(F.col("group_tokens") * epochs)
@@ -298,7 +339,9 @@ def mixture_temperature(
     """
     alpha = 1.0 / float(temperature)
     per_group = docs.groupBy(group_col).agg(
-        F.sum(weight_col).cast("bigint").alias("group_tokens")
+        F.coalesce(F.sum(weight_col), F.lit(0))
+        .cast("bigint")
+        .alias("group_tokens")
     )
     powed = per_group.select(
         F.col(group_col),
@@ -311,8 +354,15 @@ def mixture_temperature(
         F.sum("group_tokens").cast("bigint").alias("__total"),
         F.sum("__p").alias("__ptotal"),
     )
-    share = F.col("group_tokens") / F.col("__total")
-    tw = F.col("__p") / F.col("__ptotal")
+    # zero-token guards: under ANSI mode x/0 THROWS — a group with no
+    # tokens has share 0, weight 0, and no meaningful resample factor
+    share = F.when(
+        F.col("__total") > 0, F.col("group_tokens") / F.col("__total")
+    ).otherwise(F.lit(0.0))
+    tw = F.when(
+        F.col("__ptotal") > 0, F.col("__p") / F.col("__ptotal")
+    ).otherwise(F.lit(0.0))
+    resample = F.when(share > 0, tw / share).otherwise(F.lit(0.0))
     return (
         powed.crossJoin(F.broadcast(totals))
         .select(
@@ -320,6 +370,6 @@ def mixture_temperature(
             "group_tokens",
             F.round(share, 6).alias("token_share"),
             F.round(tw, 6).alias("temp_weight"),
-            F.round(tw / share, 6).alias("resample_factor"),
+            F.round(resample, 6).alias("resample_factor"),
         )
     )

@@ -3360,19 +3360,26 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     g AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_toks) AS BIGINT) AS group_tokens
+               CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS group_tokens
         FROM t GROUP BY source),
     tot AS (
         SELECT CAST(sum(group_tokens) AS BIGINT) AS total,
                CAST(count(*) AS BIGINT) AS n_groups
-        FROM g)
+        FROM g),
+    r AS (
+        SELECT source, n_docs, group_tokens, total,
+               CASE WHEN group_tokens > 0
+                    THEN (total / n_groups) / group_tokens
+                    ELSE 0.0 END AS ratio
+        FROM g CROSS JOIN tot)
     SELECT source, n_docs, group_tokens,
-           round(group_tokens / total, 6) AS token_share,
-           round(least((total / n_groups) / group_tokens, 1.0), 6) AS sample_rate,
-           round(least((total / n_groups) / group_tokens, 4.0), 6) AS epochs,
-           CAST(floor(group_tokens * least((total / n_groups) / group_tokens, 4.0))
+           round(CASE WHEN total > 0 THEN group_tokens / total
+                      ELSE 0.0 END, 6) AS token_share,
+           round(least(ratio, 1.0), 6) AS sample_rate,
+           round(least(ratio, 4.0), 6) AS epochs,
+           CAST(floor(group_tokens * least(ratio, 4.0))
                 AS BIGINT) AS planned_tokens
-    FROM g CROSS JOIN tot
+    FROM r
     """,
 )
 def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3400,7 +3407,8 @@ def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                x -> x <> '')) AS n_toks
         FROM documents),
     g AS (
-        SELECT source, CAST(sum(n_toks) AS BIGINT) AS group_tokens
+        SELECT source,
+               CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS group_tokens
         FROM t GROUP BY source),
     p AS (
         SELECT source, group_tokens,
@@ -3409,13 +3417,20 @@ def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
         SELECT CAST(sum(group_tokens) AS BIGINT) AS total,
                sum(pw) AS ptotal
-        FROM p)
+        FROM p),
+    s AS (
+        SELECT source, group_tokens,
+               CASE WHEN total > 0 THEN group_tokens / total
+                    ELSE 0.0 END AS share,
+               CASE WHEN ptotal > 0 THEN pw / ptotal
+                    ELSE 0.0 END AS tw
+        FROM p CROSS JOIN tot)
     SELECT source, group_tokens,
-           round(group_tokens / total, 6) AS token_share,
-           round(pw / ptotal, 6) AS temp_weight,
-           round((pw / ptotal) / (group_tokens / total), 6)
+           round(share, 6) AS token_share,
+           round(tw, 6) AS temp_weight,
+           round(CASE WHEN share > 0 THEN tw / share ELSE 0.0 END, 6)
                AS resample_factor
-    FROM p CROSS JOIN tot
+    FROM s
     """,
 )
 def mixture_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
