@@ -630,3 +630,69 @@ def test_right_semantics_cross_engine_short_strings(spark):
     assert got_spark[0] == "abc" and got_spark[1] == ""
     assert got_spark[2] is None
     assert got_spark[5] == "z" * 128
+
+
+def test_quality_ratios_survive_empty_and_whitespace_docs(spark):
+    """Under ANSI mode (the session default) n_punct/n_chars and
+    n_stop/n_toks threw DIVIDE_BY_ZERO on empty / whitespace-only docs
+    (round-16 review, confirmed by execution); ratios are now 0."""
+    from xena_gdc_etl_spark.operators.text import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in quality_scores(df).collect()}
+    for i in (1, 2):
+        assert rows[i].punct_ratio == 0.0
+        assert rows[i].stopword_ratio == 0.0
+        assert rows[i].mean_word_len == 0.0
+    assert rows[3].n_tokens == 3
+
+
+def test_token_chunks_null_text_emits_nothing(spark):
+    from xena_gdc_etl_spark.operators.text import token_chunks
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id bigint, text string"
+    )
+    out = token_chunks(df, chunk_size=2, stride=2).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_multimodal_null_payload_dropped_not_crashed(spark):
+    from xena_gdc_etl_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", "raw", bytearray(b"x" * 100)),
+         (2, "video", "raw", None),
+         (3, "video", "raw", bytearray(b"y" * 100))],
+        "media_id bigint, modality string, format string, payload binary",
+    )
+    assert {r.media_id for r in resize_media(media, 4, 4).collect()} == {1, 3}
+    assert {r.media_id for r in sample_frames(media).collect()} == {3}
+
+
+def test_decode_stub_wide_feature_vectors():
+    from xena_gdc_etl_spark.operators.multimodal import decode_stub
+
+    # one md5 covers 16 pairs; wider vectors chain counter-suffixed
+    # digests — and the first 16 values never change
+    v16 = decode_stub(b"payload", 16)
+    v40 = decode_stub(b"payload", 40)
+    assert len(v40) == 40 and v40[:16] == v16
+    assert all(0.0 <= x < 1.0001 for x in v40)
+
+
+def test_attach_binary_payload_negative_ids(spark):
+    from xena_gdc_etl_spark.operators.multimodal import attach_binary_payload
+
+    df = spark.createDataFrame(
+        [(-1, "t"), (-2, "u"), (0, "v")], ["doc_id", "text"]
+    )
+    rows = attach_binary_payload(df).collect()
+    assert {r.modality for r in rows} <= {"image", "audio", "video"}
+    assert len(rows) == 3

@@ -35,7 +35,7 @@ MEDIA_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("modality", StringType()),
         StructField("format", StringType()),
-        StructField("payload", StringType()),  # binary hex in this stub path
+        StructField("payload", BinaryType()),
     ]
 )
 
@@ -53,9 +53,17 @@ FEATURE_SCHEMA = StructType(
 
 def decode_stub(payload: bytes, n_features: int = 8) -> list[float]:
     """Deterministic fake decoder: md5 the payload, fold hex pairs into
-    [0, 1) floats. Replace with a real codec in production.
+    [0, 1) floats. Replace with a real codec in production. One md5
+    yields 16 byte-pairs; wider feature vectors chain counter-suffixed
+    digests so any ``n_features`` works (decode_real resizes to any
+    width, and the two must stay drop-in interchangeable).
     """
-    digest = hashlib.md5(payload).hexdigest()
+    digest = ""
+    block = 0
+    while len(digest) < 2 * n_features:
+        suffix = b"" if block == 0 else str(block).encode()
+        digest += hashlib.md5(payload + suffix).hexdigest()
+        block += 1
     return [
         int(digest[2 * i : 2 * i + 2], 16) / 255.0 for i in range(n_features)
     ]
@@ -118,7 +126,9 @@ def attach_binary_payload(
         F.col(id_col).alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
+            # pmod: Spark's % keeps the dividend's sign, so a negative
+            # id would index 0 (error) or -1 (silently the last element)
+            (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
         ).alias("modality"),
         F.lit("raw").alias("format"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
@@ -187,6 +197,9 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
     out, 1:1 rows, partition-preserving — is exactly production shape.
     """
     n_out = width * height
+    # same null-payload discipline as extract_features: dropped, not
+    # crashed on (bytes(None) in the Arrow worker otherwise)
+    media = media.filter(F.col("payload").isNotNull())
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,5 +257,7 @@ def sample_frames(
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
             )
 
-    videos = media.filter(F.col("modality") == "video")
+    videos = media.filter(
+        (F.col("modality") == "video") & F.col("payload").isNotNull()
+    )
     return videos.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -65,6 +65,7 @@ def token_counts(
 
 def raw_quality_ratios(
     text_col: str = "text",
+    toks: "Column | None" = None,
 ) -> "tuple[Column, Column, Column]":
     """UNROUNDED (n_tokens, punct_ratio, stopword_ratio) expressions — the
     shared feature seam for quality_scores and the logistic scorer.
@@ -74,14 +75,30 @@ def raw_quality_ratios(
     no exact double, and Spark rounds via BigDecimal HALF_UP where DuckDB
     rounds in float arithmetic); int/int division and fixed-order
     arithmetic are bit-identical across engines.
+
+    ``toks``: a PRE-STAGED token-array column. Lambda-bearing expressions
+    are opaque to Spark's subexpression elimination (the repetition_scores
+    finding), so a consumer referencing several of these ratios should
+    stage ``_tokens(text)`` in its own projection once and pass the
+    column; with ``toks=None`` the expressions inline the tokenization
+    per reference.
     """
     text = F.col(text_col)
-    toks = _tokens(text)
+    if toks is None:
+        toks = _tokens(text)
     n_toks = F.size(toks)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, rf"[^\w{WS_CLASS}]", ""))
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
-    return n_toks, n_punct / n_chars, n_stop / n_toks
+    # greatest(n, 1): an empty or whitespace-only document has
+    # n_chars/n_toks of 0, and under ANSI mode (the session default)
+    # x/0 THROWS — the empty doc's ratios are 0, same guard as
+    # quality_filter; oracles mirror with greatest()
+    return (
+        n_toks,
+        n_punct / F.greatest(n_chars, F.lit(1)),
+        n_stop / F.greatest(n_toks, F.lit(1)),
+    )
 
 
 def quality_scores(
@@ -91,16 +108,27 @@ def quality_scores(
     ratio, mean word length, and a blended 0-1 score.
     """
     text = F.col(text_col)
-    toks = _tokens(text)
+    # STAGE the token array once (repetition_scores discipline): the
+    # ratios below reference it 4x and lambda-bearing expressions are
+    # opaque to subexpression elimination — inlined, every doc would
+    # re-tokenize per consuming expression in the scan stage
+    staged = docs.select(
+        F.col(id_col), text, _tokens(text).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_chars = F.length(text)
-    n_toks, punct_ratio, stop_ratio = raw_quality_ratios(text_col)
-    mean_word_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_toks
+    n_toks, punct_ratio, stop_ratio = raw_quality_ratios(
+        text_col, toks=toks
+    )
+    mean_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_toks, F.lit(1))
     score = (
         F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
         + (1 - punct_ratio) * 0.3
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n_chars.cast("bigint").alias("n_chars_computed"),
         n_toks.cast("bigint").alias("n_tokens"),
@@ -183,8 +211,6 @@ def passage_dedup_stats(
     per doc counts shared chunks. No text re-read, no pair join — the
     output is per-doc, so cardinality never exceeds the corpus.
     """
-    from xena_gdc_etl_spark.operators.dedup import _spread
-
     chunks = (
         _spread(docs)
         .select(
@@ -232,7 +258,13 @@ def quality_filter(
     (no explode, no shuffle, no Python) — at 100 TB this is a single pass
     that parquet row-group statistics can help skip.
     """
-    toks = _tokens(F.col(text_col))
+    # STAGE the token array (repetition_scores discipline) — the three
+    # rule expressions reference it 4x; inlined, the scan re-tokenized
+    # every doc per rule
+    staged = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_words = F.size(toks)
     mean_wlen = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
@@ -241,7 +273,7 @@ def quality_filter(
         n_words, F.lit(1)
     )
     return (
-        docs.withColumn("n_words", n_words.cast("bigint"))
+        staged.withColumn("n_words", n_words.cast("bigint"))
         .withColumn("mean_word_len", F.round(mean_wlen, 6))
         .withColumn("dup_word_frac", F.round(dup_frac, 6))
         .filter(
@@ -1024,7 +1056,10 @@ def token_chunks(
     lets downstream exact-dedup run on chunks without re-reading text.
     """
     toks = _tokens(F.col(text_col))
-    m = F.size(toks)
+    # coalesce: size(NULL) is NULL, which would slip past the m <= 0
+    # branch and emit a phantom all-NULL chunk row for a NULL-text doc
+    # (the documented contract is "zero-token docs emit nothing")
+    m = F.coalesce(F.size(toks), F.lit(0))
     n_chunks = F.when(m <= 0, F.lit(0).cast("bigint")).otherwise(
         F.lit(1)
         + F.ceil((F.greatest(m - chunk_size, F.lit(0))) / F.lit(stride)).cast(

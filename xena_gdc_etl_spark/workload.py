@@ -1585,9 +1585,9 @@ _EN_STOP_SQL = "['the','a','of','and','to','in','is','that','it','for']"
     m AS (
         SELECT doc_id, n_chars_computed,
                length(toks) AS n_tokens,
-               (n_chars_computed - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars_computed AS punct_ratio,
-               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio,
-               list_sum(list_transform(toks, x -> length(x))) / length(toks) AS mean_word_len
+               (n_chars_computed - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / greatest(n_chars_computed, 1) AS punct_ratio,
+               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / greatest(length(toks), 1) AS stopword_ratio,
+               list_sum(list_transform(toks, x -> length(x))) / greatest(length(toks), 1) AS mean_word_len
         FROM t)
     SELECT doc_id,
            CAST(n_chars_computed AS BIGINT) AS n_chars_computed,
@@ -3030,8 +3030,8 @@ def _logreg_score_sql() -> str:
         SELECT doc_id,
                CAST(lang = 'en' AS BIGINT) AS is_en,
                least(length(toks) / 100.0, 1.0) AS f_len,
-               (n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars AS punct_ratio,
-               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio
+               (n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / greatest(n_chars, 1) AS punct_ratio,
+               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / greatest(length(toks), 1) AS stopword_ratio
         FROM t)
     SELECT doc_id, is_en,
            round(1.0 / (1.0 + exp(-({_LOGREG_B!r} + {w1!r} * f_len + {w2!r} * punct_ratio + {w3!r} * stopword_ratio))), 6) AS p_en
@@ -3049,7 +3049,17 @@ def logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rounded quality_scores columns are for reporting; continuing
     # float math from a rounded intermediate is the engine-portability
     # hazard the oracle mirrors by also skipping the intermediate round.
-    n_toks, punct_ratio, stop_ratio = raw_quality_ratios("text")
+    # token array STAGED once (repetition_scores discipline): the three
+    # features reference it repeatedly and lambda-bearing expressions
+    # are opaque to subexpression elimination
+    from xena_gdc_etl_spark.operators.text import _tokens
+
+    docs = docs.select(
+        "doc_id", "lang", "text", _tokens(F.col("text")).alias("__toks")
+    )
+    n_toks, punct_ratio, stop_ratio = raw_quality_ratios(
+        "text", toks=F.col("__toks")
+    )
     feats = docs.select(
         "doc_id",
         (F.col("lang") == "en").cast("bigint").alias("is_en"),
@@ -3101,8 +3111,8 @@ def _logreg_round_sql(
         SELECT doc_id,
                CAST(lang = 'en' AS BIGINT) AS is_en,
                least(length(toks) / 100.0, 1.0) AS f_len,
-               (n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / n_chars AS punct_ratio,
-               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / length(toks) AS stopword_ratio
+               (n_chars - length(regexp_replace(text, '[^\w \t\n\r\f]', '', 'g'))) / greatest(n_chars, 1) AS punct_ratio,
+               length(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x)))) / greatest(length(toks), 1) AS stopword_ratio
         FROM t),
     g AS (
         SELECT (1.0 / (1.0 + exp(-({b!r} + {w1!r} * f_len
@@ -3125,8 +3135,14 @@ def logreg_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import logreg
     from xena_gdc_etl_spark.operators.text import raw_quality_ratios
 
-    docs = Catalog(spark, sf_dir).documents
-    n_toks, punct_ratio, stop_ratio = raw_quality_ratios("text")
+    from xena_gdc_etl_spark.operators.text import _tokens
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "lang", "text", _tokens(F.col("text")).alias("__toks")
+    )
+    n_toks, punct_ratio, stop_ratio = raw_quality_ratios(
+        "text", toks=F.col("__toks")
+    )
     feats = docs.select(
         (F.col("lang") == "en").cast("double").alias("is_en"),
         F.least(n_toks / 100.0, F.lit(1.0)).alias("f_len"),
