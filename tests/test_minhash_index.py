@@ -128,3 +128,54 @@ def test_save_refuses_null_ids(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL"):
         mh.save_minhash_index(bad, str(tmp_path / "nulls"), **P)
     assert not os.path.exists(str(tmp_path / "nulls" / "_minhash.json"))
+
+
+def test_roll_forward_resave_to_same_path(spark, tmp_path):
+    """save(load(path).union(increment)) back to the SAME path — the
+    daily artifact loop. An in-place overwrite deletes the input files
+    mid-scan (FAILED_READ_FILE) and a post-write validation failure had
+    no rollback; the stage-then-swap save must survive both (round-16
+    review)."""
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.sources.minhash_index import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, *[i * 10 + j for j in range(8)]) for i in range(5)],
+        "doc_id bigint, " + ", ".join(f"mh{j} bigint" for j in range(8)),
+    )
+    kw = dict(num_hashes=8, shingle_k=5, band_size=2)
+    save_minhash_index(base, path, **kw)
+    loaded, _ = load_minhash_index(spark, path, **kw)
+    inc = spark.createDataFrame(
+        [(100, *[7] * 8)],
+        "doc_id bigint, " + ", ".join(f"mh{j} bigint" for j in range(8)),
+    )
+    save_minhash_index(loaded.unionByName(inc), path, **kw)
+    re_loaded, man = load_minhash_index(spark, path, **kw)
+    assert re_loaded.count() == 6 and man["n_docs"] == 6
+
+
+def test_failed_validation_leaves_previous_artifact_endorsed(spark, tmp_path):
+    from xena_gdc_etl_spark.sources.minhash_index import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    path = str(tmp_path / "idx2")
+    schema = "doc_id bigint, " + ", ".join(f"mh{j} bigint" for j in range(8))
+    good = spark.createDataFrame([(1, *[2] * 8)], schema)
+    kw = dict(num_hashes=8, shingle_k=5, band_size=2)
+    save_minhash_index(good, path, **kw)
+    bad = spark.createDataFrame([(None, *[3] * 8)], schema)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        save_minhash_index(bad, path, **kw)
+    # previous artifact still endorsed and readable
+    loaded, man = load_minhash_index(spark, path, **kw)
+    assert loaded.count() == 1 and man["n_docs"] == 1

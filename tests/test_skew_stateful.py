@@ -225,3 +225,57 @@ def test_streaming_funnel_composes_with_partitioned_sink(spark, tmp_path):
     assert sum(1 for v in depths if v >= 1) == batch.n_view
     assert sum(1 for v in depths if v >= 2) == batch.n_view_click
     assert sum(1 for v in depths if v >= 3) == batch.n_funnel
+
+
+def test_stateful_key_types_derived_from_input(spark):
+    """The output key type follows the INPUT schema (round-16 review):
+    a bigint-keyed running-totals stream and a string-keyed funnel both
+    previously died in the Arrow conversion against hardcoded types."""
+    import tempfile
+
+    from xena_gdc_etl_spark.streaming.stateful import (
+        streaming_funnel,
+        streaming_running_totals,
+    )
+
+    d, chk1, chk2 = (tempfile.mkdtemp(prefix=p) for p in ("kt_", "c1_", "c2_"))
+    df = spark.createDataFrame(
+        [
+            ("u1", "view", 1.0, "2026-01-01 00:00:00"),
+            ("u1", "click", 2.0, "2026-01-01 00:05:00"),
+            ("u2", "view", 3.0, "2026-01-01 00:00:00"),
+        ],
+        "user_id string, event_type string, value double, ts_s string",
+    ).select(
+        "user_id", "event_type", "value",
+        F.to_timestamp("ts_s").alias("ts"),
+    )
+    df.write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    # string-keyed funnel (was hardcoded bigint)
+    q1 = (
+        streaming_funnel(stream, user_col="user_id")
+        .writeStream.format("memory").queryName("kt_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", chk1)
+        .trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    depths = {r.user_id: r.stage_depth for r in spark.table("kt_funnel").collect()}
+    assert depths == {"u1": 2, "u2": 1}
+    # bigint-keyed running totals (was hardcoded string)
+    stream2 = spark.readStream.schema(schema).parquet(d)
+    q2 = (
+        streaming_running_totals(
+            stream2.withColumn("k", F.length("user_id").cast("bigint")),
+            key_col="k",
+        )
+        .writeStream.format("memory").queryName("kt_totals")
+        .outputMode("update")
+        .option("checkpointLocation", chk2)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    rows = {r.k: (r.n, r.total) for r in spark.table("kt_totals").collect()}
+    assert rows == {2: (3, 6.0)}

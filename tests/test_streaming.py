@@ -992,10 +992,12 @@ def _sweep_time_bounded_join(spark, tmp_path):
         spark, tmp_path, "right", "ts timestamp, user_id long",
         [[(_D1, 1)], [(_HB1, -2)], [(_HB2, -4)]],  # hb keys never match
     )
+    # normalized output (round 16): ONE key column — equal on both sides
+    # by the join condition — plus right_ts for the right side's time
     out = streaming_time_bounded_join(left, right, "user_id").select(
-        F.col("l.user_id").alias("lu"), F.col("r.user_id").alias("ru")
+        F.col("user_id").alias("lu"), "ts", "right_ts"
     )
-    return out, lambda rows: any(r.lu == 1 and r.ru == 1 for r in rows)
+    return out, lambda rows: any(r.lu == 1 for r in rows)
 
 
 def _sweep_incremental_dedup(spark, tmp_path):

@@ -54,7 +54,14 @@ def local_artifact_paths(path: str, what: str) -> "tuple[str, str]":
             raise ValueError(
                 f"{what} supports only local file:// URIs, got {path!r}"
             )
-        local = parsed.path
+        # strip the scheme+netloc prefix MANUALLY, never via
+        # parsed.path: urlparse treats '#'/'?' as fragment/query
+        # separators and would silently truncate a directory name
+        # containing them (artifact paths are filesystem paths, not
+        # URL-encoded — '%20' stays literal by the same rule)
+        local = path[len("file://"):]
+        if parsed.netloc:
+            local = local[len(parsed.netloc):]
     elif parsed.scheme and len(parsed.scheme) > 1:
         # reject on the parsed scheme ALONE: 'hdfs:/nn/idx' (single
         # slash) parses with scheme='hdfs' but contains no '://', and a

@@ -40,11 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xena_gdc_etl_spark.sources.artifact import (
-    begin_save,
     check_format,
     check_params,
     endorse,
+    local_artifact_paths,
     open_manifest,
+    remove_sentinel,
 )
 
 MINHASH_FORMAT_VERSION = 1
@@ -69,12 +70,17 @@ def save_minhash_index(
     (``dedup.shingles(k=...)``, optionally over ``normalize_text``);
     ``band_size`` records the banding policy this corpus dedups under.
 
-    Crash-consistency contract (same as save_ann_index): a re-save first
-    removes the old sentinel, then writes the table, then writes the
-    manifest to a temp file and atomically renames it into place — the
-    sentinel's presence always endorses a complete artifact. ``path``
-    must be local / ``file://`` (sentinel via local file IO, table via
-    Spark writers; remote schemes are rejected loudly).
+    Crash-consistency contract (same as save_dedup_decisions):
+    STAGE-then-SWAP — the table is written to a staging directory,
+    validated there, and only then swapped over the live table with the
+    sentinel removed for the two-rename window. This makes the
+    roll-forward pattern safe (``save(loaded.union(increment))`` back to
+    the SAME path reads signatures.parquet inside the plan being
+    written; an in-place overwrite would delete the input mid-scan), and
+    a validation failure leaves the previous artifact AND its sentinel
+    untouched. ``path`` must be local / ``file://`` (sentinel via local
+    file IO, table via Spark writers; remote schemes are rejected
+    loudly).
     """
     slot_cols = [f"mh{j}" for j in range(num_hashes)]
     missing = [c for c in slot_cols if c not in signatures.columns]
@@ -102,31 +108,44 @@ def save_minhash_index(
             "artifact persists ids as bigint and only integral id "
             "columns cast losslessly; map your ids to integers first"
         )
-    path, spark_uri = begin_save(path, _SENTINEL, "save_minhash_index")
+    path, spark_uri = local_artifact_paths(path, "save_minhash_index")
     out = signatures.select(
         F.col(id_col).cast("bigint").alias(id_col),
         *[F.col(c).cast("bigint").alias(c) for c in slot_cols],
     )
-    out.write.mode("overwrite").parquet(spark_uri + "/signatures.parquet")
-    # Validate from the WRITTEN table — one cheap parquet-stats/column
+    import shutil
+
+    final_dir = os.path.join(path, "signatures.parquet")
+    staging = os.path.join(path, "signatures.parquet.staging")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    out.write.mode("overwrite").parquet(
+        spark_uri + "/signatures.parquet.staging"
+    )
+    # Validate from the STAGING table — one cheap parquet-stats/column
     # read instead of re-executing the (shingle → sha256 → min)
-    # signature lineage. The id null-count is the second half of the
-    # type guard above: NULL ids (possible even in an integral column)
-    # produce garbage probe joins — refuse before the sentinel endorses
-    # the artifact.
+    # signature lineage, and BEFORE the live table is touched: NULL ids
+    # (possible even in an integral column) produce garbage probe joins,
+    # and a failure here must leave the previous artifact endorsed.
     written = signatures.sparkSession.read.parquet(
-        spark_uri + "/signatures.parquet"
+        spark_uri + "/signatures.parquet.staging"
     )
     counts = written.agg(
         F.count(F.lit(1)).alias("n"), F.count(id_col).alias("n_id")
     ).collect()[0]
     n_docs = counts["n"]
     if counts["n_id"] != n_docs:
+        shutil.rmtree(staging)
         raise ValueError(
             f"save_minhash_index: {id_col} contains "
             f"{n_docs - counts['n_id']} NULLs out of {n_docs} rows — "
-            "refusing to endorse the artifact"
+            "refusing to endorse the artifact (the previous "
+            "signatures.parquet is left untouched)"
         )
+    remove_sentinel(path, _SENTINEL)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(staging, final_dir)
     manifest = {
         "format_version": MINHASH_FORMAT_VERSION,
         "num_hashes": int(num_hashes),

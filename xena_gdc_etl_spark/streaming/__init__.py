@@ -102,7 +102,15 @@ def stream_to_partitioned_parquet(
     ``foreachBatch`` — each micro-batch goes through the same
     ``write_partitioned`` layout (hive dirs, file-size caps) the batch
     pipelines use, so downstream readers can't tell how the data arrived.
-    Exactly-once per micro-batch comes from the checkpointed batch id.
+
+    Delivery is AT-LEAST-ONCE: the checkpoint prevents skipped batches,
+    but a crash between a batch's append and its checkpoint commit
+    replays that batch on restart, appending its rows a second time.
+    A blind append cannot be exactly-once; deployments that need it
+    should key writes on ``batch_id`` idempotently (overwrite a
+    ``batch_id=``-partitioned directory per batch, or dedup on a stable
+    row key downstream). The batch twins' exact-dedup operators make the
+    downstream-dedup route native here.
 
     ``output_mode`` must be set to ``"update"`` when the upstream plan
     contains an update-mode stateful operator (e.g.
@@ -133,13 +141,19 @@ def streaming_enrich(
     dim: DataFrame,
     on: str | list[str],
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join: attach dimension attributes to every
-    streamed row. The static side broadcasts, so the stream never shuffles
-    and no join state accumulates — the stateless hot path for attaching
-    user/document metadata at ingest.
+    streamed row. With ``broadcast=True`` (default) the static side is
+    force-broadcast — the stream never shuffles and no join state
+    accumulates — which assumes a DIMENSION-sized static side; a
+    corpus-scale dim would OOM the driver under the hint. Pass
+    ``broadcast=False`` for big static sides: the planner then sizes the
+    join itself (threshold-based broadcast still fires when the dim is
+    actually small), the same discipline as the incremental-dedup
+    example's landed-index join.
     """
-    return stream.join(F.broadcast(dim), on, how)
+    return stream.join(F.broadcast(dim) if broadcast else dim, on, how)
 
 
 def streaming_time_bounded_join(
@@ -170,7 +184,29 @@ def streaming_time_bounded_join(
             >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback}")
         )
     )
-    return l.join(r, cond)
+    joined = l.join(r, cond)
+    # normalize the output: the raw join carried BOTH sides' key/ts
+    # columns under one name each, so any unqualified reference
+    # downstream died with AMBIGUOUS_REFERENCE. One key column (equal on
+    # both sides by the join condition); right-side columns whose names
+    # collide with a left column get a right_ prefix (the right ts
+    # becomes right_ts); non-colliding right columns keep their names.
+    keep = [
+        F.col(f"l.{key_col}").alias(key_col),
+        *[
+            F.col(f"l.{c}").alias(c)
+            for c in left.columns
+            if c != key_col
+        ],
+    ]
+    rcols = [
+        F.col(f"r.{c}").alias(
+            f"right_{c}" if c in left.columns else c
+        )
+        for c in right.columns
+        if c != key_col
+    ]
+    return joined.select(*keep, *rcols)
 
 
 def streaming_incremental_dedup(
@@ -285,12 +321,11 @@ def stateless_minhash_signatures(
     shingle multiset via ``array_min`` — all codegen higher-order
     Column math, no Python, usable in append mode.
     """
-    stop = F.length(F.col(text_col)) - F.lit(shingle_k - 1)
-    offsets = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
-        F.array().cast("array<int>")
-    )
+    from xena_gdc_etl_spark.operators.dedup import _offsets
+
     sh = F.transform(
-        offsets, lambda i: F.col(text_col).substr(i, F.lit(shingle_k))
+        _offsets(text_col, shingle_k),
+        lambda i: F.col(text_col).substr(i, F.lit(shingle_k)),
     )
     base = docs.select(F.col(id_col), sh.alias("__sh")).filter(
         F.size("__sh") > 0
@@ -414,6 +449,10 @@ def streaming_bm25_score(
 
     if not query_terms:
         raise ValueError("streaming_bm25_score needs at least one query term")
+    # SET semantics over terms, like the batch twin's isin() filter: a
+    # raw query split can repeat a term, and the per-term loop below
+    # would double-count its contribution
+    query_terms = list(dict.fromkeys(query_terms))
     n_docs = int(manifest["n_docs"])
     if n_docs <= 0:
         raise ValueError(
@@ -525,7 +564,7 @@ def streaming_cluster_purity(
     from xena_gdc_etl_spark.operators.similarity import ivf_assign
 
     assigned = ivf_assign(
-        vectors, centroids, keep_cols=(ts_col, label_col)
+        vectors, centroids, id_col=id_col, keep_cols=(ts_col, label_col)
     )
     return (
         assigned.withWatermark(ts_col, watermark)
@@ -613,15 +652,15 @@ def streaming_containment(
     discipline, like the heavy-hitters top-k cut); an in-plan filter
     would be pushed below the watermark and re-open the stall.
     """
-    # guarded offsets (same contract as dedup._offsets): text shorter
-    # than k yields ZERO shingles — sequence(1, stop<1) would run
-    # backward and emit garbage
-    stop = F.length(F.col(text_col)) - F.lit(k - 1)
-    offsets = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
-        F.array().cast("array<int>")
-    )
+    from xena_gdc_etl_spark.operators.dedup import _offsets
+
+    # guarded offsets (dedup._offsets): text shorter than k yields ZERO
+    # shingles — sequence(1, stop<1) would run backward and emit garbage
     sh_arr = F.array_distinct(
-        F.transform(offsets, lambda i: F.col(text_col).substr(i, F.lit(k)))
+        F.transform(
+            _offsets(text_col, k),
+            lambda i: F.col(text_col).substr(i, F.lit(k)),
+        )
     )
     stream = new_docs.withWatermark(ts_col, watermark).select(
         F.col(ts_col),

@@ -42,9 +42,13 @@ def streaming_running_totals(
         state.update((n, total))
         yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
 
+    # the key column's OUTPUT type is the input's type, not a
+    # hardcoded string — a bigint-keyed stream would otherwise die (or
+    # silently coerce) in the Arrow conversion of the handler's output
+    key_dt = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} string, n bigint, total double",
+        outputStructType=f"{key_col} {key_dt}, n bigint, total double",
         stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -129,9 +133,11 @@ def streaming_funnel(
         yield pd.DataFrame({user_col: [key[0]], "stage_depth": [depth]})
 
     state_schema = ", ".join(f"t{k} bigint" for k in range(n_stages))
+    # key output type derived from the input (see streaming_running_totals)
+    user_dt = events.schema[user_col].dataType.simpleString()
     return events.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType=f"{user_col} bigint, stage_depth int",
+        outputStructType=f"{user_col} {user_dt}, stage_depth int",
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=(
