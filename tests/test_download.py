@@ -238,3 +238,120 @@ def test_retrying_fetcher_passes_through_non_retryable():
     with _pytest.raises(ValueError):
         fetch("http://x/u")
     assert calls["n"] == 1
+
+
+def test_content_disposition_trailing_params():
+    from xena_gdc_etl_spark.sources.download import parse_content_disposition
+
+    assert (
+        parse_content_disposition('attachment; filename="x.tsv"; size=5')
+        == "x.tsv"
+    )
+    assert parse_content_disposition("filename=plain.tsv") == "plain.tsv"
+    assert parse_content_disposition("inline") == ""
+
+
+def test_mid_stream_reset_retries_with_default_translation(spark, tmp_path):
+    """A connection reset DURING iter_content must be retryable: the
+    round-16 review found raw requests exceptions bypassed the inner
+    retry and burned the file on one reset. The injectable analog: a
+    fetcher whose stream raises RetryableFetchError mid-iteration once,
+    then succeeds."""
+    from xena_gdc_etl_spark.sources.download import (
+        RetryableFetchError,
+        download_files,
+    )
+
+    land = str(tmp_path / "land_mid")
+    marker = str(tmp_path / "broke_once")
+
+    def flaky_stream(url: str):
+        import os as _os
+
+        uuid = url.rsplit("/", 1)[1]
+
+        def chunks():
+            yield b"abc"
+            if not _os.path.exists(marker):
+                open(marker, "w").close()
+                raise RetryableFetchError("reset mid-stream")
+            yield b"def"
+
+        return f"{uuid}.counts.tsv.gz", chunks()
+
+    status = download_files(
+        spark.createDataFrame([("zz",)], ["uuid"]),
+        land,
+        fetcher=flaky_stream,
+    ).collect()
+    assert status[0].error is None and status[0].n_bytes == 6
+
+
+def test_download_status_is_materialized_once(spark, tmp_path):
+    """The returned status frame is pinned: re-consuming it must not
+    re-run the side-effecting downloads (round-16 review)."""
+    import glob
+
+    from xena_gdc_etl_spark.sources.download import download_files
+
+    land = str(tmp_path / "land_mat")
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+
+    def counting_fetcher(url: str, _d=str(calls_dir)):
+        import os as _os
+        import uuid as _uuidlib
+
+        open(_os.path.join(_d, _uuidlib.uuid4().hex), "w").close()
+        u = url.rsplit("/", 1)[1]
+        return f"{u}.counts.tsv.gz", iter([b"xy"])
+
+    status = download_files(
+        spark.createDataFrame([("m1",), ("m2",)], ["uuid"]),
+        land,
+        fetcher=counting_fetcher,
+    )
+    status.count()
+    status.filter("error is not null").count()
+    status.collect()
+    assert len(glob.glob(str(calls_dir / "*"))) == 2
+
+
+def test_write_manifest_date_partition_keys(spark, tmp_path):
+    import datetime
+    import json as _json
+
+    from xena_gdc_etl_spark.sources.parquet_sink import write_manifest
+
+    df = spark.createDataFrame(
+        [(datetime.date(2026, 1, 1), 1), (datetime.date(2026, 1, 2), 2)],
+        "d date, v int",
+    )
+    path = str(tmp_path / "dated")
+    df.write.mode("overwrite").partitionBy("d").parquet(path)
+    man = write_manifest(df, path, partition_by=["d"])
+    assert man["total_rows"] == 2
+    on_disk = _json.load(open(f"{path}/_manifest.json"))
+    assert {p["d"] for p in on_disk["partitions"]} == {
+        "2026-01-01", "2026-01-02"
+    }
+
+
+def test_save_ann_index_rejects_empty_codebooks(spark, tmp_path):
+    import pytest as _pytest
+
+    from xena_gdc_etl_spark.sources.ann_index import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    path = str(tmp_path / "annidx")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "centroid_id long, embedding array<double>"
+    )
+    save_ann_index(cents, path)
+    with _pytest.raises(ValueError):
+        save_ann_index(cents, path, codebooks=[])
+    # prior index still endorsed
+    loaded, books, man = load_ann_index(spark, path)
+    assert loaded.count() == 1 and books is None

@@ -22,7 +22,6 @@ them anyway.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +70,15 @@ def save_ann_index(
     (``hdfs://``, ``s3a://``) are rejected loudly rather than splitting
     the index across filesystems.
     """
+    # validate BEFORE begin_save removes the sentinel: an empty
+    # codebook list would crash at manifest construction AFTER the old
+    # index's sentinel was already removed, destroying a valid artifact
+    # on bad input
+    if codebooks is not None and len(codebooks) == 0:
+        raise ValueError(
+            "save_ann_index: codebooks=[] — pass None for an IVF-only "
+            "index or a non-empty codebook list for IVF-PQ"
+        )
     path, spark_uri = _begin_save(path, _SENTINEL, "save_ann_index")
     spark = centroids.sparkSession
     cdf = centroids.select(
@@ -80,7 +88,13 @@ def save_ann_index(
     cdf.coalesce(1).write.mode("overwrite").parquet(
         spark_uri + "/centroids.parquet"
     )
-    n_centroids = cdf.count()
+    # count the WRITTEN kilobyte table, not cdf: the centroid frame
+    # usually comes straight off the iterative k-means trainer, and
+    # cdf.count() would re-execute every Lloyd round just to count k
+    # rows (the token_stats read-back rationale)
+    n_centroids = spark.read.parquet(
+        spark_uri + "/centroids.parquet"
+    ).count()
     manifest: dict = {
         "format_version": INDEX_FORMAT_VERSION,
         "n_centroids": int(n_centroids),

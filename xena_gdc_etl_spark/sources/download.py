@@ -82,7 +82,12 @@ def parse_content_disposition(header: str) -> str:
     idx = header.find(marker)
     if idx < 0:
         return ""
-    return header[idx + len(marker) :].strip('"; ')
+    value = header[idx + len(marker):]
+    # the filename parameter ends at the next ';' — keeping later
+    # parameters (e.g. '; size=5') would corrupt the name and lose the
+    # extension get_ext looks for
+    value = value.split(";", 1)[0]
+    return value.strip('" ')
 
 
 def target_path(uuid: str, original_name: str, download_dir: str) -> str:
@@ -170,7 +175,22 @@ def _requests_fetcher(chunk_size: int = 4096) -> Fetcher:
         name = parse_content_disposition(
             resp.headers.get("Content-Disposition", "")
         )
-        return name, resp.iter_content(chunk_size)
+
+        def _stream(r=resp):
+            # translate MID-TRANSFER failures into the fetcher contract's
+            # retryable type: iter_content raises raw requests exceptions
+            # on a connection reset, which would otherwise bypass the
+            # caller's retry loop and burn the file on one reset
+            try:
+                yield from r.iter_content(chunk_size)
+            except (
+                requests.ConnectionError,
+                requests.Timeout,
+                requests.exceptions.ChunkedEncodingError,
+            ) as exc:
+                raise RetryableFetchError(str(exc)) from exc
+
+        return name, _stream()
 
     return retrying_fetcher(fetch)
 
@@ -223,7 +243,19 @@ def download_files(
                             )
                             h = hashlib.md5()
                             n = 0
-                            tmp = path + ".part"
+                            # unique per writer: a speculative duplicate
+                            # attempt (or a zombie task after a stage
+                            # retry) writing the SAME .part would
+                            # interleave bytes while each attempt hashes
+                            # its own stream — md5_ok=True over a corrupt
+                            # file. Distinct tmp names make os.replace
+                            # last-complete-writer-wins.
+                            import threading
+
+                            tmp = (
+                                f"{path}.part.{os.getpid()}"
+                                f".{threading.get_ident()}"
+                            )
                             with open(tmp, "wb") as f:
                                 for chunk in chunks:
                                     f.write(chunk)
@@ -250,11 +282,17 @@ def download_files(
                 columns=["uuid", "path", "n_bytes", "md5", "md5_ok", "error"],
             )
 
-    return (
+    status = (
         manifest.select(*cols)
         .repartition(par, "uuid")
         .mapInPandas(_download, schema=DOWNLOAD_STATUS_SCHEMA)
     )
+    # MATERIALIZE the side-effecting stage exactly once: returned lazy,
+    # every downstream action (count, then a filter for errors) would
+    # re-run the downloads for the whole manifest. The status frame is
+    # one small row per file, so pinning it is cheap; the transfers
+    # happen here, eagerly, one time.
+    return status.localCheckpoint(eager=True)
 
 
 def md5sum_files(spark, path_glob: str) -> DataFrame:

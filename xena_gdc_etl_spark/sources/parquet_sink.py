@@ -93,7 +93,11 @@ def write_manifest(
     )
     parts = [
         {
-            **{k: r[k] for k in keys},
+            # partition-key values to JSON-safe forms: date/timestamp/
+            # decimal keys (the canonical hive layouts) are not JSON
+            # serializable and would TypeError after the full aggregate
+            # job already ran
+            **{k: _json_safe(r[k]) for k in keys},
             "rows": r["rows"],
             "digest": None if r["digest"] is None else int(r["digest"]) % (1 << 64),
         }
@@ -106,10 +110,27 @@ def write_manifest(
         "total_rows": sum(p["rows"] for p in parts),
         "partitions": parts,
     }
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    return manifest
+    # the shared artifact discipline, not a bare open(): endorse() writes
+    # to a temp file and atomically renames, so a crash mid-dump can
+    # never leave a truncated _manifest.json that readers parse as a
+    # (wrong) prefix; local_artifact_paths rejects remote schemes that
+    # would silently split the manifest from the data
+    from xena_gdc_etl_spark.sources.artifact import (
+        endorse,
+        local_artifact_paths,
+    )
+
+    local, _uri = local_artifact_paths(path, "write_manifest")
+    os.makedirs(local, exist_ok=True)
+    return endorse(local, "_manifest.json", manifest)
+
+
+def _json_safe(v):
+    """Partition-key value → JSON-serializable (str for date/timestamp/
+    decimal; identity for str/int/float/bool/None)."""
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    return str(v)
 
 
 def write_bucketed(

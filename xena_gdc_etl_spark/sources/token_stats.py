@@ -25,7 +25,6 @@ Layout under ``<path>/``:
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,7 +73,12 @@ def save_token_stats(
     written = tf.sparkSession.read.parquet(spark_uri + "/tf.parquet")
     vocab = written.groupBy("tok").agg(
         F.sum("tf").cast("bigint").alias("tf"),
-        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        # count_distinct, not count(*): the contract input
+        # (doc_term_freqs) is unique per (doc_id, tok), but an
+        # off-contract union of shard snapshots would silently
+        # overcount document frequency and corrupt every idf/bm25
+        # consumer
+        F.count_distinct("doc_id").cast("bigint").alias("doc_freq"),
     )
     vocab.write.mode("overwrite").parquet(spark_uri + "/vocab.parquet")
     totals = written.agg(

@@ -25,7 +25,6 @@ can mean millions of documents in a contamination audit.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
