@@ -696,3 +696,73 @@ def test_attach_binary_payload_negative_ids(spark):
     rows = attach_binary_payload(df).collect()
     assert {r.modality for r in rows} <= {"image", "audio", "video"}
     assert len(rows) == 3
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL ts compares UNKNOWN: a NULL-ts right row must not be carried
+    as a match, and a NULL-ts left row gets the left-outer NULLs
+    (round-16 review, both directions)."""
+    from xena_gdc_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, 1), ("u1", None, 2)],
+        "k string, ts long, lrow int",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 5), ("u1", 50, 6), ("u1", 200, 7)],
+        "k string, ts long, event int",
+    )
+    for direction, expected in (("backward", 6), ("forward", 7)):
+        out = {
+            r.lrow: r.asof_event
+            for r in asof_join(
+                left, right, on=["k"], ts_col="ts",
+                right_cols=["event"], direction=direction,
+            ).collect()
+        }
+        assert out[1] == expected, direction
+        assert out[2] is None, direction  # NULL-ts left row: no match
+
+
+def test_salted_join_rejects_zero_salts(spark):
+    import pytest as _pytest
+
+    from xena_gdc_etl_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with _pytest.raises(ValueError):
+        salted_join(df, df.select("k"), ["k"], n_salts=0)
+
+
+def test_point_interval_join_sentinel_end_fails_loud(spark):
+    import pytest as _pytest
+
+    from xena_gdc_etl_spark.operators.interval import point_interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2026-01-01 00:30:00")], "pid long, pts string"
+    ).select("pid", F.to_timestamp("pts").alias("pts"))
+    ok = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", "2026-01-01 01:00:00")],
+        "iid long, s string, e string",
+    ).select("iid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    out = point_interval_join(points, ok, "pts", "s", "e", bin_seconds=600)
+    assert out.count() == 1
+    sentinel = spark.createDataFrame(
+        [(2, "2026-01-01 00:00:00", "9999-12-31 00:00:00")],
+        "iid long, s string, e string",
+    ).select("iid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    with _pytest.raises(Exception, match="bins|cap|sentinel"):
+        point_interval_join(
+            points, sentinel, "pts", "s", "e", bin_seconds=60
+        ).count()
+
+
+def test_logistic_predict_weight_count_mismatch_rejected(spark):
+    import pytest as _pytest
+
+    from xena_gdc_etl_spark.operators.logreg import logistic_predict
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], ["f1", "f2", "f3"])
+    with _pytest.raises(ValueError):
+        logistic_predict(df, [0.5, -0.2], 0.0, ["f1", "f2", "f3"])

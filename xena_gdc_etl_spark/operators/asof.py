@@ -65,6 +65,11 @@ def asof_join(
             for c in right_order
         ],
     )
+    # SQL comparison semantics: a NULL ts compares UNKNOWN to everything,
+    # so a NULL-ts right row can never be an as-of match — but NULLs sort
+    # FIRST in the window ordering, where last(ignorenulls) would carry
+    # its payload into every left row as a spurious match. Drop them.
+    right = right.filter(F.col(ts_col).isNotNull())
     right_tagged = right.select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -112,6 +117,11 @@ def asof_join(
         carried = unioned.withColumn(
             "__c", F.first(F.col("__payload"), ignorenulls=True).over(w)
         )
+    # a NULL-ts LEFT row matches nothing either (in forward mode it sorts
+    # first and first() would hand it the earliest right row)
+    carried = carried.withColumn(
+        "__c", F.when(F.col(ts_col).isNotNull(), F.col("__c"))
+    )
     if tolerance is not None:
         matched_ts = F.col("__c").getField(ts_col)
         in_tol = (

@@ -34,6 +34,7 @@ def point_interval_join(
     start_col: str,
     end_col: str,
     bin_seconds: int,
+    max_bins_per_interval: int = 1_000_000,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``start <= point_ts < end`` (half-open, the SQL-inequality-join shape).
@@ -42,6 +43,14 @@ def point_interval_join(
     shorter bins inflate the interval fan-out, longer bins inflate the
     post-join filter work. Degenerate intervals (end <= start) match
     nothing. Column names must be disjoint across the two inputs.
+
+    ``max_bins_per_interval`` fails the job LOUDLY (with the offending
+    span in the error) instead of letting one open-ended sentinel
+    interval (end = 9999-12-31) materialize a multi-billion-element
+    sequence — which would otherwise OOM the task or hit Spark's sequence
+    length ceiling with an unhelpful error. Raise the cap deliberately if
+    genuinely enormous spans are real; the right fix is usually a bigger
+    ``bin_seconds`` or clamping sentinel end dates first.
     """
     p = points.withColumn("__bin", _bin(F.col(point_ts), bin_seconds))
     last_bin = _bin(
@@ -49,9 +58,23 @@ def point_interval_join(
         bin_seconds,
     )
     first_bin = _bin(F.col(start_col), bin_seconds)
+    n_bins = last_bin - first_bin + 1
+    guard = F.when(
+        n_bins <= F.lit(int(max_bins_per_interval)),
+        F.lit(True),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "point_interval_join: interval spans %s bins of "
+                f"{bin_seconds}s (cap {max_bins_per_interval}) — a "
+                "sentinel end date or too-small bin_seconds",
+                n_bins.cast("string"),
+            )
+        )
+    )
     bins = F.when(
         F.col(end_col) > F.col(start_col),
-        F.sequence(first_bin, last_bin),
+        F.when(guard, F.sequence(first_bin, last_bin)),
     ).otherwise(F.array().cast("array<bigint>"))
     i = intervals.withColumn("__bin", F.explode(bins))
     return (

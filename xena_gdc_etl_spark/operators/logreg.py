@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-__all__ = ["logistic_train", "logistic_train_step", "logistic_predict"]
+__all__ = ["logistic_train", "logistic_train_step", "logistic_predict", "loss"]
 
 
 def _sigmoid(z: Column) -> Column:
@@ -37,6 +37,12 @@ def _sigmoid(z: Column) -> Column:
 
 
 def _dot(weights: list[float], feature_cols: Sequence[str], bias: float) -> Column:
+    if len(weights) != len(feature_cols):
+        # zip would silently truncate and score from a feature subset
+        raise ValueError(
+            f"{len(weights)} weights for {len(feature_cols)} feature "
+            "columns — the lists must align one-to-one"
+        )
     z = F.lit(float(bias))
     for w, c in zip(weights, feature_cols):
         z = z + F.lit(float(w)) * F.col(c)
@@ -112,16 +118,14 @@ def logistic_train(
         raise ValueError("logistic_train: input has no rows")
     if probe <= effective_cap:
         pdf = base.toPandas()
-        n_rows = len(pdf)
-        x = pdf[xcols].to_numpy(dtype=np.float64)
-        yv = pdf["__y"].to_numpy(dtype=np.float64)
-        w = np.zeros(d, dtype=np.float64)
-        b = 0.0
-        for _ in range(iterations):
-            err = 1.0 / (1.0 + np.exp(-(x @ w + b))) - yv
-            b -= lr * float(err.sum()) / n_rows
-            w = w - lr * (err @ x) / n_rows
-        return [float(v) for v in w], float(b)
+        # the same loop _reference_train pins the distributed path
+        # against — shared, not re-implemented, so the two can't diverge
+        return _gd_loop(
+            pdf[xcols].to_numpy(dtype=np.float64),
+            pdf["__y"].to_numpy(dtype=np.float64),
+            iterations,
+            lr,
+        )
     schema = StructType(
         [StructField("n", LongType()), StructField("g_b", DoubleType())]
         + [StructField(g, DoubleType()) for g in gcols]
@@ -270,7 +274,16 @@ def _reference_train(
     identical arrays, so the pin can be near-bitwise."""
     x = np.array([list(f) for f, _ in rows], dtype=np.float64)
     yv = np.array([y for _, y in rows], dtype=np.float64)
-    n = len(rows)
+    return _gd_loop(x, yv, iterations, lr)
+
+
+def _gd_loop(
+    x: "np.ndarray", yv: "np.ndarray", iterations: int, lr: float
+) -> tuple[list[float], float]:
+    """The one in-memory GD loop: shared by logistic_train's driver path
+    and the test reference so their numerics are the same code, not two
+    hand-synced copies."""
+    n = len(yv)
     w = np.zeros(x.shape[1], dtype=np.float64)
     b = 0.0
     for _ in range(iterations):

@@ -29,15 +29,30 @@ def salted_join(
 ) -> DataFrame:
     """Join ``big`` ⋈ ``small`` on ``on`` with the hot-key scatter above.
 
-    The big side's salt is a deterministic hash of the whole row (stable
-    across retries — no RNG), so the same row always lands in the same
-    sub-partition. The small side grows ``n_salts``× — keep it the
-    dimension/mapping side. Result rows are identical to the unsalted join.
+    The big side's salt is a deterministic hash of the whole row PLUS the
+    scan partition id (stable across task retries — a retried task
+    re-scans the same split; no RNG), so the same row always lands in the
+    same sub-partition while IDENTICAL rows in different partitions still
+    scatter. Caveat: byte-identical duplicate rows WITHIN one scan
+    partition share a salt by construction — a hot key whose rows are
+    both identical and co-located keeps that residual clump (project a
+    distinguishing column into the frame before salting if that shape is
+    real). The small side grows ``n_salts``× — keep it the
+    dimension/mapping side. Result rows are identical to the unsalted
+    join.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side must not grow nulls)")
+    if n_salts < 1:
+        # n_salts=0 would make the big-side pmod NULL / the small-side
+        # sequence [0, -1] and the inner join silently return zero rows
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     salted_big = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        _SALT,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.spark_partition_id()),
+            F.lit(n_salts),
+        ),
     )
     salted_small = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
