@@ -533,3 +533,65 @@ def test_cli_build_winnow_index(spark, tmp_path):
     assert fps.count() == manifest["n_fps"] > 0
     with pytest.raises(ValueError, match="different"):
         load_winnow_fingerprints(spark, out, k=5, w=8)
+
+
+def test_cli_gdc_check_new_string_ids(spark, tmp_path):
+    """Numeric-looking --ids against a STRING id column must stay strings:
+    isin(int) under ANSI casts the column to BIGINT and crashes on the
+    first non-numeric id (round-16 review, confirmed by execution)."""
+    t = str(tmp_path / "files_tbl")
+    spark.createDataFrame(
+        [("123", "projA"), ("abc-uuid", "projB")], ["fid", "proj"]
+    ).write.mode("overwrite").parquet(t)
+    res = run_cli(
+        "gdc-check-new", "--files-table", t, "--id-col", "fid",
+        "--ids", "123", "--summary-cols", "proj",
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert "projA" in res.stdout
+
+
+def test_cli_etl_source_writes_metadata_sidecar(spark, tmp_path):
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [("s1", "g1", 3.0), ("s1", "g2", 1.0)],
+        ["sample", "feature", "value"],
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "mat")
+    res = run_cli(
+        "etl", "--source", src, "--dtype", "star_counts", "--out", out,
+        "--project", "TCGA-ZZ",
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert os.path.exists(out + ".json"), res.stdout
+
+
+def test_cli_etl_source_segment_dtype_guidance(spark, tmp_path):
+    src = str(tmp_path / "raw2")
+    spark.createDataFrame(
+        [("s1", "g1", 3.0)], ["sample", "feature", "value"]
+    ).write.mode("overwrite").parquet(src)
+    res = run_cli(
+        "etl", "--source", src, "--dtype", "segment_cnv_DNAcopy",
+        "--out", str(tmp_path / "m2"),
+    )
+    assert res.returncode == 2
+    assert "segment" in res.stderr and "manifest" in res.stderr
+
+
+def test_cli_postprocess_trim_collision_fails_loud(tmp_path):
+    d = tmp_path / "proj" / "Xena_Matrices"
+    d.mkdir(parents=True)
+    f = d / "m.tsv"
+    # AML-01A and AML-01B both trim (1 char) to AML-01 — the reference
+    # keeps duplicate columns, a pivot would silently collapse them;
+    # the CLI must refuse instead
+    f.write_text(
+        "Ensembl_ID\tAML-01A\tAML-01B\ng1\t1\t2\n"
+    )
+    res = run_cli(
+        "postprocess", "-p", "BEATAML1.0-COHORT", "-t", "star_counts",
+        "-f", str(f),
+    )
+    assert res.returncode == 2
+    assert "collision" in res.stderr

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -224,6 +225,17 @@ def create_parser() -> argparse.ArgumentParser:
     return parser
 
 
+
+def _postprocessed_out_path(src_file: str) -> str:
+    """<grandparent>/Postprocessed_Matrices/<basename> — the reference's
+    landing convention (postprocessing.py:117)."""
+    new_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(src_file))),
+        "Postprocessed_Matrices",
+    )
+    os.makedirs(new_dir, exist_ok=True)
+    return os.path.join(new_dir, os.path.basename(src_file))
+
 def main(argv: list[str] | None = None) -> int:
     options = create_parser().parse_args(argv)
 
@@ -433,6 +445,19 @@ def main(argv: list[str] | None = None) -> int:
             print("etl needs --source and --out (or --manifest)", file=sys.stderr)
             return 2
         raw = spark.read.parquet(options.source)
+        from xena_gdc_etl_spark.gdc_pipelines import DTYPE_SPECS
+
+        kind = getattr(DTYPE_SPECS.get(options.dtype), "kind", "matrix")
+        if kind != "matrix":
+            # fail with GUIDANCE, not a raw transform traceback: segment/
+            # MAF dtypes route through their dedicated pipeline kinds
+            print(
+                f"--dtype {options.dtype} is a {kind} dtype: use the "
+                "--manifest path (XenaDatasetSpark routes by kind) "
+                "instead of --source",
+                file=sys.stderr,
+            )
+            return 2
         matrix = transform_matrix_dtype(
             raw,
             options.dtype,
@@ -441,7 +466,21 @@ def main(argv: list[str] | None = None) -> int:
             value_col=options.value_col,
         )
         write_xena_tsv(matrix, options.out)
+        # metadata sidecar like every other landing path (the manifest
+        # route and gdc2xena both emit one; a Xena loader needs it)
+        from xena_gdc_etl_spark.metadata import build_metadata, write_metadata
+
+        meta_path = write_metadata(
+            build_metadata(
+                options.project or "unknown",
+                options.dtype,
+                options.out,
+                options.release or "",
+            ),
+            options.out,
+        )
         print(f"Xena matrix is saved at {options.out}.")
+        print(f"Metadata JSON is saved at {meta_path}.")
         return 0
 
     if options.subcomm == "gdc2xena":
@@ -567,7 +606,38 @@ def main(argv: list[str] | None = None) -> int:
         if trim is not None:
             # special projects: fixed-suffix rename, no GDC fetch, no dedup
             if col_form:
-                out_df = trim_sample_suffix(long_df, trim)
+                # WIDE-NATIVE rename (the reference's pandas
+                # rename(columns=...)): routing through the long melt +
+                # pivot would silently collapse two columns whose
+                # trimmed names collide into one arbitrary value
+                # (agg F.first). The reference keeps BOTH duplicate
+                # columns, which a Spark pivot cannot express — so a
+                # collision fails loudly here instead of losing data.
+                trimmed = [index_header] + [
+                    c[:-trim] for c in wide.columns[1:]
+                ]
+                dupes = sorted(
+                    {c for c in trimmed[1:] if trimmed.count(c) > 1}
+                )
+                if dupes:
+                    print(
+                        f"suffix-trim collision for {options.project}: "
+                        f"{dupes[:5]}... — the reference keeps duplicate "
+                        "columns, which a pivoted matrix cannot; "
+                        "postprocess these columns manually",
+                        file=sys.stderr,
+                    )
+                    return 2
+                for old, new in zip(wide.columns[1:], trimmed[1:]):
+                    print(f"{old} has been changed to {new}.")
+                out = _postprocessed_out_path(options.file)
+                write_wide_tsv(wide.toDF(*trimmed), out)
+                print(
+                    f"Postprocessed {dtype} data is ready for "
+                    f"{options.project}."
+                )
+                print(f"Postprocessed matrix is saved at {out}.")
+                return 0
             else:
                 out_df = wide.withColumn(
                     sample_first,
@@ -628,12 +698,7 @@ def main(argv: list[str] | None = None) -> int:
                     .distinct()
                 )
 
-        new_dir = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(options.file))),
-            "Postprocessed_Matrices",
-        )
-        os.makedirs(new_dir, exist_ok=True)
-        out = os.path.join(new_dir, os.path.basename(options.file))
+        out = _postprocessed_out_path(options.file)
         if col_form:
             write_xena_tsv(out_df, out, feature_header=index_header)
         else:
@@ -648,9 +713,21 @@ def main(argv: list[str] | None = None) -> int:
         from xena_gdc_etl_spark.operators.mapping import check_new
 
         files_df = spark.read.parquet(options.files_table)
-        try:
-            ids = [int(i) for i in options.ids]
-        except ValueError:
+        # ids match the COLUMN's type: int only against an integral
+        # column. A numeric-looking id against a STRING column must stay
+        # a string — isin(int) makes ANSI Spark cast the whole column to
+        # BIGINT and crash on the first non-numeric id (and zero-padded
+        # string ids would stop matching); the reference treats ids as
+        # strings throughout.
+        integral = dict(files_df.dtypes).get(options.id_col) in (
+            "tinyint", "smallint", "int", "bigint",
+        )
+        if integral:
+            try:
+                ids = [int(i) for i in options.ids]
+            except ValueError:
+                ids = list(options.ids)
+        else:
             ids = list(options.ids)
         out = check_new(files_df, options.id_col, ids, options.summary_cols)
         rows = out.collect()

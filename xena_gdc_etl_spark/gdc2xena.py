@@ -150,15 +150,16 @@ def gdc2xena(
     try:
         for i, project in enumerate(projects, 1):
             print(f"Importing [{i}/{len(projects)}] projects: {project}")
+            raw_dirs: "set[str]" = set()
+            project_clean = True
             for dtype in xena_dtypes:
                 try:
                     src = resolve(project, dtype)
                     out = _run_one(
                         spark, project, dtype, root_dir, src, gdc_release
                     )
-                    if delete_raw_data and src.get("raw_dir"):
-                        print("Deleting raw data ...")
-                        shutil.rmtree(src["raw_dir"], ignore_errors=True)
+                    if src.get("raw_dir"):
+                        raw_dirs.add(src["raw_dir"])
                     results.append(
                         DatasetResult(project, dtype, "done", path=out)
                     )
@@ -171,6 +172,7 @@ def gdc2xena(
                     msg = f"No {dtype} data for cohort {project}."
                     logger.warning(msg, exc_info=True)
                     print(msg)
+                    project_clean = False
                     results.append(
                         DatasetResult(
                             project,
@@ -179,6 +181,15 @@ def gdc2xena(
                             error=f"{type(exc).__name__}: {exc}"[:500],
                         )
                     )
+            # Raw data is deleted AFTER the project's whole dtype loop —
+            # the raw directory is SHARED across a project's dtypes
+            # (deleting after the first success starved every later
+            # dtype) — and only when every dtype succeeded, so a failed
+            # dataset can be retried from the landed files.
+            if delete_raw_data and project_clean and raw_dirs:
+                print("Deleting raw data ...")
+                for rd in raw_dirs:
+                    shutil.rmtree(rd, ignore_errors=True)
     finally:
         handler.close()
         logger.removeHandler(handler)
@@ -215,7 +226,13 @@ def read_landed_matrix(
         .csv(paths)
         .withColumn(
             "__uuid",
-            F.regexp_extract(F.input_file_name(), r"([^/]+?)\.[^/]*$", 1),
+            # the extension is OPTIONAL: a download with no
+            # Content-Disposition filename lands as the bare uuid, and a
+            # dot-requiring pattern would extract '' and the manifest
+            # join would silently drop every row of that file
+            F.regexp_extract(
+                F.input_file_name(), r"([^/.]+)(?:\.[^/]*)?$", 1
+            ),
         )
     )
     uuid_to_sample = manifest.select(

@@ -105,8 +105,12 @@ def coalesce_join(
         rhs = rhs.withColumnRenamed(c, f"__r_{c}")
     joined = lhs.join(rhs, on=keys, how=how)
     for c in overlap:
+        # backtick-quoted references: flattened struct columns carry
+        # literal dots ('project.project_id'), which an unquoted F.col
+        # would parse as a struct-field access and fail to resolve
         joined = joined.withColumn(
-            c, F.coalesce(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
+            c,
+            F.coalesce(F.col(f"`__l_{c}`"), F.col(f"`__r_{c}`")),
         ).drop(f"__l_{c}", f"__r_{c}")
     return joined
 

@@ -94,7 +94,7 @@ def fetch_table(
     filter_spec: FilterSpec | None = None,
     fields: Sequence[str] = (),
     page_size: int = 10_000,
-    n_pages: int = 1,
+    n_pages: "int | None" = None,
     expand: "Sequence[str] | str" = (),
     method: str = "POST",
 ) -> DataFrame:
@@ -105,6 +105,12 @@ def fetch_table(
     ``expand``/``method`` mirror the reference's search surface
     (gdc.py:221): GET sends the payload as query-string params, POST as
     the JSON body.
+
+    ``n_pages=None`` (default) PAGES THROUGH EVERYTHING: one tiny driver
+    probe reads ``data.pagination.total`` (the reference's search does
+    the same size-then-refetch dance, gdc.py:297-300) and the page count
+    follows — a >10k-case project is never silently truncated. Pass an
+    explicit ``n_pages`` to bound the fetch deliberately.
     """
     try:
         import requests  # noqa: F401
@@ -118,6 +124,20 @@ def fetch_table(
         endpoint, filter_spec, fields, page_size, expand=expand, method=method
     )
     get = method.upper() == "GET"
+    if n_pages is None:
+        import math
+
+        import requests as rq
+
+        probe_body = dict(base_body, size=1)
+        probe = (
+            rq.get(url, params=probe_body, timeout=120)
+            if get
+            else rq.post(url, json=probe_body, timeout=120)
+        )
+        probe.raise_for_status()
+        total = int(probe.json()["data"]["pagination"]["total"])
+        n_pages = max(1, math.ceil(total / page_size))
 
     def _fetch(page: int) -> list[str]:
         import requests as rq
