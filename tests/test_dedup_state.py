@@ -280,3 +280,24 @@ def test_star_edges_match_pairwise_oracle_on_hot_bucket(spark, tmp_path):
     hot_inc = [d for d in range(100, 140) if d % 10 == 0]
     # hot-bucket arrivals inherit the bucket's min LANDED id (101)
     assert all(by_id[d] == (101, 0) for d in hot_inc)
+
+
+# ---- artifact path normalization (sources/artifact.py) ----
+
+
+def test_local_artifact_paths_uri_spellings(tmp_path):
+    """Every local spelling lands on the SAME filesystem location —
+    including the single-slash ``file:/x`` form Spark itself emits
+    (a fixed 7-char strip would mangle it to ``<cwd>/mp/x``)."""
+    from xena_gdc_etl_spark.sources.artifact import local_artifact_paths
+
+    p = str(tmp_path / "idx")
+    expect = (p, "file://" + p)
+    assert local_artifact_paths(p, "t") == expect
+    assert local_artifact_paths("file://" + p, "t") == expect
+    assert local_artifact_paths("file:" + p, "t") == expect  # single-slash
+    assert local_artifact_paths("file://localhost" + p, "t") == expect
+    with pytest.raises(ValueError, match="local file://"):
+        local_artifact_paths("file://otherhost" + p, "t")
+    with pytest.raises(ValueError, match="local path or file://"):
+        local_artifact_paths("hdfs:/nn" + p, "t")

@@ -298,9 +298,15 @@ def bpe_train(
         want = min(merges_per_round, n_merges - len(merges))
         # over-fetch so disjointness filtering still fills the batch
         # when the top pairs share symbols
-        top = bpe_top_merges(
-            bpe_pair_counts(seg), k=max(want * 4, want)
-        ).collect()
+        # collect() row order after a windowed projection is not
+        # contractually count-desc — sort by the explicit rank column
+        # so batch selection always walks true argmax order
+        top = sorted(
+            bpe_top_merges(
+                bpe_pair_counts(seg), k=max(want * 4, want)
+            ).collect(),
+            key=lambda r: r["rnk"],
+        )
         if not top:
             break
         batch: "list[tuple[str, str]]" = []

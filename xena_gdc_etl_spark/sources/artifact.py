@@ -58,10 +58,16 @@ def local_artifact_paths(path: str, what: str) -> "tuple[str, str]":
         # parsed.path: urlparse treats '#'/'?' as fragment/query
         # separators and would silently truncate a directory name
         # containing them (artifact paths are filesystem paths, not
-        # URL-encoded — '%20' stays literal by the same rule)
-        local = path[len("file://"):]
-        if parsed.netloc:
-            local = local[len(parsed.netloc):]
+        # URL-encoded — '%20' stays literal by the same rule).
+        # Both URI spellings must work: 'file:///x' (netloc form) AND
+        # 'file:/x' (the single-slash form Spark itself emits) — a
+        # fixed 7-char strip would turn 'file:/tmp/x' into 'mp/x'.
+        if path.startswith("file://"):
+            local = path[len("file://"):]
+            if parsed.netloc:
+                local = local[len(parsed.netloc):]
+        else:
+            local = path[len("file:"):]
     elif parsed.scheme and len(parsed.scheme) > 1:
         # reject on the parsed scheme ALONE: 'hdfs:/nn/idx' (single
         # slash) parses with scheme='hdfs' but contains no '://', and a

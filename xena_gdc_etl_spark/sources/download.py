@@ -20,6 +20,7 @@ behind an import-try.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 from collections.abc import Callable, Iterator
@@ -268,6 +269,11 @@ def download_files(
                             if attempt == 1:
                                 raise
                     os.replace(tmp, path)  # atomic: no truncated landings
+                    # a zombie/speculative attempt killed mid-write never
+                    # reaches its own unlink handler — sweep ITS orphans
+                    # for this target now that a complete copy landed
+                    for stale in glob.glob(glob.escape(path) + ".part.*"):
+                        _unlink_quiet(stale)
                     digest = h.hexdigest()
                     ok = None if expected is None else digest == expected
                     rows.append((uuid, path, n, digest, ok, None))

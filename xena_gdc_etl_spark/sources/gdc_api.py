@@ -46,9 +46,10 @@ def search_payload(
     caller). ``expand`` mirrors the reference's field-group expansion
     (gdc.py:279,286: comma-joined into the ``expand`` param). ``method``
     is validated like the reference (gdc.py:288-296): the SAME payload
-    dict serves as the POST form body or the GET query-string params —
-    requests stringifies the int size/from either way — so the caller
-    picks ``requests.post(url, data=payload)`` or
+    dict serves as the POST JSON body or the GET query-string params —
+    ``filters`` is pre-encoded as a JSON string so it survives either
+    transport verbatim — so the caller picks
+    ``requests.post(url, json=payload)`` (what ``fetch_table`` does) or
     ``requests.get(url, params=payload)``."""
     if endpoint not in VALID_ENDPOINTS:
         raise ValueError(f"endpoint must be one of {VALID_ENDPOINTS}")
