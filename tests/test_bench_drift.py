@@ -151,3 +151,51 @@ def test_stdout_line_carries_host_factor():
     # omitted (not null) when probes were unavailable
     line2 = json.loads(b._stdout_line(t, 1.6, 0.1, {}, host_factor=None))
     assert "host_factor_vs_gate" not in line2
+
+
+# ---- gate-record provenance guard (_resolve_detail_name) ----
+
+
+def test_lower_trials_run_diverts_from_gate_record(tmp_path):
+    """A trials=2 run must NOT overwrite a committed trials=3 gate
+    record (round-16 incident) — it diverts to a t-suffixed sidecar."""
+    import json
+
+    b = _load_bench()
+    b.SF_DIR = "/root/testdata/sf0.1"  # gate-scale run
+    (tmp_path / "bench_detail.json").write_text(json.dumps({"trials": 3}))
+    assert (
+        b._resolve_detail_name(0.1, 2, str(tmp_path))
+        == "bench_detail_t2.json"
+    )
+    # equal or higher trials may replace the record (fresher wins)
+    assert b._resolve_detail_name(0.1, 3, str(tmp_path)) == "bench_detail.json"
+    assert b._resolve_detail_name(0.1, 4, str(tmp_path)) == "bench_detail.json"
+
+
+def test_guard_ignores_missing_or_unstamped_records(tmp_path):
+    import json
+
+    b = _load_bench()
+    b.SF_DIR = "/root/testdata/sf0.1"
+    # no record at all → write the gate record
+    assert b._resolve_detail_name(0.1, 2, str(tmp_path)) == "bench_detail.json"
+    # corrupt record → nothing adjudicable lost, overwrite allowed
+    (tmp_path / "bench_detail.json").write_text("{not json")
+    assert b._resolve_detail_name(0.1, 2, str(tmp_path)) == "bench_detail.json"
+    # unstamped (pre-guard) record → any stamped run may replace it
+    (tmp_path / "bench_detail.json").write_text(json.dumps({"value": 1.0}))
+    assert b._resolve_detail_name(0.1, 2, str(tmp_path)) == "bench_detail.json"
+
+
+def test_guard_never_applies_off_gate_scale(tmp_path):
+    import json
+
+    b = _load_bench()
+    b.SF_DIR = "/root/testdata/sf0.01"
+    (tmp_path / "bench_detail.json").write_text(json.dumps({"trials": 3}))
+    # non-gate SF has its own sidecar; the guard is gate-record-only
+    assert (
+        b._resolve_detail_name(0.01, 2, str(tmp_path))
+        == "bench_detail_sf0.01.json"
+    )
