@@ -388,3 +388,42 @@ def test_both_paths_emit_identical_schema_order(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, sharded.collect())
     )
+
+
+def test_rolling_benign_skew_takes_plain_window(spark):
+    """The skew probe: many uniform groups and a frame over the sample
+    cap — no group is anywhere near a shard width, so the plain
+    per-group window (one shuffle, one sort) is chosen over the
+    tail-carry machinery. Results are bitwise-identical either way;
+    this pins the PHYSICAL choice."""
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    rows = [(f"g{i % 100}", i % 7) for i in range(2000)]
+    out = group_rolling(
+        _df(spark, rows, 5), ["g"], ["k"], "v", "roll",
+        agg="avg", preceding=3, num_shards=8, sample_cap=64,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan and "__shard" not in plan
+    got = {r.k: r.roll for r in out.collect()}
+    assert got == _rolling_reference(rows, 3, "avg")
+
+
+def test_rolling_hot_key_still_sharded(spark):
+    """One group owning half the rows trips the skew probe: the
+    tail-carry path engages (the plain window would funnel the hot
+    group through one task at scale) and still matches the reference."""
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    rows = [
+        ("hot", i % 7) if i % 2 == 0 else (f"g{i % 50}", i % 7)
+        for i in range(2000)
+    ]
+    out = group_rolling(
+        _df(spark, rows, 5), ["g"], ["k"], "v", "roll",
+        agg="avg", preceding=3, num_shards=8, sample_cap=64,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan
+    got = {r.k: r.roll for r in out.collect()}
+    assert got == _rolling_reference(rows, 3, "avg")

@@ -114,19 +114,31 @@ def _sample_boundaries(
     descs: list[bool],
     num_shards: int,
     sample_cap: int,
-) -> "tuple[list[tuple], bool]":
+    n_group: int = 0,
+) -> "tuple[list[tuple], bool, float]":
     """One bounded job: a deterministic uniform sample (the ``sample_cap``
     smallest ``xxhash64`` values — a content hash, so the sample is
     independent of physical partitioning) of the composite key, sorted by
     sort position on the driver; every ``n/num_shards``-th key becomes a
     shard boundary. Boundary PLACEMENT only affects balance, never results.
 
-    Returns ``(boundaries, fits_one_task)``. The sample doubles as a free
-    row-count probe: when it comes back with fewer than ``sample_cap``
-    rows, the WHOLE frame has fewer than ``sample_cap`` rows — provably
-    small enough for a single window task — so callers skip the
-    shard/offsets machinery entirely (identical results, fewer jobs). At
-    scale the sample always fills the cap and the sharded path engages.
+    Returns ``(boundaries, fits_one_task, hot_frac)``. The sample doubles
+    as a free row-count probe: when it comes back with fewer than
+    ``sample_cap`` rows, the WHOLE frame has fewer than ``sample_cap``
+    rows — provably small enough for a single window task — so callers
+    skip the shard/offsets machinery entirely (identical results, fewer
+    jobs). At scale the sample always fills the cap and the sharded path
+    engages.
+
+    ``hot_frac`` (0.0 unless ``n_group > 0``) is the sampled fraction of
+    the LARGEST group — the first ``n_group`` key columns are the group
+    key — giving callers a free skew probe: when even the hottest group
+    is smaller than a shard width, the plain per-group window is already
+    as balanced as the sharded machinery and callers can skip it. At
+    cap=8192 the estimate's noise is far below the 1/num_shards decision
+    thresholds in use (a truly shard-spanning group is many σ above),
+    and a miss costs one oversized-but-bounded window task, never a
+    wrong answer.
     """
     names = [f"__k{i}" for i in range(len(key_cols))]
     keyed = df.select(*[c.alias(n) for c, n in zip(key_cols, names)])
@@ -140,7 +152,7 @@ def _sample_boundaries(
     )
     fits_one_task = len(rows) < sample_cap
     if not rows or fits_one_task:
-        return [], fits_one_task
+        return [], fits_one_task, 1.0 if rows else 0.0
 
     def cmp_rows(ra, rb) -> int:
         for i, d in enumerate(descs):
@@ -151,12 +163,24 @@ def _sample_boundaries(
 
     rows.sort(key=functools.cmp_to_key(cmp_rows))
     n = len(rows)
+    hot_frac = 0.0
+    if n_group > 0:
+        # rows are sorted with the group prefix leading, so the largest
+        # group is the longest run of equal prefixes
+        run = best = 1
+        for i in range(1, n):
+            if tuple(rows[i][:n_group]) == tuple(rows[i - 1][:n_group]):
+                run += 1
+            else:
+                run = 1
+            best = max(best, run)
+        hot_frac = best / n
     bounds = []
     for i in range(1, num_shards):
         idx = (i * n) // num_shards
         if 0 < idx < n:
             bounds.append(tuple(rows[idx]))
-    return bounds, False
+    return bounds, False, hot_frac
 
 
 def _pos_eq(col: Column, bval: Any) -> Column:
@@ -251,7 +275,7 @@ def group_prefix_sum(
     boundaries: list[tuple] = []
     fits_one_task = num_shards <= 1
     if num_shards > 1:
-        boundaries, fits_one_task = _sample_boundaries(
+        boundaries, fits_one_task, _ = _sample_boundaries(
             df, key_cols, descs, num_shards, sample_cap
         )
     if fits_one_task or num_shards <= 1:
@@ -438,14 +462,26 @@ def group_rolling(
     descs = [False] * len(gcols) + [d for _, d in specs]
     boundaries: list[tuple] = []
     fits_one_task = num_shards <= 1
+    hot_frac = 1.0
     if num_shards > 1:
-        boundaries, fits_one_task = _sample_boundaries(
-            df, key_cols, descs, num_shards, sample_cap
+        boundaries, fits_one_task, hot_frac = _sample_boundaries(
+            df, key_cols, descs, num_shards, sample_cap,
+            n_group=len(group_cols),
         )
-    if fits_one_task or num_shards <= 1:
-        # Row-count probe proved the frame fits one window task (or the
-        # caller asked for one shard): the plain bounded-frame window is
-        # bitwise-identical and skips the tail-carry machinery.
+    if fits_one_task or num_shards <= 1 or hot_frac * num_shards <= 1.0:
+        # Three ways the plain per-group window is already the right
+        # physical plan — all with BITWISE-identical results (bounded
+        # sliding frames recompute per row, so same frame contents in the
+        # same order ⇒ same arithmetic on both paths):
+        #   * the row-count probe proved the frame fits one window task;
+        #   * the caller asked for one shard;
+        #   * the skew probe shows even the LARGEST group is at most a
+        #     shard width (hot_frac ≤ 1/num_shards), so partitioning by
+        #     group alone is as balanced as the tail-carry machinery —
+        #     one shuffle + one sort instead of three scans and five
+        #     exchanges. The sharded path below is strictly for the
+        #     degenerate hot key it was built for; a benign corpus never
+        #     pays its constant.
         w = (
             Window.partitionBy(*group_cols)
             .orderBy(*[c.desc() if d else c.asc() for c, d in specs])
@@ -479,8 +515,14 @@ def group_rolling(
     # row_number cut — bounded by num_shards² (a config constant, e.g.
     # ~3M rows for ONE group at 1000 shards × preceding=3), never by the
     # group's row count, which is the bound that matters at web scale.
+    # Derived from TAILS, not from a distinct over the full frame: every
+    # nonempty (shard, group) slice contributes at least one tail row
+    # whenever preceding ≥ 1 (and with preceding = 0 both forms yield an
+    # empty ctx — no frame reaches back), so the sets are identical while
+    # the distinct shuffles a tails-sized frame instead of re-scanning
+    # and re-shuffling the whole input.
     targets = (
-        staged.select(F.col(_SHARD).alias("__tshard"), *group_cols)
+        tails.select(F.col(_SHARD).alias("__tshard"), *group_cols)
         .distinct()
         .where(F.col("__tshard") > 0)
     )
