@@ -1,4 +1,5 @@
-"""In-engine BPE tokenizer training + encoding, end to end.
+"""In-engine BPE tokenizer training + encoding + sequence packing,
+end to end — the full tokenizer story a training-data pipeline runs:
 
     raw documents
       → word frequencies        (one partial-agg groupBy — the vocab frame)
@@ -8,7 +9,10 @@
       → bpe_encode              (rank-priority subword tokenization; the
                                  Python merge loop touches only DISTINCT
                                  words, the token stream is join+flatten)
-      → subword corpus stats    (tokens/doc, total subword count)
+      → sequence_pack           (per-source greedy packing of the SUBWORD
+                                 counts into fixed token budgets via the
+                                 sharded prefix scan — no per-source
+                                 window task)
 
 Everything corpus-sized stays in DataFrames; the driver holds the merge
 list (a few KB at any vocabulary size).
@@ -22,20 +26,26 @@ import os
 import sys
 
 
-def main() -> None:
-    sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+def tokenize_and_pack(
+    spark,
+    sf_dir: str,
+    n_merges: int = 32,
+    pack_budget: int = 256,
+    merges_per_round: int = 4,
+):
+    """Train a BPE vocab on the corpus, encode every document with it,
+    and pack the encoded lengths into fixed-size sequences.
+
+    Returns ``(merges, packed)`` where ``packed`` has one row per doc:
+    (doc_id, source, n_subwords, pack_id, pack_offset). Pack geometry is
+    over the TRAINED subword counts — the number that actually fills a
+    training batch — not whitespace token counts.
+    """
     from pyspark.sql import functions as F
 
     from xena_gdc_etl_spark.operators.bpe import bpe_encode, bpe_train
+    from xena_gdc_etl_spark.operators.prefix import group_prefix_sum
     from xena_gdc_etl_spark.operators.text import WS_RE
-    from xena_gdc_etl_spark.session import get_spark
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    spark = get_spark(app_name="bpe-train")
-    spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wf = (
@@ -49,23 +59,60 @@ def main() -> None:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    merges, _seg = bpe_train(wf, n_merges, merges_per_round=4)
-    print(f"learned {len(merges)} merges; first 10: {merges[:10]}")
+    merges, _seg = bpe_train(wf, n_merges, merges_per_round=merges_per_round)
 
     encoded = bpe_encode(docs, merges, lowercase=True)
-    stats = encoded.select(
-        F.size("subwords").alias("n")
-    ).agg(
+    counts = encoded.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.size("subwords").cast("bigint").alias("n_subwords"),
+    )
+    cum = group_prefix_sum(
+        counts, ["source"], ["doc_id"], "n_subwords", "__cum"
+    )
+    start = F.col("__cum") - F.col("n_subwords")
+    packed = cum.select(
+        "doc_id",
+        "source",
+        "n_subwords",
+        F.floor(start / pack_budget).cast("bigint").alias("pack_id"),
+        (start % pack_budget).cast("bigint").alias("pack_offset"),
+    )
+    return merges, packed
+
+
+def main() -> None:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pyspark.sql import functions as F
+
+    from xena_gdc_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(app_name="bpe-train")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    merges, packed = tokenize_and_pack(spark, sf_dir, n_merges)
+    print(f"learned {len(merges)} merges; first 10: {merges[:10]}")
+
+    stats = packed.agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum("n").alias("subwords"),
-        F.round(F.avg("n"), 1).alias("subwords_per_doc"),
+        F.sum("n_subwords").alias("subwords"),
+        F.round(F.avg("n_subwords"), 1).alias("subwords_per_doc"),
+        (F.countDistinct("source", "pack_id")).alias("packs"),
     ).collect()[0]
     print(
         f"encoded {stats.docs} docs → {stats.subwords} subwords "
-        f"({stats.subwords_per_doc}/doc)"
+        f"({stats.subwords_per_doc}/doc) into {stats.packs} packs"
     )
-    sample = encoded.orderBy("doc_id").limit(1).collect()[0]
-    print("doc", sample.doc_id, "first 12 subwords:", sample.subwords[:12])
+    sample = packed.orderBy("doc_id").limit(3).collect()
+    for r in sample:
+        print(
+            f"doc {r.doc_id} source={r.source} n_subwords={r.n_subwords} "
+            f"pack={r.pack_id} offset={r.pack_offset}"
+        )
 
 
 if __name__ == "__main__":

