@@ -10,7 +10,11 @@ still overflow, per-query precision drops 4→3→2 decimals and finally the
 FASTEST queries are elided (with an "elided" count — never silently; the
 flagship q1 line and its end-of-run repeat always stay). The full
 4-decimal timings, including the shared-stage warm builds, are always
-written to bench_detail.json next to this script.
+written to a detail file next to this script — bench_detail.json for a
+gate-scale (sf0.1) run, an sf-suffixed sidecar otherwise, and a
+trials-suffixed sidecar when the provenance guard refuses to overwrite
+a higher-trials gate record (the stdout line then carries the actual
+"detail" filename + "guard_diverted": true).
 """
 
 from __future__ import annotations
@@ -557,6 +561,13 @@ def _stdout_line(
             # the per-row adjudication divisor (see bench_detail.json
             # for the probe series)
             payload["host_factor_vs_gate"] = host_factor
+        if detail_name is not None and detail_name != _detail_name(sf):
+            # the provenance guard diverted this run's record — say so
+            # in stdout UNCONDITIONALLY (not only on elision), or a
+            # reader correlates these numbers with a stale
+            # bench_detail.json from the higher-trials run it protected
+            payload["detail"] = detail_name
+            payload["guard_diverted"] = True
         if total_dn is not None:
             payload["value_drift_normalized"] = round(total_dn, 2)
         if with_band and moved:

@@ -199,3 +199,29 @@ def test_guard_never_applies_off_gate_scale(tmp_path):
         b._resolve_detail_name(0.01, 2, str(tmp_path))
         == "bench_detail_sf0.01.json"
     )
+
+
+def test_stdout_line_announces_guard_divert():
+    b = _load_bench()
+    line = b._stdout_line(
+        {"q1_pricing_summary": 0.3}, 0.3, 0.1,
+        detail_name="bench_detail_t2.json",
+    )
+    import json
+
+    payload = json.loads(line)
+    assert payload["detail"] == "bench_detail_t2.json"
+    assert payload["guard_diverted"] is True
+
+
+def test_stdout_line_quiet_when_record_not_diverted():
+    b = _load_bench()
+    b.SF_DIR = "/root/testdata/sf0.1"
+    line = b._stdout_line(
+        {"q1_pricing_summary": 0.3}, 0.3, 0.1,
+        detail_name="bench_detail.json",
+    )
+    import json
+
+    payload = json.loads(line)
+    assert "guard_diverted" not in payload

@@ -301,3 +301,14 @@ def test_local_artifact_paths_uri_spellings(tmp_path):
         local_artifact_paths("file://otherhost" + p, "t")
     with pytest.raises(ValueError, match="local path or file://"):
         local_artifact_paths("hdfs:/nn" + p, "t")
+
+
+def test_local_artifact_paths_uppercase_scheme(tmp_path):
+    """urlparse matches schemes case-insensitively; the prefix strip
+    must agree ('FILE://...' strips like 'file://...', never falling
+    into the single-slash branch and keeping '//netloc' in the path)."""
+    from xena_gdc_etl_spark.sources.artifact import local_artifact_paths
+
+    p = str(tmp_path / "idx")
+    assert local_artifact_paths("FILE://" + p, "t") == (p, "file://" + p)
+    assert local_artifact_paths("File:" + p, "t") == (p, "file://" + p)

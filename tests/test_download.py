@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -355,3 +356,31 @@ def test_save_ann_index_rejects_empty_codebooks(spark, tmp_path):
     # prior index still endorsed
     loaded, books, man = load_ann_index(spark, path)
     assert loaded.count() == 1 and books is None
+
+
+def test_stale_part_sweep_is_age_gated(spark, tmp_path):
+    """After a successful landing, orphaned .part files for that target
+    are swept ONLY when old enough to be provably abandoned — a fresh
+    .part (a concurrent live attempt mid-write) must survive, or its
+    os.replace would fail and record a spurious error row."""
+    def _fake_fetcher(url: str):
+        return "zz.tsv", iter([b"payload"])
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    target = os.path.join(land, "zz.tsv")
+    stale = target + ".part.999.1"
+    fresh = target + ".part.999.2"
+    for p in (stale, fresh):
+        with open(p, "wb") as fh:
+            fh.write(b"partial")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))  # abandoned two hours ago
+
+    status = download_files(
+        spark.createDataFrame([("zz",)], ["uuid"]), land,
+        fetcher=_fake_fetcher,
+    ).collect()
+    assert status[0].error is None
+    assert not os.path.exists(stale), "abandoned orphan must be swept"
+    assert os.path.exists(fresh), "a live writer's fresh .part must survive"

@@ -130,11 +130,14 @@ def _sample_boundaries(
     jobs). At scale the sample always fills the cap and the sharded path
     engages.
 
-    ``hot_frac`` (0.0 unless ``n_group > 0``) is the sampled fraction of
-    the LARGEST group — the first ``n_group`` key columns are the group
-    key — giving callers a free skew probe: when even the hottest group
-    is smaller than a shard width, the plain per-group window is already
-    as balanced as the sharded machinery and callers can skip it. At
+    ``hot_frac`` is the sampled fraction of the LARGEST group — the
+    first ``n_group`` key columns are the group key — giving callers a
+    free skew probe: when even the hottest group is smaller than a
+    shard width, the plain per-group window is already as balanced as
+    the sharded machinery and callers can skip it. With ``n_group=0``
+    (no group columns) hot_frac is 1.0: the whole frame is one "group",
+    so a caller's plain-window check must NOT conclude it fits one
+    task. At
     cap=8192 the estimate's noise is far below the 1/num_shards decision
     thresholds in use (a truly shard-spanning group is many σ above),
     and a miss costs one oversized-but-bounded window task, never a
@@ -163,7 +166,7 @@ def _sample_boundaries(
 
     rows.sort(key=functools.cmp_to_key(cmp_rows))
     n = len(rows)
-    hot_frac = 0.0
+    hot_frac = 1.0
     if n_group > 0:
         # rows are sorted with the group prefix leading, so the largest
         # group is the longest run of equal prefixes

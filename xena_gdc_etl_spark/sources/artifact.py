@@ -62,7 +62,10 @@ def local_artifact_paths(path: str, what: str) -> "tuple[str, str]":
         # Both URI spellings must work: 'file:///x' (netloc form) AND
         # 'file:/x' (the single-slash form Spark itself emits) — a
         # fixed 7-char strip would turn 'file:/tmp/x' into 'mp/x'.
-        if path.startswith("file://"):
+        # Prefix match is case-INSENSITIVE to agree with urlparse's
+        # scheme handling ('FILE://host/x' must strip like the
+        # lowercase spelling, not fall into the single-slash branch).
+        if path[:7].lower() == "file://":
             local = path[len("file://"):]
             if parsed.netloc:
                 local = local[len(parsed.netloc):]

@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
+import time
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -37,6 +38,12 @@ from pyspark.sql.types import (
 )
 
 from xena_gdc_etl_spark.sources.gdc_api import data_url
+
+# Orphaned-.part sweep age gate: a tmp file idle this long is abandoned
+# (zombie/speculative attempt killed mid-write); a live writer streams
+# chunks and keeps its mtime fresh. One hour is ~3 orders of magnitude
+# above any per-chunk gap a live HTTP stream produces.
+_STALE_PART_SECONDS = 3600
 
 # Extensions the reference recognizes (gdc.py:27 _SUPPORTED_FILE_TYPES).
 SUPPORTED_FILE_TYPES = frozenset(
@@ -271,9 +278,26 @@ def download_files(
                     os.replace(tmp, path)  # atomic: no truncated landings
                     # a zombie/speculative attempt killed mid-write never
                     # reaches its own unlink handler — sweep ITS orphans
-                    # for this target now that a complete copy landed
+                    # for this target now that a complete copy landed.
+                    # AGE-GATED: a concurrent LIVE attempt for the same
+                    # uuid (the very scenario the distinct tmp names
+                    # exist for) also has a .part here, and unlinking it
+                    # mid-write would make ITS os.replace raise and
+                    # record a spurious error row for a file that
+                    # landed. A live writer's tmp has a fresh mtime (it
+                    # is actively appending); only files idle for
+                    # >= _STALE_PART_SECONDS are provably abandoned.
+                    now = time.time()
                     for stale in glob.glob(glob.escape(path) + ".part.*"):
-                        _unlink_quiet(stale)
+                        try:
+                            old = (
+                                now - os.path.getmtime(stale)
+                                >= _STALE_PART_SECONDS
+                            )
+                        except OSError:
+                            continue  # raced away already
+                        if old:
+                            _unlink_quiet(stale)
                     digest = h.hexdigest()
                     ok = None if expected is None else digest == expected
                     rows.append((uuid, path, n, digest, ok, None))
