@@ -208,7 +208,22 @@ def _shard_expr(
     key_cols: list[Column], descs: list[bool], boundaries: list[tuple]
 ) -> Column:
     """shard(row) = number of boundaries strictly before the row's key
-    position — a monotone pure function of the row's values."""
+    position — a monotone pure function of the row's values.
+
+    The result is wrapped in ``coalesce(expr, 0)`` — a runtime no-op
+    (every branch of ``_pos_gt``/``_pos_eq`` is null-guarded, so the sum
+    is never null) that matters enormously to the OPTIMIZER: Catalyst
+    still marks the when-chains nullable, so a downstream equi-join on
+    the shard column infers an ``isnotnull(__shard)`` constraint and
+    pushes it below the projections — substituting this ENTIRE
+    expression (with the key columns themselves re-expanded) into a
+    per-row Filter that re-evaluates the whole boundary chain before
+    the projection evaluates it again, far too large for whole-stage
+    codegen. Measured on a 16M-row hot-key fixture: the inferred filter
+    made the tail-carry rolling plan ~80 s; non-nullable, ~8 s. The
+    coalesce makes the column provably non-nullable, so there is no
+    constraint to infer.
+    """
     if not boundaries:
         return F.lit(0)
     shard = F.lit(0)
@@ -217,7 +232,7 @@ def _shard_expr(
         for (col, desc), bv in reversed(list(zip(zip(key_cols, descs), bvals))):
             gt = _pos_gt(col, bv, desc) | (_pos_eq(col, bv) & gt)
         shard = shard + gt.cast("int")
-    return shard
+    return F.coalesce(shard, F.lit(0))
 
 
 def group_prefix_sum(
@@ -524,10 +539,18 @@ def group_rolling(
     # empty ctx — no frame reaches back), so the sets are identical while
     # the distinct shuffles a tails-sized frame instead of re-scanning
     # and re-shuffling the whole input.
+    #
+    # Deliberately NO ``__tshard > 0`` pre-filter: shard-0 targets are
+    # harmless (the ``__shard < __tshard`` join condition already yields
+    # zero ctx rows for them), while the filter as written gets pushed
+    # below the tails window all the way to the scan — where the
+    # optimizer SUBSTITUTES the full boundary when-chain for the shard
+    # column and evaluates it per input row, too large for whole-stage
+    # codegen (measured: +25 s on a 16M-row hot fixture; same class of
+    # blowup as the inferred isnotnull documented on _shard_expr).
     targets = (
         tails.select(F.col(_SHARD).alias("__tshard"), *group_cols)
         .distinct()
-        .where(F.col("__tshard") > 0)
     )
     # within a group the order key is total and the shard id monotone in
     # it, so ranking candidate tails by key order alone finds the global
