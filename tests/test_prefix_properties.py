@@ -427,3 +427,40 @@ def test_rolling_hot_key_still_sharded(spark):
     assert "Union" in plan
     got = {r.k: r.roll for r in out.collect()}
     assert got == _rolling_reference(rows, 3, "avg")
+
+
+def test_no_substituted_shard_filter_in_sharded_plans(spark):
+    """Round-17 regression pin (§hot-carry-r17): predicates on the
+    derived shard column must never be pushed below its Project — the
+    optimizer substitutes the FULL boundary when-chain into a per-row
+    Filter (join-inferred isnotnull, or a pre-filter pushed through a
+    window), too large for codegen (78s → 5.8s on a 16M-row fixture).
+    The shard expression is coalesce-wrapped (non-nullable) and the
+    targets frame carries no pushable pre-filter, so every Filter left
+    in the sharded plans is one of the short structural predicates."""
+    from xena_gdc_etl_spark.operators.prefix import (
+        group_prefix_sum,
+        group_rolling,
+    )
+
+    rows = [("hot", i % 7) for i in range(400)]
+    df = _df(spark, rows, 4)
+    plans = [
+        group_rolling(
+            df, ["g"], ["k"], "v", "r",
+            agg="avg", preceding=2, num_shards=8, sample_cap=16,
+        ),
+        group_prefix_sum(
+            df, ["g"], ["k"], "v", "ps", num_shards=8, sample_cap=16,
+        ),
+    ]
+    for out in plans:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__shard" in plan  # the sharded path actually engaged
+        for line in plan.split("\n"):
+            t = line.strip().lstrip(":+- *(0123456789)")
+            if t.startswith("Filter"):
+                assert len(t) < 800, (
+                    "substituted shard expression in a Filter: "
+                    + t[:200]
+                )
