@@ -464,3 +464,34 @@ def test_no_substituted_shard_filter_in_sharded_plans(spark):
                     "substituted shard expression in a Filter: "
                     + t[:200]
                 )
+
+
+def test_empty_group_cols_take_sharded_path_and_match(spark):
+    """With no group columns the whole frame is one 'group': the skew
+    probe must report hot_frac=1.0 (round-17 review finding — 0.0 would
+    route a 100M-row frame to ONE global window task), the sharded
+    machinery must handle the degenerate grouping, and values must
+    match the global window."""
+    from xena_gdc_etl_spark.operators.prefix import (
+        group_prefix_sum,
+        group_rolling,
+    )
+
+    df = _df(spark, [("a", i % 7) for i in range(300)], 3).drop("g")
+    roll = group_rolling(
+        df, [], ["k"], "v", "r",
+        agg="avg", preceding=3, num_shards=4, sample_cap=16,
+    )
+    assert "Union" in roll._jdf.queryExecution().optimizedPlan().toString()
+    w = Window.orderBy("k").rowsBetween(-3, Window.currentRow)
+    plain = df.withColumn("r", F.avg("v").over(w))
+    assert plain.exceptAll(roll).count() + roll.exceptAll(plain).count() == 0
+
+    ps = group_prefix_sum(
+        df, [], ["k"], "v", "ps", num_shards=4, sample_cap=16
+    )
+    w2 = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    plain2 = df.withColumn("ps", F.sum(F.col("v").cast("bigint")).over(w2))
+    assert plain2.exceptAll(ps).count() + ps.exceptAll(plain2).count() == 0
