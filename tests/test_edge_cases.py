@@ -399,6 +399,45 @@ def test_containment_pairs_quote_detection(spark):
     assert out[(1, 3)].n_common == 0 and out[(1, 3)].containment_a == 0.0
 
 
+def test_containment_strategies_identical(spark):
+    """'join' (row-bounded shuffles, the monster-doc-safe default) and
+    'array' (collect_set + array_intersect, no pair-shingle fan-out)
+    must return IDENTICAL rows — including the shingle-less-doc pair
+    exclusion and the 0-count row for band-only collisions."""
+    from xena_gdc_etl_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "padding one. the quick brown fox jumps over the lazy dog end"),
+            (3, "zz completely unrelated zz"),
+            (4, "abc"),  # shorter than k=5: shingle-less
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "a long, b long"
+    )
+    join_rows = sorted(
+        map(tuple, containment_pairs(docs, cands, k=5).collect())
+    )
+    arr_rows = sorted(
+        map(
+            tuple,
+            containment_pairs(docs, cands, k=5, strategy="array").collect(),
+        )
+    )
+    assert join_rows == arr_rows
+    # the shingle-less pair (1,4) is excluded by BOTH strategies
+    assert all(row[:2] != (1, 4) for row in join_rows)
+    assert len(join_rows) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        containment_pairs(docs, cands, strategy="hash")
+
+
 def test_cell_label_purity_majority_and_ties(spark):
     """Purity = majority share; majority ties break to the smallest
     label; a pure cell scores 1.0."""

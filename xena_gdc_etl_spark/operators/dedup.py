@@ -1199,6 +1199,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    strategy: str = "join",
 ) -> DataFrame:
     """Exact shingle containment for candidate pairs (Broder 1997, "On
     the resemblance and containment of documents" — public method):
@@ -1209,19 +1210,64 @@ def containment_pairs(
 
     ``candidates`` is the (a, b) pair frame (a < b), typically LSH
     candidates — containment is only ever computed per candidate pair,
-    never all-pairs. Plan: distinct shingles once; the intersection count
-    is two hash joins (pair→a-side shingles keyed on id, then on
-    (b, shingle)) followed by a map-side-partial pair groupBy; sizes are
-    one row per doc joined back on each end. Shuffles stay keyed by doc
-    id / (id, shingle) — bounded fan-out per pair (the shorter doc's
-    shingle count), no quadratic anything. Candidate pairs whose docs
-    both HAVE shingles but share none keep a 0-count row (left join +
-    coalesce); a pair involving a SHINGLE-LESS doc (text shorter than
-    ``k`` chars — such a doc can still reach the candidate set via its
-    LSH bucket) is EXCLUDED: containment has a zero denominator there,
-    and the sizes joins are deliberately inner (the DuckDB oracle
-    mirrors this).
+    never all-pairs. Candidate pairs whose docs both HAVE shingles but
+    share none keep a 0-count row; a pair involving a SHINGLE-LESS doc
+    (text shorter than ``k`` chars — such a doc can still reach the
+    candidate set via its LSH bucket) is EXCLUDED: containment has a
+    zero denominator there (the DuckDB oracle mirrors this). Both
+    strategies return identical rows (value-pinned in tests):
+
+    - ``strategy="join"`` (default): distinct shingles once; the
+      intersection count is two hash joins (pair→a-side shingles keyed
+      on id, then on (b, shingle)) followed by a map-side-partial pair
+      groupBy; sizes join back on each end. Every shuffled ROW is one
+      (id, shingle) — bounded regardless of how big any single document
+      is, which is what makes this the safe default for corpora with
+      unchunked monster documents. Cost: the pair⋈shingle join
+      materializes Σ |S(a)| over the pairs (~56M intermediate rows at
+      the sf0.1 query's 28k pairs).
+    - ``strategy="array"``: one ``collect_set`` per doc, then the
+      intersection is JVM-side ``array_intersect`` on the two arrays
+      carried into each pair row — no pair×shingle fan-out at all, and
+      sizes fall out of ``size()`` for free. Measured 2.6 s → 0.9 s on
+      the sf0.1 registered query (exact string arrays — no hashing, so
+      exactness is by construction, not probabilistic). The trade: a
+      row now carries a document's whole distinct-shingle set, so
+      per-row payload is bounded by DOCUMENT size, not by a constant —
+      right for chunked/bounded corpora (this engine's pipelines chunk
+      upstream, operators/text.py chunk_documents), wrong for a corpus
+      with gigabyte documents, which is why it is opt-in.
     """
+    if strategy not in ("join", "array"):
+        raise ValueError(
+            f"strategy must be 'join' or 'array', got {strategy!r}"
+        )
+    if strategy == "array":
+        # seam the per-doc arrays (eager fill): both pair-join sides
+        # read it, and the filled cache reports ACTUAL bytes so the
+        # planner broadcasts at small scale / shuffles at corpus scale
+        # — same rationale as the join strategy's shingle seam below.
+        arr = seam(
+            shingles(docs, id_col, text_col, k=k, distinct=True)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("__sh"))
+        )
+        a_arr = arr.select(F.col(id_col).alias("a"), F.col("__sh").alias("__ha"))
+        b_arr = arr.select(F.col(id_col).alias("b"), F.col("__sh").alias("__hb"))
+        common = F.size(F.array_intersect("__ha", "__hb"))
+        return (
+            candidates.join(a_arr, "a")
+            .join(b_arr, "b")
+            .select(
+                "a",
+                "b",
+                common.cast("bigint").alias("n_common"),
+                F.size("__ha").cast("bigint").alias("n_a"),
+                F.size("__hb").cast("bigint").alias("n_b"),
+                F.round(common / F.size("__ha"), 6).alias("containment_a"),
+                F.round(common / F.size("__hb"), 6).alias("containment_b"),
+            )
+        )
     # Three consumers read the distinct-shingle frame (sizes + both join
     # sides); share it via an EAGERLY-FILLED persist. Why this exact
     # shape (measured at the §sf10 100× lane):
