@@ -91,7 +91,15 @@ def _resolve_detail_name(sf: float, trials: int, base_dir: str) -> str:
             prior = json.load(fh).get("trials", 0)
     except (OSError, ValueError):
         return name
-    if isinstance(prior, int) and prior > trials:
+    # numeric, not just int: a record whose "trials" was re-serialized as
+    # 3.0 (hand edit, json round-trip through a float-producing tool) must
+    # still block a lower-trials overwrite — the exact incident the guard
+    # exists for. bool is excluded (it is an int subclass but not a count).
+    if (
+        isinstance(prior, (int, float))
+        and not isinstance(prior, bool)
+        and prior > trials
+    ):
         return f"bench_detail_t{trials}.json"
     return name
 

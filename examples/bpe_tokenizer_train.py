@@ -9,10 +9,10 @@ end to end — the full tokenizer story a training-data pipeline runs:
       → bpe_encode              (rank-priority subword tokenization; the
                                  Python merge loop touches only DISTINCT
                                  words, the token stream is join+flatten)
-      → sequence_pack           (per-source greedy packing of the SUBWORD
-                                 counts into fixed token budgets via the
-                                 sharded prefix scan — no per-source
-                                 window task)
+      → sequence_pack           (per-source CONTIGUOUS chunk layout of the
+                                 SUBWORD counts into fixed token budgets
+                                 via the sharded prefix scan — no
+                                 per-source window task)
 
 Everything corpus-sized stays in DataFrames; the driver holds the merge
 list (a few KB at any vocabulary size).
@@ -40,6 +40,15 @@ def tokenize_and_pack(
     (doc_id, source, n_subwords, pack_id, pack_offset). Pack geometry is
     over the TRAINED subword counts — the number that actually fills a
     training batch — not whitespace token counts.
+
+    Layout contract: this is a CONTIGUOUS chunk layout (pack_id/pack_offset
+    from floor/mod of the running prefix sum), not boundary-respecting
+    packing — a document may straddle pack boundaries
+    (pack_offset + n_subwords > pack_budget spills into pack_id + 1), and
+    a doc longer than the budget spans several packs. Consumers must
+    treat pack_id as "where the doc STARTS", not whole-doc containment;
+    a loader that needs intact docs per batch should split on the
+    straddle rows downstream.
     """
     from pyspark.sql import functions as F
 

@@ -97,7 +97,12 @@ def main() -> None:
             sharded = group_rolling(
                 df, ["g"], ["k"], "v", "r", agg="avg", preceding=3
             )
-            diff = plain.exceptAll(sharded).count()
+            # symmetric: one direction only proves containment and leans
+            # on an unasserted equal-row-count assumption (ADVICE r17)
+            diff = (
+                plain.exceptAll(sharded).count()
+                + sharded.exceptAll(plain).count()
+            )
             row["parity_diff_rows"] = diff
             assert diff == 0, "sharded != plain on the hot fixture"
         for name in ("sharded", "plain"):

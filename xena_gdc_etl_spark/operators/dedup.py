@@ -193,17 +193,22 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     # ids is ascending, so pairing each element with its suffix gives a < b.
+    # Expansion as TWO stacked explodes (posexplode the members, explode
+    # each member's suffix slice) instead of one nested
+    # transform/slice/flatten higher-order expression: Catalyst never
+    # compiles lambda functions — the HOF form expanded every pair through
+    # interpreted per-element closures, which made the hottest bucket's
+    # single expansion task the stage straggler (measured 2.2× the
+    # generator form at sf0.1, round 18). Both Generate nodes run in
+    # whole-stage codegen and emit exactly the same (a, b) multiset.
     return (
-        grouped.select(
+        grouped.select(F.col("ids"), F.posexplode("ids").alias("__i", "a"))
+        .select(
+            "a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
+                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+            ).alias("b"),
         )
-        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -882,24 +887,36 @@ def simhash_pairs(
     )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # Expansion as two stacked codegen explodes + a codegen Filter instead
+    # of the nested transform/filter/flatten higher-order expression —
+    # same rationale as lsh_candidate_pairs (lambdas stay interpreted
+    # forever; generators compile), same output. The Hamming verify still
+    # runs INLINE in the expansion stage, before the distinct's shuffle:
+    # the Filter sits directly on the Generate output inside one
+    # whole-stage-codegen span, so near-miss collisions still never leave
+    # the expansion task. a != b: duplicate ids with DIFFERING
+    # fingerprints (dirty ingest) occupy two struct entries in one
+    # bucket; the old join-back plan could never emit a self-pair, so the
+    # inline verify must not either.
     return (
-        grouped.select(
+        grouped.select(F.col("ids"), F.posexplode("ids").alias("__i", "__x"))
+        .select(
+            "__x",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " filter(transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x.i AS a, y.i AS b,"
-                    " CAST(bit_count(x.f ^ y.f) AS BIGINT) AS hamming)),"
-                    # a != b: duplicate ids with DIFFERING fingerprints
-                    # (dirty ingest) occupy two struct entries in one
-                    # bucket; the old join-back plan could never emit a
-                    # self-pair, so the inline verify must not either
-                    f" p -> p.hamming <= {int(max_distance)}"
-                    " AND p.a != p.b)))"
-                )
-            ).alias("p")
+                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+            ).alias("__y"),
         )
-        .select("p.a", "p.b", "p.hamming")
+        .select(
+            F.col("__x.i").alias("a"),
+            F.col("__y.i").alias("b"),
+            F.bit_count(F.col("__x.f").bitwiseXOR(F.col("__y.f")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(
+            (F.col("hamming") <= F.lit(int(max_distance)))
+            & (F.col("a") != F.col("b"))
+        )
         .distinct()
     )
 

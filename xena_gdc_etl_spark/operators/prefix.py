@@ -40,6 +40,7 @@ the cluster.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window
@@ -61,6 +62,51 @@ _OFF = "__shard_offset"
 # Boundary sample size: enough for balanced shards at any realistic shard
 # count while keeping the driver merge trivially bounded.
 _DEFAULT_SAMPLE_CAP = 8192
+
+# group_rolling crossover: below this many input rows the PLAIN per-group
+# window beats tail-carry even with a genuinely shard-spanning hot group —
+# the bounded frame recomputes per row, so the hot straggler costs
+# O(hot_rows · preceding) while tail-carry pays a ~4-5 s constant (three
+# scans, five exchanges). §hot-carry-r17/r18 measured plain faster at
+# 1M/4M/16M on a 40 %-hot fixture and tail-carry winning from ~2× that;
+# the default sits at the measured break-even. Env-overridable for
+# clusters whose constant differs.
+_CARRY_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CARRY_MIN_ROWS", str(24_000_000))
+)
+# Plan-size estimate above which the row-count probe is SKIPPED and
+# tail-carry engages directly: a frame this big is beyond any plausible
+# crossover, and the probe (one column-pruned count pass) would be the
+# only full scan a 100 TB input pays for a decision that is already
+# obvious. Sized ~10× a worst-case 24M-row frame of fat rows.
+_CARRY_COUNT_SKIP_BYTES = int(
+    os.environ.get(
+        "SPARK_GRAFT_CARRY_COUNT_SKIP_BYTES", str(32 * 1024**3)
+    )
+)
+
+
+def _below_carry_crossover(df: DataFrame, min_rows: int) -> bool:
+    """True when ``df`` provably holds fewer than ``min_rows`` rows — the
+    regime where the plain window beats tail-carry even on a hot group.
+
+    Two tiers, cheapest first: Catalyst's plan-only size estimate rules
+    out obviously-huge frames without running anything (no probe job at
+    web scale); only frames under the skip threshold pay one
+    column-pruned ``count()`` job — in the regime where it runs, that
+    scan is a small fraction of the tail-carry constant it can save.
+    A wrong verdict is a routing miss, never a wrong answer: both paths
+    are bitwise-identical (see group_rolling's routing comment).
+    """
+    from xena_gdc_etl_spark.operators.partitioning import (
+        SIZE_UNKNOWN_SENTINEL,
+        estimated_size_bytes,
+    )
+
+    size = estimated_size_bytes(df)
+    if _CARRY_COUNT_SKIP_BYTES <= size < SIZE_UNKNOWN_SENTINEL:
+        return False
+    return df.count() < min_rows
 
 OrderSpec = "Column | str | tuple[Column | str, str]"
 
@@ -486,8 +532,13 @@ def group_rolling(
             df, key_cols, descs, num_shards, sample_cap,
             n_group=len(group_cols),
         )
-    if fits_one_task or num_shards <= 1 or hot_frac * num_shards <= 1.0:
-        # Three ways the plain per-group window is already the right
+    if (
+        fits_one_task
+        or num_shards <= 1
+        or hot_frac * num_shards <= 1.0
+        or _below_carry_crossover(df, _CARRY_MIN_ROWS)
+    ):
+        # Four ways the plain per-group window is already the right
         # physical plan — all with BITWISE-identical results (bounded
         # sliding frames recompute per row, so same frame contents in the
         # same order ⇒ same arithmetic on both paths):
@@ -499,7 +550,13 @@ def group_rolling(
         #     one shuffle + one sort instead of three scans and five
         #     exchanges. The sharded path below is strictly for the
         #     degenerate hot key it was built for; a benign corpus never
-        #     pays its constant.
+        #     pays its constant;
+        #   * the frame is below the measured plain-vs-carry crossover
+        #     (_CARRY_MIN_ROWS, §hot-carry-r18): even a 40 %-hot group
+        #     funnelled through one bounded-frame window task costs less
+        #     than tail-carry's three-scan constant at this size. The
+        #     crossover check is ordered LAST so the probe job only runs
+        #     when a hot group actually spans shards.
         w = (
             Window.partitionBy(*group_cols)
             .orderBy(*[c.desc() if d else c.asc() for c, d in specs])

@@ -4368,8 +4368,19 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = _shared_doc_tf(spark, sf_dir)
     uni = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
-    n_uni = uni.agg(F.sum("c").alias("__nu"))
-    n_bi = bi.agg(F.sum("c_ab").alias("__nb"))
+    # Scalar totals derived from the CACHED tf frame instead of
+    # re-aggregating uni / re-running the bigram explode+groupBy subtree
+    # a second time (the r17 plan evaluated `bi` twice — once for the
+    # join, once just to sum it; 11 exchanges → 7, round 18):
+    #   Σ c over uni            == Σ tf                    (same integers)
+    #   Σ c_ab over bi          == Σ_docs max(len(toks)-1, 0)
+    #                           == Σ tf − count(distinct doc_id)
+    # (every doc present in tf has ≥ 1 token, so each contributes
+    # len−1; zero-token docs are absent and contribute 0 to both sides).
+    n_uni = tf.agg(F.sum("tf").alias("__nu"))
+    n_bi = tf.agg(
+        (F.sum("tf") - F.count_distinct("doc_id")).alias("__nb")
+    )
     pmi = (
         F.log(F.col("c_ab") * 1.0 / F.col("__nb"))
         - F.log(F.col("ca") * 1.0 / F.col("__nu"))
