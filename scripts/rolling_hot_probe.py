@@ -105,11 +105,20 @@ def main() -> None:
             )
             row["parity_diff_rows"] = diff
             assert diff == 0, "sharded != plain on the hot fixture"
-        for name in ("sharded", "plain"):
+        # "sharded" FORCES tail-carry (carry_min_rows=0) so the lane keeps
+        # measuring the machinery itself; "routed" is what the default
+        # router actually picks at this size (the §hot-carry-r18
+        # crossover: plain below _CARRY_MIN_ROWS, tail-carry above).
+        for name in ("sharded", "plain", "routed"):
             best = float("inf")
             for trial in range(2):
                 t0 = time.perf_counter()
                 if name == "sharded":
+                    out = group_rolling(
+                        df, ["g"], ["k"], "v", "r", agg="avg", preceding=3,
+                        carry_min_rows=0,
+                    )
+                elif name == "routed":
                     out = group_rolling(
                         df, ["g"], ["k"], "v", "r", agg="avg", preceding=3
                     )
@@ -119,6 +128,13 @@ def main() -> None:
                         .rowsBetween(-3, Window.currentRow)
                     )
                     out = df.withColumn("r", F.avg("v").over(w))
+                if name == "routed" and trial == 0:
+                    plan = (
+                        out._jdf.queryExecution().optimizedPlan().toString()
+                    )
+                    row["routed_plan"] = (
+                        "tail-carry" if "__shard" in plan else "plain"
+                    )
                 out.write.format("noop").mode("overwrite").save()
                 sec = round(time.perf_counter() - t0, 3)
                 best = min(best, sec)
@@ -127,6 +143,16 @@ def main() -> None:
                     "sec": sec, "rows": n,
                 }), flush=True)
             row[name] = best
+        # the router must have picked the faster physical plan — unless
+        # the two are within 1.3x (shared-host noise), where either
+        # choice is fine: the §hot-carry-r18 ask
+        lo, hi = sorted((row["sharded"], row["plain"]))
+        faster_plan = (
+            "tail-carry" if row["sharded"] <= row["plain"] else "plain"
+        )
+        row["router_ok"] = (
+            row["routed_plan"] == faster_plan or hi / max(lo, 1e-9) < 1.3
+        )
         results[label] = row
         with open(out_path, "w") as fh:
             json.dump({

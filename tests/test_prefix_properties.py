@@ -422,6 +422,7 @@ def test_rolling_hot_key_still_sharded(spark):
     out = group_rolling(
         _df(spark, rows, 5), ["g"], ["k"], "v", "roll",
         agg="avg", preceding=3, num_shards=8, sample_cap=64,
+        carry_min_rows=0,
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" in plan
@@ -449,6 +450,7 @@ def test_no_substituted_shard_filter_in_sharded_plans(spark):
         group_rolling(
             df, ["g"], ["k"], "v", "r",
             agg="avg", preceding=2, num_shards=8, sample_cap=16,
+            carry_min_rows=0,
         ),
         group_prefix_sum(
             df, ["g"], ["k"], "v", "ps", num_shards=8, sample_cap=16,
@@ -481,6 +483,7 @@ def test_empty_group_cols_take_sharded_path_and_match(spark):
     roll = group_rolling(
         df, [], ["k"], "v", "r",
         agg="avg", preceding=3, num_shards=4, sample_cap=16,
+        carry_min_rows=0,
     )
     assert "Union" in roll._jdf.queryExecution().optimizedPlan().toString()
     w = Window.orderBy("k").rowsBetween(-3, Window.currentRow)
@@ -495,3 +498,37 @@ def test_empty_group_cols_take_sharded_path_and_match(spark):
     )
     plain2 = df.withColumn("ps", F.sum(F.col("v").cast("bigint")).over(w2))
     assert plain2.exceptAll(ps).count() + ps.exceptAll(plain2).count() == 0
+
+
+def test_rolling_crossover_routes_midsize_hot_to_plain(spark):
+    """§hot-carry-r18: a hot group that SPANS shards but whose frame is
+    below the measured plain-vs-carry crossover must take the plain
+    window (the tail-carry constant loses below ~_CARRY_MIN_ROWS), with
+    identical values. carry_min_rows=0 on the same frame still forces
+    tail-carry — the routing knob, not the results, is what changed."""
+    from xena_gdc_etl_spark.operators.prefix import group_rolling
+
+    rows = [
+        ("hot", i % 7) if i % 2 == 0 else (f"g{i % 50}", i % 7)
+        for i in range(2000)
+    ]
+    df = _df(spark, rows, 5)
+    routed = group_rolling(
+        df, ["g"], ["k"], "v", "roll",
+        agg="avg", preceding=3, num_shards=8, sample_cap=64,
+    )
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan and "__shard" not in plan
+    forced = group_rolling(
+        df, ["g"], ["k"], "v", "roll",
+        agg="avg", preceding=3, num_shards=8, sample_cap=64,
+        carry_min_rows=0,
+    )
+    assert "Union" in forced._jdf.queryExecution().optimizedPlan().toString()
+    got = {r.k: r.roll for r in routed.collect()}
+    assert got == _rolling_reference(rows, 3, "avg")
+    assert (
+        routed.exceptAll(forced).count()
+        + forced.exceptAll(routed).count()
+        == 0
+    )

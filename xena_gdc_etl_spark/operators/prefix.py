@@ -477,10 +477,16 @@ def group_rolling(
     preceding: int = 3,
     num_shards: int | None = None,
     sample_cap: int = _DEFAULT_SAMPLE_CAP,
+    carry_min_rows: int | None = None,
 ) -> DataFrame:
     """Per-group rolling aggregate over ``ROWS BETWEEN preceding PRECEDING
     AND CURRENT ROW`` — without ever running a whole group through one
     window task.
+
+    ``carry_min_rows``: plain-vs-tail-carry crossover override (None →
+    the measured module default ``_CARRY_MIN_ROWS``); 0 forces the
+    tail-carry machinery whenever a hot group spans shards — the
+    fixture/probe knob, both paths being bitwise-identical.
 
     A plain ``avg(v) OVER (PARTITION BY g ORDER BY k ROWS 3 PRECEDING)``
     is fine while groups are human-sized, but a degenerate hot key (a bot
@@ -532,11 +538,16 @@ def group_rolling(
             df, key_cols, descs, num_shards, sample_cap,
             n_group=len(group_cols),
         )
+    if carry_min_rows is None:
+        carry_min_rows = _CARRY_MIN_ROWS
     if (
         fits_one_task
         or num_shards <= 1
         or hot_frac * num_shards <= 1.0
-        or _below_carry_crossover(df, _CARRY_MIN_ROWS)
+        or (
+            carry_min_rows > 0
+            and _below_carry_crossover(df, carry_min_rows)
+        )
     ):
         # Four ways the plain per-group window is already the right
         # physical plan — all with BITWISE-identical results (bounded
