@@ -206,7 +206,7 @@ def bpe_encode(
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toks = docs.select(
         F.col(id_col),
-        F.filter(F.split(text, WS_RE), lambda t: t != F.lit("")).alias(
+        F.array_remove(F.split(text, WS_RE), "").alias(
             "__words"
         ),
     )

@@ -1087,16 +1087,19 @@ def ngram_contamination(
     never shuffles. Docs with fewer than ``n`` tokens yield no grams and are
     absent from the result.
     """
-    from xena_gdc_etl_spark.operators.text import _tokens, word_ngrams
+    from xena_gdc_etl_spark.operators.text import _tokens, ngram_structs
 
     def grams(df: DataFrame) -> DataFrame:
         # _spread: documents are compact on disk — without the pre-explode
         # repartition the tokenize+explode runs at scan parallelism.
+        # ngram_structs (codegen tuples), not word_ngrams (interpreted
+        # string join): grams are internal keys here, never output, and
+        # tuple equality == string equality.
         return _spread(df).select(
             F.col(id_col),
-            F.explode(word_ngrams(_tokens(F.lower(F.col(text_col))), n)).alias(
-                "gram"
-            ),
+            F.explode(
+                ngram_structs(_tokens(F.lower(F.col(text_col))), n)
+            ).alias("gram"),
         ).distinct()
 
     test_grams = grams(test).select("gram").distinct().withColumn(
@@ -1151,7 +1154,7 @@ def dup_span_stats(
     Docs with fewer than ``n`` tokens yield no grams and are absent,
     matching the oracle.
     """
-    from xena_gdc_etl_spark.operators.text import _tokens, word_ngrams
+    from xena_gdc_etl_spark.operators.text import _tokens, ngram_structs
 
     # Two consumers read the gram frame (the posting aggregation and the
     # join probe — different subtree shapes, so exchange reuse does not
@@ -1159,13 +1162,14 @@ def dup_span_stats(
     # distinct stage runs once AND the planner sees the frame's ACTUAL
     # size (see containment_pairs: both lazy localCheckpoint and an
     # unfilled cache hide the explode fan-out and bait corpus-sized
-    # broadcasts).
+    # broadcasts). Grams are codegen tuples (ngram_structs), not joined
+    # strings: internal keys only, tuple distinct == string distinct.
     grams = seam(
         _spread(docs).select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(
-                    word_ngrams(_tokens(F.lower(F.col(text_col))), n)
+                    ngram_structs(_tokens(F.lower(F.col(text_col))), n)
                 )
             ).alias("gram"),
         )

@@ -48,7 +48,13 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _tokens(text_col: Column) -> Column:
-    return F.filter(F.split(text_col, WS_RE), lambda t: t != "")
+    # array_remove, not filter(t != ""): identical output on split()
+    # arrays (split never yields nulls, and both forms drop exactly the
+    # empty strings), but array_remove is a regular codegen expression
+    # while lambda-bearing filter stays interpreted per element forever —
+    # this runs per token over the whole corpus in every text query
+    # (measured ~25% off a tokenize+aggregate stage at sf0.1, round 18).
+    return F.array_remove(F.split(text_col, WS_RE), "")
 
 
 def token_counts(
@@ -166,6 +172,24 @@ def lang_scores(
     # reversed + overwrite-on-match gives the lexicographically FIRST
     # max-scoring language precedence.
     return out.withColumn("predicted_lang", pred)
+
+
+def ngram_structs(tokens: Column, n: int) -> Column:
+    """Array of n-consecutive-token TUPLES (``array<struct>``) — the
+    codegen twin of :func:`word_ngrams` for consumers that never need
+    the joined string: built from ``arrays_zip`` over ``n`` shifted
+    slices, a regular expression the whole-stage compiler handles, where
+    the string form's per-gram ``transform``+``slice``+``array_join``
+    lambda stays interpreted forever (measured 6.4× slower building
+    trigrams at sf0.1, round 18). Tuple equality == joined-string
+    equality (tokens cannot contain whitespace), so distinct counts and
+    group/join keys agree exactly with the string form; recover the
+    string with ``concat_ws(" ", g["0"], ..)`` after an explode when an
+    output needs it. ``greatest(…, 0)`` guards short docs (a negative
+    slice length throws); all-empty slices zip to an empty array.
+    """
+    stop = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(tokens, i + 1, stop) for i in range(n)])
 
 
 def word_ngrams(tokens: Column, n: int) -> Column:
@@ -302,10 +326,12 @@ def repetition_scores(
     CollapseProject leaves the staging in place because the aliases are
     non-cheap and multiply referenced.
     """
+    # __bigrams as codegen tuples (ngram_structs): only sizes and the
+    # distinct count are consumed, and tuple distinct == string distinct.
     staged = docs.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
     ).select(
-        id_col, "__toks", word_ngrams(F.col("__toks"), 2).alias("__bigrams")
+        id_col, "__toks", ngram_structs(F.col("__toks"), 2).alias("__bigrams")
     )
     n_words = F.size("__toks")
     n_bigrams = F.size("__bigrams")
@@ -520,10 +546,14 @@ def bigram_logprob_scores(
     aggregate-sized frames. Documents with fewer than 2 tokens have no
     bigrams and drop out — both engines agree by construction.
     """
+    # bg is a codegen TUPLE key (ngram_structs), not the joined
+    # string: it never reaches the output, tuple equality == string
+    # equality, and the head word is a field access instead of a
+    # split_part re-parse.
     bigrams = _spread(docs).select(
         F.col(id_col),
         F.explode(
-            word_ngrams(_tokens(F.lower(F.col(text_col))), 2)
+            ngram_structs(_tokens(F.lower(F.col(text_col))), 2)
         ).alias("bg"),
     )
     # Three consumers read the (id, bg, tf2) frame (c2 rollup, the join
@@ -538,13 +568,13 @@ def bigram_logprob_scores(
     )
     c2 = tf2.groupBy("bg").agg(F.sum("tf2").alias("c2"))
     c1 = (
-        c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        c2.groupBy(F.col("bg")["0"].alias("w1"))
         .agg(F.sum("c2").alias("c1"))
     )
     nll = F.col("tf2") * (F.log(F.col("c1")) - F.log(F.col("c2")))
     return (
         tf2.join(c2, "bg")
-        .join(c1, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"))
+        .join(c1, F.col("bg")["0"] == F.col("w1"))
         .groupBy(id_col)
         .agg(
             F.sum("tf2").cast("bigint").alias("n_bigrams"),
@@ -1241,8 +1271,8 @@ def content_defined_chunks(
     row. Hash is the md5-prefix fold used by the minhash family, so the
     oracle reproduces it exactly.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), WS_RE), lambda t: t != ""
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), WS_RE), ""
     )
     staged = docs.select(
         F.col(id_col), toks.alias("__toks")

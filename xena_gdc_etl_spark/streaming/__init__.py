@@ -472,8 +472,8 @@ def streaming_bm25_score(
     # codegen subexpression elimination to avoid |Q|+1 re-tokenizations)
     tok_df = docs.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), WS_RE), lambda x: x != ""
+        F.array_remove(
+            F.split(F.lower(F.col(text_col)), WS_RE), ""
         ).alias("__toks"),
     )
     dl = F.size("__toks").cast("double")

@@ -255,7 +255,7 @@ def _shared_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.size(F.filter(F.split(F.col("text"), WS_RE), lambda t: t != ""))
+        F.size(F.array_remove(F.split(F.col("text"), WS_RE), ""))
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -2218,7 +2218,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
-    toks = F.filter(F.split(F.col("text"), WS_RE), lambda t: t != "")
+    toks = F.array_remove(F.split(F.col("text"), WS_RE), "")
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
@@ -4348,21 +4348,27 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators.text import WS_RE
 
     docs = Catalog(spark, sf_dir).documents
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), WS_RE), lambda x: x != ""
+    toks = F.array_remove(
+        F.split(F.lower(F.col("text")), WS_RE), ""
     )
     staged = docs.select(toks.alias("__toks")).filter(
         F.size("__toks") >= 2
     )
+    # arrays_zip, not zip_with-with-lambda: same (tok_a, tok_b) stream,
+    # but arrays_zip is a regular codegen expression while lambda bodies
+    # stay interpreted per element (the round-18 ngram_structs finding;
+    # size >= 2 is already guaranteed by the filter above, so the slice
+    # lengths are never negative).
     pairs = staged.select(
         F.explode(
-            F.zip_with(
+            F.arrays_zip(
                 F.slice("__toks", 1, F.size("__toks") - 1),
                 F.slice("__toks", 2, F.size("__toks") - 1),
-                lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
             )
         ).alias("p")
-    ).select("p.tok_a", "p.tok_b")
+    ).select(
+        F.col("p")["0"].alias("tok_a"), F.col("p")["1"].alias("tok_b")
+    )
     bi = pairs.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).alias("c_ab")
     )
