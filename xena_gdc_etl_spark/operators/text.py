@@ -126,9 +126,12 @@ def quality_scores(
     n_toks, punct_ratio, stop_ratio = raw_quality_ratios(
         text_col, toks=toks
     )
-    mean_word_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    ) / F.greatest(n_toks, F.lit(1))
+    # length(array_join) == Σ length(token) (no separator), and the
+    # join+length pair is codegen where the aggregate-fold lambda stays
+    # interpreted per token (round-18 HOF sweep)
+    mean_word_len = F.length(F.array_join(toks, "")) / F.greatest(
+        n_toks, F.lit(1)
+    )
     score = (
         F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
         + (1 - punct_ratio) * 0.3
@@ -290,9 +293,10 @@ def quality_filter(
     )
     toks = F.col("__toks")
     n_words = F.size(toks)
-    mean_wlen = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    ) / F.greatest(n_words, F.lit(1))
+    # codegen Σ-of-lengths: see quality_scores' mean_word_len note
+    mean_wlen = F.length(F.array_join(toks, "")) / F.greatest(
+        n_words, F.lit(1)
+    )
     dup_frac = 1 - F.size(F.array_distinct(toks)) / F.greatest(
         n_words, F.lit(1)
     )
