@@ -1090,6 +1090,27 @@ def test_simhash_pairs_match_blocks_equivalence(spark):
                          match_blocks=2)
 
 
+def test_simhash_pairs_expansion_routing(spark):
+    """Pair expansion routes by bucket profile: combination banding
+    (match_blocks > 1, keyspace >> N so buckets are tiny) keeps the
+    single flatten/transform expression; the saturated-key one-band
+    profile uses the two-Generate codegen expansion (measured faster on
+    big buckets, round 18). Both are correctness-pinned against brute
+    force above; this pins the routing so a refactor can't silently
+    collapse the branches."""
+    df = spark.createDataFrame(
+        [(0, 7), (1, 7)], "doc_id bigint, simhash bigint"
+    )
+    manku = dd.simhash_pairs(
+        df, bits=64, bands=6, max_distance=3, match_blocks=3
+    )._jdf.queryExecution().executedPlan().toString()
+    classic = dd.simhash_pairs(
+        df, bits=64, bands=4, max_distance=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in manku and "lambdafunction" in manku
+    assert "posexplode" in classic and "lambdafunction" not in classic
+
+
 def test_sq_l2_topk_exact_and_dup_id_safe(spark):
     """sq_l2_topk == brute-force (rounded d2 asc, id asc) top-k with
     self-matches excluded, including a duplicated query id in the corpus
