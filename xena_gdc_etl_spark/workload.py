@@ -2695,16 +2695,24 @@ def incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_df = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
-    u = ev_df.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    # EVERY stage scans only its candidate event type — including the view
+    # stage: the oracle's u-frame carries a NULL t1 for view-less users,
+    # but those users contribute nothing to any funnel count (c already
+    # required t1 IS NOT NULL, p chains off c, and count() skips NULLs),
+    # so filtering them out before the groupBy is result-identical
+    # (equality-checked + oracle-hash-verified, round 18) and lets
+    # EqualTo(event_type,view) reach the parquet scan instead of
+    # aggregating the whole table for a per-user min over one type.
+    u = (
+        ev_df.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
     )
-    # each stage re-scans only the candidate event type, joined against the
-    # (user, threshold) frame of the previous stage — the `ts > t_prev`
-    # predicate drops users whose threshold is null, exactly like the
-    # oracle's null-propagating WHERE
+    # the `ts > t_prev` predicate drops users whose threshold is null,
+    # exactly like the oracle's null-propagating WHERE
     c = (
         ev_df.where(F.col("event_type") == "click")
-        .join(u.where(F.col("t1").isNotNull()), "user_id")
+        .join(u, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
