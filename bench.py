@@ -493,6 +493,37 @@ _PINNED = (
     "pack_stats",
     "quality_buckets",
 )
+# STABLE elision set (round 19): eliding "fastest-first" made the elided
+# set rotate with per-run speed ordering, so a cross-round stdout diff
+# manufactured dropped/new lines for queries that merely crossed the
+# elision boundary (21 rows needed hand adjudication in round 18). The
+# fix is determinism, additions-only: queries NOT in this keep list —
+# exactly the stdout set of the round-18 driver run, i.e. the lines a
+# cross-round diff already has a baseline for — are elided FIRST, in
+# alphabetical order; only if the budget still overflows do keep-list
+# members elide (alphabetically, _PINNED always last). Every elided
+# line remains in bench_detail.json at full precision.
+_STDOUT_KEEP = frozenset(
+    {
+        "ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq", "ann_pq_recall_eval",
+        "ann_recall_eval", "bigram_lm_score", "cdc_chunks",
+        "chunk_dedup_rate", "chunk_documents", "containment_pairs",
+        "contamination", "cooccurrence_pmi", "cosine_topk",
+        "dedup_clusters", "dedup_keep_best", "dedup_simhash",
+        "dup_cluster_stats", "dup_spans", "incremental_keep_decisions",
+        "incremental_lsh_probe", "kmeans_round", "lang_id",
+        "leakage_safe_split", "lm_score", "ngram_jaccard", "pack_stats",
+        "passage_dedup", "postprocess_dedup", "q1_end_repeat",
+        "q1_pricing_summary", "quality_buckets", "quality_filter",
+        "quality_logreg", "range_join", "sample_matrix", "semantic_dedup",
+        "sequence_pack", "shared_ivf_warm", "shared_lsh_pairs_warm",
+        "shared_pack_warm", "shared_pairs_warm", "shared_signatures_warm",
+        "shared_tf_warm", "simhash_pairs", "simhash_pairs_manku",
+        "snv_placeholder_filter", "snv_vaf", "source_jsd", "suffix_dup",
+        "vocab_overlap", "winnow_contamination", "winnow_fingerprint",
+        "xena_eql",
+    }
+)
 
 
 def _stdout_line(
@@ -562,6 +593,11 @@ def _stdout_line(
             "value": round(total, 2),
             "unit": "sec",
             "queries": {k: round(t[k], digits) for k in ordered},
+            # total lines timed THIS run (incl. warm builds + the q1
+            # repeat) — lets a stdout-diff reader distinguish "query
+            # removed from the registry" from "query elided from the
+            # line" without opening the detail file
+            "n_queries_total": len(timings),
             "sf": sf,
         }
         if host_factor is not None:
@@ -594,10 +630,14 @@ def _stdout_line(
         line = render(timings, 0, digits, with_band=True)
         if len(line) <= _LINE_BUDGET:
             return line
-    # Elide fastest-first (least signal), keeping the flagship pair; the
-    # count + detail pointer make the cut auditable.
+    # Elide in the STABLE order (see _STDOUT_KEEP): non-keep queries
+    # first, keep-list members only if the budget still overflows —
+    # alphabetical within each class so the elided SET cannot rotate
+    # with per-run speed ordering; the count + detail pointer make the
+    # cut auditable.
     order = sorted(
-        (k for k in timings if k not in _PINNED), key=lambda k: timings[k]
+        (k for k in timings if k not in _PINNED),
+        key=lambda k: (k in _STDOUT_KEEP, k),
     )
     kept = dict(timings)
     for i, victim in enumerate(order, start=1):

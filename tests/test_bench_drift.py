@@ -225,3 +225,41 @@ def test_stdout_line_quiet_when_record_not_diverted():
 
     payload = json.loads(line)
     assert "guard_diverted" not in payload
+
+
+# ---- stable stdout elision (round 19) ----
+
+
+def test_elision_set_is_stable_across_speed_orderings():
+    """The elided SET must not rotate with per-run speed ordering: two
+    runs whose only difference is which queries happened to be fastest
+    elide the same names (non-keep first, alphabetical), so a
+    cross-round stdout diff never manufactures dropped/new lines."""
+    import json
+
+    b = _load_bench()
+    keep = sorted(b._STDOUT_KEEP)[:20]
+    extra = [f"zz_extra_{i:02d}" for i in range(20)]
+    run1 = {k: 1.0 + i * 0.01 for i, k in enumerate(keep + extra)}
+    run2 = {k: 2.0 - i * 0.01 for i, k in enumerate(keep + extra)}
+    run1["q1_pricing_summary"] = run2["q1_pricing_summary"] = 0.3
+    full = b._stdout_line(run1, 50.0, 0.1, {})
+    os.environ["SPARK_GRAFT_LINE_BUDGET"] = str(len(full) - 200)
+    try:
+        b2 = _load_bench()
+        kept1 = set(json.loads(b2._stdout_line(run1, 50.0, 0.1, {}))["queries"])
+        kept2 = set(json.loads(b2._stdout_line(run2, 50.0, 0.1, {}))["queries"])
+    finally:
+        del os.environ["SPARK_GRAFT_LINE_BUDGET"]
+    assert kept1 == kept2  # identical SET despite opposite speed order
+    # non-keep names elide before any keep-list member
+    assert all(k in kept1 for k in keep)
+
+
+def test_stdout_line_carries_n_queries_total():
+    import json
+
+    b = _load_bench()
+    t = {"q1_pricing_summary": 0.3, "x": 1.0, "q1_end_repeat": 0.3}
+    line = json.loads(b._stdout_line(t, 1.6, 0.1, {}))
+    assert line["n_queries_total"] == 3
