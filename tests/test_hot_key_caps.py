@@ -162,3 +162,47 @@ def test_cosine_dup_pairs_block_sharding_exact(spark):
     assert want  # non-vacuous: nearby angles pass the threshold
     for bs in (3, 7, 19):
         assert rows(bs) == want, bs
+
+
+def test_containment_array_cap_excludes_only_over_limit_docs(spark):
+    # doc 0: long text (many distinct 5-shingles); docs 1-2: short texts
+    texts = [
+        " ".join(f"tok{i:03d}" for i in range(40)),  # > 60 distinct shingles
+        "shared quote body here",
+        "shared quote body here too",
+    ]
+    docs = docs_df(spark, texts)
+    cands = spark.createDataFrame(
+        [(0, 1), (1, 2)], ["a", "b"]
+    )
+    uncapped = dd.containment_pairs(
+        docs, cands, k=5, strategy="array"
+    ).collect()
+    capped = dd.containment_pairs(
+        docs, cands, k=5, strategy="array", max_shingles_per_doc=60
+    ).collect()
+    # pair (0,1) vanishes with the over-cap doc 0; (1,2) survives
+    # byte-identical to the uncapped run
+    assert {(r.a, r.b) for r in uncapped} == {(0, 1), (1, 2)}
+    assert [(r.a, r.b) for r in capped] == [(1, 2)]
+    uncapped_12 = [r for r in uncapped if (r.a, r.b) == (1, 2)]
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped_12))
+
+
+def test_containment_array_cap_none_is_uncapped(spark):
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta epsilon"]
+    docs = docs_df(spark, texts)
+    cands = spark.createDataFrame([(0, 1)], ["a", "b"])
+    assert sorted(
+        map(
+            tuple,
+            dd.containment_pairs(docs, cands, k=5, strategy="array").collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            dd.containment_pairs(
+                docs, cands, k=5, strategy="array", max_shingles_per_doc=None
+            ).collect(),
+        )
+    )

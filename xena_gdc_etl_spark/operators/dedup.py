@@ -1245,6 +1245,11 @@ def dup_span_stats(
     )
 
 
+# One cap-configured notice per process (INFO) — same discipline as
+# similarity._CAP_NOTICE_LOGGED.
+_CONTAINMENT_CAP_LOGGED = False
+
+
 def containment_pairs(
     docs: DataFrame,
     candidates: DataFrame,
@@ -1252,6 +1257,7 @@ def containment_pairs(
     text_col: str = "text",
     k: int = 5,
     strategy: str = "join",
+    max_shingles_per_doc: int | None = None,
 ) -> DataFrame:
     """Exact shingle containment for candidate pairs (Broder 1997, "On
     the resemblance and containment of documents" — public method):
@@ -1289,6 +1295,14 @@ def containment_pairs(
       right for chunked/bounded corpora (this engine's pipelines chunk
       upstream, operators/text.py chunk_documents), wrong for a corpus
       with gigabyte documents, which is why it is opt-in.
+      ``max_shingles_per_doc`` is the array strategy's payload cap: a
+      doc whose DISTINCT shingle count exceeds it is EXCLUDED from
+      pairing (the same exclusion class as shingle-less docs — its
+      pairs vanish rather than its array OOMing an executor), with a
+      one-time INFO notice naming the knob; ``None`` (default, the
+      registered config) caps nothing and is plan-identical to the
+      uncapped round-17 form. Ignored by the join strategy, whose rows
+      are constant-width by construction.
     """
     if strategy not in ("join", "array"):
         raise ValueError(
@@ -1299,11 +1313,29 @@ def containment_pairs(
         # read it, and the filled cache reports ACTUAL bytes so the
         # planner broadcasts at small scale / shuffles at corpus scale
         # — same rationale as the join strategy's shingle seam below.
-        arr = seam(
+        arr_src = (
             shingles(docs, id_col, text_col, k=k, distinct=True)
             .groupBy(id_col)
             .agg(F.collect_set("shingle").alias("__sh"))
         )
+        if max_shingles_per_doc is not None:
+            global _CONTAINMENT_CAP_LOGGED
+            if not _CONTAINMENT_CAP_LOGGED:
+                _CONTAINMENT_CAP_LOGGED = True
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "containment_pairs: max_shingles_per_doc=%d "
+                    "configured — docs over the cap are excluded from "
+                    "pairing (their candidate pairs are dropped, not "
+                    "mis-scored); the default (None) carries every "
+                    "doc's full distinct-shingle array",
+                    max_shingles_per_doc,
+                )
+            arr_src = arr_src.filter(
+                F.size("__sh") <= max_shingles_per_doc
+            )
+        arr = seam(arr_src)
         a_arr = arr.select(F.col(id_col).alias("a"), F.col("__sh").alias("__ha"))
         b_arr = arr.select(F.col(id_col).alias("b"), F.col("__sh").alias("__hb"))
         common = F.size(F.array_intersect("__ha", "__hb"))
