@@ -135,3 +135,26 @@ def test_bad_mean_path_rejected(spark):
     cents = _centroids(spark, 4, k=2)
     with pytest.raises(ValueError, match="mean_path"):
         sim.ivf_train_step(vecs, cents, dim=4, mean_path="vectorized").collect()
+
+
+def test_auto_threshold_is_row_count_aware(spark):
+    # measured crossover anchors (ivf_mean_dim_probe.json): ≈160 at 2k
+    # rows, 320 at 100k rows, log-interpolated between. d=192 sits
+    # between the anchors, so the SAME dim routes arrow on a small frame
+    # (threshold 160) and column on a larger one (threshold > 192).
+    d = 192
+    cents = _centroids(spark, d, k=2)
+    small = sim.ivf_train_step(_vectors(spark, d, rows=16), cents, dim=d)
+    big = sim.ivf_train_step(_vectors(spark, d, rows=100_000), cents, dim=d)
+    assert "FlatMapGroupsInPandas" in small._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" not in big._jdf.queryExecution().toString()
+
+
+def test_arrow_mean_min_dim_anchored_and_clamped():
+    # clamped at the measured anchors, monotone between them
+    assert sim._arrow_mean_min_dim(1) == 160.0
+    assert sim._arrow_mean_min_dim(2_000) == 160.0
+    assert sim._arrow_mean_min_dim(100_000) == 320.0
+    assert sim._arrow_mean_min_dim(10**9) == 320.0
+    mid = sim._arrow_mean_min_dim(14_142)  # geometric midpoint
+    assert 235 < mid < 245

@@ -713,7 +713,80 @@ def ivf_topk(
 # real embedding widths to the partial path; the two paths are
 # equivalence-pinned at d=64 and the plan shapes are pinned at d=512
 # (tests/test_trainer_mean_path.py).
+#
+# The crossover is ROW-COUNT-dependent (ivf_mean_dim_probe.json, round
+# 18/19): the column path's fixed codegen/compile premium amortizes over
+# rows while the Arrow path's per-row boundary cost does not, so the
+# break-even dim RISES with the row count — measured ≈160 at 2k rows and
+# between 256 (column wins) and 384 (arrow wins) at 100k rows. "auto"
+# interpolates log-linearly between those measured anchors from the
+# PLAN-ONLY size estimate (no probe job — same posture as spread());
+# frames with unknown Catalyst stats fall back to this dim-only
+# constant. Anchors are clamped, never extrapolated: beyond 100k rows
+# the threshold stays at the largest measured value — the plan-size
+# cliff argument for Arrow at real embedding widths is unchanged.
 IVF_MEAN_ARROW_MIN_DIM = 256
+_MEAN_CROSSOVER_ANCHORS = ((2_000, 160.0), (100_000, 320.0))
+
+
+def _arrow_mean_min_dim(n_rows_est: int) -> float:
+    """Measured break-even dim for the cell-mean Arrow path at an
+    estimated row count (see the crossover note above)."""
+    import math
+
+    (r0, d0), (r1, d1) = _MEAN_CROSSOVER_ANCHORS
+    if n_rows_est <= r0:
+        return d0
+    if n_rows_est >= r1:
+        return d1
+    frac = (math.log(n_rows_est) - math.log(r0)) / (
+        math.log(r1) - math.log(r0)
+    )
+    return d0 + frac * (d1 - d0)
+
+
+def _catalyst_row_bytes(schema) -> int:
+    """Catalyst's defaultSize of one row of ``schema`` — the divisor
+    that converts a plan size estimate into a row-count estimate.
+    Mirrors DataType.defaultSize: fixed-width types their width,
+    strings 20, ARRAYS ONE ELEMENT (Catalyst cannot see lengths, which
+    is exactly why bytes/(8·dim) is the wrong divisor for vector
+    frames). Exact for local relations (whose stats are rows ×
+    defaultSize); for parquet scans the file-bytes estimate then
+    OVERcounts rows (real vector rows are far wider than defaultSize),
+    which only clamps the threshold at the big-rows anchor — the safe
+    direction at scale."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        StructType,
+    )
+
+    def one(dt) -> int:
+        if isinstance(dt, (ByteType, BooleanType)):
+            return 1
+        if isinstance(dt, ShortType):
+            return 2
+        if isinstance(dt, (IntegerType, FloatType)):
+            return 4
+        if isinstance(dt, (LongType, DoubleType)):
+            return 8
+        if isinstance(dt, StringType):
+            return 20
+        if isinstance(dt, ArrayType):
+            return one(dt.elementType)
+        if isinstance(dt, StructType):
+            return sum(one(f.dataType) for f in dt.fields)
+        return 8
+
+    return max(1, sum(one(f.dataType) for f in schema.fields))
 
 
 def _cell_mean_agg(
@@ -743,7 +816,18 @@ def _cell_mean_agg(
       per cell, k cells total).
     """
     if mean_path == "auto":
-        mean_path = "arrow" if dim > IVF_MEAN_ARROW_MIN_DIM else "column"
+        threshold: float = IVF_MEAN_ARROW_MIN_DIM
+        if dim > 0:
+            from xena_gdc_etl_spark.operators.partitioning import (
+                SIZE_UNKNOWN_SENTINEL,
+                estimated_size_bytes,
+            )
+
+            size = estimated_size_bytes(assigned)
+            if size < SIZE_UNKNOWN_SENTINEL:
+                rows_est = size // _catalyst_row_bytes(assigned.schema)
+                threshold = _arrow_mean_min_dim(max(1, rows_est))
+        mean_path = "arrow" if dim > threshold else "column"
     if mean_path == "column":
         return (
             assigned.groupBy(centroid_id)
