@@ -505,14 +505,32 @@ def test_rolling_crossover_routes_midsize_hot_to_plain(spark):
     below the measured plain-vs-carry crossover must take the plain
     window (the tail-carry constant loses below ~_CARRY_MIN_ROWS), with
     identical values. carry_min_rows=0 on the same frame still forces
-    tail-carry — the routing knob, not the results, is what changed."""
+    tail-carry — the routing knob, not the results, is what changed.
+
+    The routed frame is built from ``spark.range`` so Catalyst stats are
+    KNOWN (Range → Project propagates a real sizeInBytes): since the r19
+    ADVICE fix, the router treats UNKNOWN stats as huge (skip probe,
+    keep tail-carry) — the last assertion pins that contract on the same
+    logical rows from an RDD-backed ``createDataFrame`` source."""
     from xena_gdc_etl_spark.operators.prefix import group_rolling
 
     rows = [
         ("hot", i % 7) if i % 2 == 0 else (f"g{i % 50}", i % 7)
         for i in range(2000)
     ]
-    df = _df(spark, rows, 5)
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(
+                F.concat(F.lit("g"), (F.col("id") % 50).cast("string"))
+            )
+            .alias("g"),
+            (F.col("id") % 7).alias("v"),
+        )
+        .repartition(5)
+    )
     routed = group_rolling(
         df, ["g"], ["k"], "v", "roll",
         agg="avg", preceding=3, num_shards=8, sample_cap=64,
@@ -532,3 +550,10 @@ def test_rolling_crossover_routes_midsize_hot_to_plain(spark):
         + forced.exceptAll(routed).count()
         == 0
     )
+    # Unknown Catalyst stats (RDD-backed source) cannot prove the frame
+    # small: no count probe, tail-carry stands (ADVICE r19).
+    unknown = group_rolling(
+        _df(spark, rows, 5), ["g"], ["k"], "v", "roll",
+        agg="avg", preceding=3, num_shards=8, sample_cap=64,
+    )
+    assert "Union" in unknown._jdf.queryExecution().optimizedPlan().toString()

@@ -95,16 +95,24 @@ def _below_carry_crossover(df: DataFrame, min_rows: int) -> bool:
     web scale); only frames under the skip threshold pay one
     column-pruned ``count()`` job — in the regime where it runs, that
     scan is a small fraction of the tail-carry constant it can save.
-    A wrong verdict is a routing miss, never a wrong answer: both paths
-    are bitwise-identical (see group_rolling's routing comment).
+    Note the probe is an eager job at plan-build time: on expensive
+    uncached lineage it evaluates the upstream once per call. A wrong
+    verdict is a routing miss, never a wrong answer: both paths are
+    bitwise-identical (see group_rolling's routing comment).
+
+    UNKNOWN Catalyst stats (sizeInBytes = Long.Max default — JDBC/RDD
+    sources) count as huge, exactly like _spread's treatment: the skip
+    exists to never probe-scan something web-scale, and an unknown size
+    cannot prove the frame small. Streaming inputs skip the probe too
+    (count() would throw) and keep tail-carry.
     """
     from xena_gdc_etl_spark.operators.partitioning import (
-        SIZE_UNKNOWN_SENTINEL,
         estimated_size_bytes,
     )
 
-    size = estimated_size_bytes(df)
-    if _CARRY_COUNT_SKIP_BYTES <= size < SIZE_UNKNOWN_SENTINEL:
+    if df.isStreaming:
+        return False
+    if estimated_size_bytes(df) >= _CARRY_COUNT_SKIP_BYTES:
         return False
     return df.count() < min_rows
 

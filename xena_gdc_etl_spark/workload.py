@@ -4391,6 +4391,11 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     #                           == Σ tf − count(distinct doc_id)
     # (every doc present in tf has ≥ 1 token, so each contributes
     # len−1; zero-token docs are absent and contribute 0 to both sides).
+    # The identity assumes doc_id uniquely identifies a document row —
+    # the Catalog's contract, oracle-verified for the registered data.
+    # Duplicate doc_ids (dirty ingest) would merge in tf and make __nb
+    # read len1+len2−1 instead of (len1−1)+(len2−1); an ingest-robust
+    # variant would derive Σ greatest(len−1, 0) per row instead.
     n_uni = tf.agg(F.sum("tf").alias("__nu"))
     n_bi = tf.agg(
         (F.sum("tf") - F.count_distinct("doc_id")).alias("__nb")
