@@ -28,7 +28,9 @@ from xena_gdc_etl_spark.sources.xena_tsv import read_xena_tsv, write_xena_tsv
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(*args: str, timeout: int = 240) -> subprocess.CompletedProcess:
+def run_cli_subprocess(
+    *args: str, timeout: int = 240
+) -> subprocess.CompletedProcess:
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     return subprocess.run(
         [sys.executable, "-m", "xena_gdc_etl_spark.cli", *args],
@@ -38,6 +40,15 @@ def run_cli(*args: str, timeout: int = 240) -> subprocess.CompletedProcess:
         env=env,
         timeout=timeout,
     )
+
+
+def run_cli(*args: str, timeout: int = 240) -> subprocess.CompletedProcess:
+    """In-process CLI drive (see conftest.run_cli_inprocess); the real
+    ``python -m`` subprocess surface stays covered by the two
+    run_cli_subprocess smokes below."""
+    from conftest import run_cli_inprocess
+
+    return run_cli_inprocess(*args)
 
 
 def test_supported_dtypes_cover_reference_inventory():
@@ -121,7 +132,8 @@ def test_metadata_build_and_write(tmp_path):
 
 
 def test_cli_dtypes_lists_registry():
-    proc = run_cli("dtypes")
+    # real-subprocess smoke: the `python -m` entrypoint + argparse surface
+    proc = run_cli_subprocess("dtypes")
     assert proc.returncode == 0
     listed = proc.stdout.split()
     assert listed == supported_dtypes()
@@ -146,7 +158,8 @@ def test_cli_xena_eql_and_merge(spark, tmp_path):
     write_xena_tsv(long_df, m1)
     write_xena_tsv(long_df, m2)
 
-    eql = run_cli("xena-eql", m1, m2)
+    # real-subprocess smoke for the Spark-session CLI path (one JVM boot)
+    eql = run_cli_subprocess("xena-eql", m1, m2)
     assert eql.returncode == 0, eql.stderr
     assert "Equal." in eql.stdout
 

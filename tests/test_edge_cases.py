@@ -15,6 +15,58 @@ def empty_docs(spark):
     return spark.createDataFrame([], "doc_id long, text string, source string")
 
 
+def _sweep_queries(spark, data_dir, skip=(), label=None, max_workers=16):
+    """Run every registered query against ``data_dir``, concurrently.
+
+    The registry sweeps are pure completion checks (did any query raise?)
+    over 111 tiny plans — serial execution is latency-bound on ~111 job
+    round-trips, not compute. Spark's scheduler accepts concurrent
+    actions from multiple Python threads; ``list.append`` is atomic under
+    the GIL, so the failure report needs no lock. The only shared state a
+    query touches is the workload's session-scoped persist caches, whose
+    worst concurrent case is a duplicate build (check-then-set), never a
+    wrong result — and the sweep asserts completion, not values."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from xena_gdc_etl_spark.workload import QUERIES
+
+    failures = []
+
+    def run(pair):
+        name, fn = pair
+        try:
+            fn(spark, data_dir).count()
+        except Exception as e:  # noqa: BLE001 - collected for the report
+            failures.append(
+                (label, name, repr(e)[:120]) if label else (name, repr(e)[:120])
+            )
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(run, [p for p in QUERIES.items() if p[0] not in skip]))
+    return failures
+
+
+def _write_tables(spark, src, dst, transform=None, max_workers=8):
+    """Materialize a per-test fixture directory: every parquet table under
+    ``src``, optionally rewritten by ``transform(name, df) -> df``, written
+    concurrently (10 independent tiny write jobs — latency-bound)."""
+    import glob
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(dst, exist_ok=True)
+
+    def one(p):
+        name = os.path.basename(p)
+        df = spark.read.parquet(p)
+        if transform is not None:
+            df = transform(name, df)
+        df.write.mode("overwrite").parquet(os.path.join(dst, name))
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(one, glob.glob(src + "/*.parquet")))
+
+
 def test_dedup_ops_on_empty_corpus(spark):
     e = empty_docs(spark)
     assert dd.dedup_exact(e).count() == 0
@@ -460,32 +512,19 @@ def test_all_queries_survive_empty_corpus(spark, tmp_path):
     in the assign/top-k driver-side collections). The two TRAINERS are the
     deliberate exception: training on an empty corpus raises a clear
     ValueError instead of producing meaningless state."""
-    import glob
-    import os
-
     import pytest
 
     from xena_gdc_etl_spark.workload import QUERIES
 
     src = "/root/testdata/sf0.001"
     dst = str(tmp_path / "sf_empty")
-    os.makedirs(dst, exist_ok=True)
-    for p in glob.glob(src + "/*.parquet"):
-        spark.read.parquet(p).limit(0).write.mode("overwrite").parquet(
-            os.path.join(dst, os.path.basename(p))
-        )
+    _write_tables(spark, src, dst, lambda name, df: df.limit(0))
 
     trainers = {"ann_ivf_pq", "quality_logreg"}
-    failures = []
-    for name, fn in QUERIES.items():
-        if name in trainers:
-            with pytest.raises(ValueError):
-                fn(spark, dst).count()
-            continue
-        try:
-            fn(spark, dst).count()
-        except Exception as e:  # noqa: BLE001 - collecting for the report
-            failures.append((name, repr(e)[:120]))
+    for name in trainers:
+        with pytest.raises(ValueError):
+            QUERIES[name](spark, dst).count()
+    failures = _sweep_queries(spark, dst, skip=trainers)
     assert not failures, failures
 
 
@@ -494,19 +533,12 @@ def test_all_queries_survive_null_payloads(spark, tmp_path):
     crash any registered query (round-9 sweep found the whole embedding
     family dying on np.stack of None). Null vectors/payloads are DROPPED
     at operator entrances — SQL-aggregate null semantics."""
-    import glob
-    import os
-
     from pyspark.sql import functions as F
-
-    from xena_gdc_etl_spark.workload import QUERIES
 
     src = "/root/testdata/sf0.001"
     dst = str(tmp_path / "sf_nulls")
-    os.makedirs(dst, exist_ok=True)
-    for p in glob.glob(src + "/*.parquet"):
-        name = os.path.basename(p)
-        df = spark.read.parquet(p)
+
+    def nullify(name, df):
         if name == "documents.parquet":
             df = df.withColumn(
                 "text", F.when(F.col("doc_id") % 2 == 0, F.col("text"))
@@ -516,14 +548,10 @@ def test_all_queries_survive_null_payloads(spark, tmp_path):
                 "embedding",
                 F.when(F.col("vec_id") % 2 == 0, F.col("embedding")),
             )
-        df.write.mode("overwrite").parquet(os.path.join(dst, name))
+        return df
 
-    failures = []
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, dst).count()
-        except Exception as e:  # noqa: BLE001 - collecting for the report
-            failures.append((name, repr(e)[:120]))
+    _write_tables(spark, src, dst, nullify)
+    failures = _sweep_queries(spark, dst)
     assert not failures, failures
 
 
@@ -535,9 +563,6 @@ def test_all_queries_survive_one_row_and_unicode(spark, tmp_path):
     joiners, single-char and empty-but-not-null strings. The one
     documented exception: the IVF-PQ trainer needs >= n_cells vectors
     and says so."""
-    import glob
-    import os
-
     import pytest
     from pyspark.sql import functions as F
 
@@ -545,24 +570,14 @@ def test_all_queries_survive_one_row_and_unicode(spark, tmp_path):
 
     src = "/root/testdata/sf0.001"
     one = str(tmp_path / "sf_one")
-    os.makedirs(one, exist_ok=True)
-    for p in glob.glob(src + "/*.parquet"):
-        spark.read.parquet(p).limit(1).write.mode("overwrite").parquet(
-            os.path.join(one, os.path.basename(p))
-        )
-    failures = []
-    for name, fn in QUERIES.items():
-        if name == "ann_ivf_pq":
-            with pytest.raises(ValueError, match="need at least"):
-                fn(spark, one).count()
-            continue
-        try:
-            fn(spark, one).count()
-        except Exception as e:  # noqa: BLE001
-            failures.append(("one-row", name, repr(e)[:120]))
+    _write_tables(spark, src, one, lambda name, df: df.limit(1))
+    with pytest.raises(ValueError, match="need at least"):
+        QUERIES["ann_ivf_pq"](spark, one).count()
+    failures = _sweep_queries(
+        spark, one, skip={"ann_ivf_pq"}, label="one-row"
+    )
 
     uni = str(tmp_path / "sf_uni")
-    os.makedirs(uni, exist_ok=True)
     evil = [
         "héllo wörld é́ combining",
         "emoji \U0001F600\U0001F680 mixed ascii",
@@ -573,9 +588,7 @@ def test_all_queries_survive_one_row_and_unicode(spark, tmp_path):
         "a",
         "",
     ]
-    for p in glob.glob(src + "/*.parquet"):
-        name = os.path.basename(p)
-        df = spark.read.parquet(p)
+    def evilize(name, df):
         if name == "documents.parquet":
             n = len(evil)
             df = df.withColumn(
@@ -588,12 +601,10 @@ def test_all_queries_survive_one_row_and_unicode(spark, tmp_path):
                     ),
                 ).otherwise(F.col("text")),
             ).withColumn("n_chars", F.length("text").cast("long"))
-        df.write.mode("overwrite").parquet(os.path.join(uni, name))
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, uni).count()
-        except Exception as e:  # noqa: BLE001
-            failures.append(("unicode", name, repr(e)[:120]))
+        return df
+
+    _write_tables(spark, src, uni, evilize)
+    failures += _sweep_queries(spark, uni, label="unicode")
     assert not failures, failures
 
 
@@ -603,19 +614,12 @@ def test_all_queries_survive_hot_keys_and_null_keys(spark, tmp_path):
     LSH buckets, hot content hash). Every registered query must complete
     — the hot-key-safe plans (sharded windows, bucket caps, salting) are
     exactly what this exercises. Clean at introduction (round-9 sweep)."""
-    import glob
-    import os
-
     from pyspark.sql import functions as F
-
-    from xena_gdc_etl_spark.workload import QUERIES
 
     src = "/root/testdata/sf0.001"
     dst = str(tmp_path / "sf_skew")
-    os.makedirs(dst, exist_ok=True)
-    for p in glob.glob(src + "/*.parquet"):
-        name = os.path.basename(p)
-        df = spark.read.parquet(p)
+
+    def skewify(name, df):
         if name == "events.parquet":
             df = df.withColumn(
                 "user_id",
@@ -636,14 +640,10 @@ def test_all_queries_survive_hot_keys_and_null_keys(spark, tmp_path):
                     F.lit("the same boilerplate template text repeated " * 4),
                 ).otherwise(F.col("text")),
             ).withColumn("n_chars", F.length("text").cast("long"))
-        df.write.mode("overwrite").parquet(os.path.join(dst, name))
+        return df
 
-    failures = []
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, dst).count()
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, repr(e)[:120]))
+    _write_tables(spark, src, dst, skewify)
+    failures = _sweep_queries(spark, dst)
     assert not failures, failures
 
 

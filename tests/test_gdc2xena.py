@@ -9,8 +9,6 @@ from __future__ import annotations
 import glob
 import json
 import os
-import subprocess
-import sys
 
 from pyspark.sql import functions as F
 
@@ -97,18 +95,17 @@ def test_gdc2xena_delete_raw_data(spark, tmp_path):
     assert os.path.exists(results[0].path)
 
 
-def test_gdc2xena_cli_subprocess(spark, tmp_path):
+def test_gdc2xena_cli_end_to_end(spark, tmp_path):
+    from conftest import run_cli_inprocess
+
     root = str(tmp_path / "cli_batch")
     _write_fixture_root(
         spark, root, ["TCGA-XXX", "TCGA-YYY"],
         skip=(("TCGA-YYY", "survival"),),
     )
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    proc = subprocess.run(
-        [sys.executable, "-m", "xena_gdc_etl_spark.cli", "gdc2xena",
-         "-r", root, "-p", "TCGA-XXX", "TCGA-YYY",
-         "-t", "star_counts", "survival"],
-        capture_output=True, text=True, cwd=REPO, env=env, timeout=240,
+    proc = run_cli_inprocess(
+        "gdc2xena", "-r", root, "-p", "TCGA-XXX", "TCGA-YYY",
+        "-t", "star_counts", "survival",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Imported 3/4 datasets." in proc.stdout

@@ -37,9 +37,9 @@ def test_matches_reference_implementation_distributed_path(spark):
     # single partition => the partial sees the same matrix the reference
     # holds (pin to 1e-12: Arrow round-trip and one-row JVM sum are exact)
     w, b = logreg.logistic_train(
-        _df(spark, 1), ["f0", "f1"], "y", iterations=15, driver_max_rows=0
+        _df(spark, 1), ["f0", "f1"], "y", iterations=5, driver_max_rows=0
     )
-    wr, br = logreg._reference_train(ROWS, iterations=15)
+    wr, br = logreg._reference_train(ROWS, iterations=5)
     assert all(abs(a - c) < 1e-12 for a, c in zip(w, wr))
     assert abs(b - br) < 1e-12
 
@@ -50,12 +50,12 @@ def test_partitioning_invariance(spark):
     # sum, so 1-partition and 3-partition training agree to fp-association
     # tolerance (and both agree with the driver path the same way)
     w1, b1 = logreg.logistic_train(
-        _df(spark, 1), ["f0", "f1"], "y", iterations=10, driver_max_rows=0
+        _df(spark, 1), ["f0", "f1"], "y", iterations=4, driver_max_rows=0
     )
     w3, b3 = logreg.logistic_train(
-        _df(spark, 3), ["f0", "f1"], "y", iterations=10, driver_max_rows=0
+        _df(spark, 3), ["f0", "f1"], "y", iterations=4, driver_max_rows=0
     )
-    wd, bd = logreg.logistic_train(_df(spark, 3), ["f0", "f1"], "y", iterations=10)
+    wd, bd = logreg.logistic_train(_df(spark, 3), ["f0", "f1"], "y", iterations=4)
     assert all(abs(a - c) < 1e-9 for a, c in zip(w1, w3))
     assert abs(b1 - b3) < 1e-9
     assert all(abs(a - c) < 1e-9 for a, c in zip(wd, w3))
@@ -77,9 +77,9 @@ def test_tiny_cap_takes_distributed_path_and_matches(spark):
     # cap smaller than the input: the bounded probe must route to the
     # distributed trainer (not collect), and numerics still match
     w, b = logreg.logistic_train(
-        _df(spark, 1), ["f0", "f1"], "y", iterations=10, driver_max_rows=2
+        _df(spark, 1), ["f0", "f1"], "y", iterations=4, driver_max_rows=2
     )
-    wr, br = logreg._reference_train(ROWS, iterations=10)
+    wr, br = logreg._reference_train(ROWS, iterations=4)
     assert all(abs(a - c) < 1e-9 for a, c in zip(w, wr))
     assert abs(b - br) < 1e-9
 

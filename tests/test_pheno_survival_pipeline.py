@@ -1,7 +1,7 @@
 """Pheno/survival dataset pipelines — parity with the reference's
 GDCPhenoset (xena_dataset.py:1232/1385) and GDCSurvivalset (:1417/1520):
 clinical-over-biospecimen merge + list-column dropping, and the 4-column
-Xena survival matrix, end-to-end through the CLI subprocess.
+Xena survival matrix, end-to-end through the CLI entry point.
 """
 
 from __future__ import annotations
@@ -11,7 +11,6 @@ import glob
 import json
 import os
 import subprocess
-import sys
 
 import pytest
 from pyspark.sql import Row
@@ -106,11 +105,11 @@ def test_survival_transform_shape(spark):
 
 
 def _run_cli(*args: str) -> subprocess.CompletedProcess:
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    return subprocess.run(
-        [sys.executable, "-m", "xena_gdc_etl_spark.cli", *args],
-        capture_output=True, text=True, cwd=REPO, env=env, timeout=240,
-    )
+    """In-process CLI drive (see conftest.run_cli_inprocess) — saves two
+    JVM boots; the subprocess surface is covered in test_cli_pipelines."""
+    from conftest import run_cli_inprocess
+
+    return run_cli_inprocess(*args)
 
 
 def _read_tsv_dir(path: str) -> list[dict]:

@@ -4,6 +4,7 @@ batch twins on a bounded input (replayed as a file stream).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -782,8 +783,11 @@ def test_streaming_winnow_append_mode_finalizes(spark, tmp_path):
     from xena_gdc_etl_spark.streaming import streaming_winnow_decontamination
 
     docs = Catalog(spark, "/root/testdata/sf0.001").documents
-    train = docs.filter(F.col("doc_id") % 10 != 0).limit(50)
-    heldout = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0).limit(25)
+    # held_fps is a batch frame whose lineage re-runs once per micro-batch
+    # (3x here) — keep the heldout slice small; the pin needs real text,
+    # not corpus coverage
+    heldout = docs.filter(F.col("doc_id") % 10 == 0).limit(15)
     held_fps = tx.winnow_fingerprint_set(heldout)
 
     d = str(tmp_path / "arrivals")
@@ -908,8 +912,9 @@ _HB2 = _dtm(2026, 1, 5, 0, 0)
 
 # When _DEFER_BATCHES is set (the restart-recovery sweep), _file_stream
 # writes only the FIRST batch up front and parks the rest here, keyed by
-# source dir; _flush_pending appends them between the two query runs so
-# the same builders drive both the liveness and the restart protocol.
+# source dir; each twin's restart thread appends them between its two
+# query runs so the same builders drive both the liveness and the
+# restart protocol.
 _PENDING_BATCHES: "dict[str, tuple]" = {}
 _DEFER_BATCHES = False
 
@@ -930,15 +935,6 @@ def _file_stream(spark, tmp_path, name, schema, batches):
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-
-
-def _flush_pending(spark):
-    for d, (schema, batches) in _PENDING_BATCHES.items():
-        for rows in batches:
-            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                "append"
-            ).parquet(d)
-    _PENDING_BATCHES.clear()
 
 
 def _sweep_windowed_agg(spark, tmp_path):
@@ -1145,23 +1141,40 @@ LIVENESS_SWEEP = {
 LIVENESS_EXEMPT: dict[str, str] = {}
 
 
-@pytest.mark.parametrize("twin", sorted(LIVENESS_SWEEP))
-def test_append_mode_liveness(spark, tmp_path, twin):
-    out, expect = LIVENESS_SWEEP[twin](spark, tmp_path)
-    assert out.isStreaming
-    name = f"liveness_{twin}"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
-    rows = spark.table(name).collect()
-    assert rows, (
-        f"{twin}: append mode emitted NOTHING on a rare-match feed — "
-        "the watermark stalled (row-dropping predicate pushed below "
-        "the watermark node?)"
-    )
-    assert expect(rows), f"{twin}: early-batch rows missing: {rows}"
+def test_append_mode_liveness(spark, tmp_path):
+    """All 10 twins run as CONCURRENT streaming queries (distinct source
+    dirs, memory-sink names). Serial parametrize paid ~7 s of micro-batch
+    latency per twin; the queries are independent and tiny, so the sweep
+    is latency-bound, not compute-bound. Failures are collected per twin
+    so one stalled twin still reports by name."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(twin):
+        try:
+            out, expect = LIVENESS_SWEEP[twin](spark, tmp_path / twin)
+            assert out.isStreaming
+            name = f"liveness_{twin}"
+            q = (
+                out.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(300)
+            rows = spark.table(name).collect()
+            if not rows:
+                return (
+                    f"{twin}: append mode emitted NOTHING on a rare-match"
+                    " feed — the watermark stalled (row-dropping predicate"
+                    " pushed below the watermark node?)"
+                )
+            if not expect(rows):
+                return f"{twin}: early-batch rows missing: {rows}"
+        except Exception as e:  # noqa: BLE001 - collected for the report
+            return f"{twin}: {e!r}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=len(LIVENESS_SWEEP)) as ex:
+        failures = [f for f in ex.map(one, sorted(LIVENESS_SWEEP)) if f]
+    assert not failures, failures
 
 
 def test_liveness_sweep_covers_every_watermarked_twin():
@@ -1216,44 +1229,78 @@ def test_liveness_sweep_covers_every_watermarked_twin():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("twin", sorted(LIVENESS_SWEEP))
-def test_restart_recovery(spark, tmp_path, twin, monkeypatch):
+def test_restart_recovery(spark, tmp_path, monkeypatch):
+    """All 10 twins run their restart protocol CONCURRENTLY. Builders run
+    serially first (the _DEFER_BATCHES flag is module-global), each under
+    its own tmp subdir, so each twin's deferred heartbeat batches are
+    identifiable by directory prefix and flushed by its own thread while
+    only that twin's query is down. The per-twin protocol — run 1 on the
+    content batch, heartbeats land while down, run 2 from the same
+    checkpoint + sink log — is unchanged."""
     import sys as _sys
+    from concurrent.futures import ThreadPoolExecutor
 
     mod = _sys.modules[__name__]
     _PENDING_BATCHES.clear()
     monkeypatch.setattr(mod, "_DEFER_BATCHES", True)
-    out, expect = LIVENESS_SWEEP[twin](spark, tmp_path)
+    builds = {
+        twin: LIVENESS_SWEEP[twin](spark, tmp_path / twin)
+        for twin in sorted(LIVENESS_SWEEP)
+    }
     monkeypatch.setattr(mod, "_DEFER_BATCHES", False)
-    assert out.isStreaming
-    chk = str(tmp_path / "restart_chk")
-    sink = str(tmp_path / "restart_sink")
+    assert _PENDING_BATCHES, "builders wrote no deferred batches"
+    pending = dict(_PENDING_BATCHES)
+    _PENDING_BATCHES.clear()
 
-    def run_once():
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", chk)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    def one(twin):
+        out, expect = builds[twin]
+        if not out.isStreaming:
+            return f"{twin}: builder returned a batch frame"
+        prefix = str(tmp_path / twin) + os.sep
+        chk = str(tmp_path / twin / "restart_chk")
+        sink = str(tmp_path / twin / "restart_sink")
 
-    run_once()  # run 1: content batch only; query terminates (availableNow)
-    assert _PENDING_BATCHES, "builder wrote no deferred batches"
-    _flush_pending(spark)  # heartbeats arrive while the query is down
-    run_once()  # run 2: restart from the same checkpoint + sink log
-    rows = spark.read.parquet(sink).collect()
-    assert rows, (
-        f"{twin}: nothing emitted across a restart — run-1 state (or the "
-        "watermark position) did not survive the checkpoint"
-    )
-    assert expect(rows), (
-        f"{twin}: content rows missing after restart (state lost): {rows}"
-    )
-    as_tuples = [tuple(r) for r in rows]
-    assert len(as_tuples) == len(set(as_tuples)), (
-        f"{twin}: duplicate output rows across restart — source offsets "
-        f"re-ingested or a window double-finalized: {sorted(as_tuples)}"
-    )
+        def run_once():
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        try:
+            run_once()  # run 1: content batch only; availableNow ends it
+            mine = {d: v for d, v in pending.items() if d.startswith(prefix)}
+            if not mine:
+                return f"{twin}: builder wrote no deferred batches"
+            for d, (schema, batches) in mine.items():
+                for batch in batches:  # heartbeats arrive while down
+                    spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(d)
+            run_once()  # run 2: restart from the same checkpoint + sink log
+            rows = spark.read.parquet(sink).collect()
+        except Exception as e:  # noqa: BLE001 - collected for the report
+            return f"{twin}: {e!r}"
+        if not rows:
+            return (
+                f"{twin}: nothing emitted across a restart — run-1 state "
+                "(or the watermark position) did not survive the checkpoint"
+            )
+        if not expect(rows):
+            return f"{twin}: content rows missing after restart (state lost): {rows}"
+        as_tuples = [tuple(r) for r in rows]
+        if len(as_tuples) != len(set(as_tuples)):
+            return (
+                f"{twin}: duplicate output rows across restart — source "
+                "offsets re-ingested or a window double-finalized: "
+                f"{sorted(as_tuples)}"
+            )
+        return None
+
+    with ThreadPoolExecutor(max_workers=len(builds)) as ex:
+        failures = [f for f in ex.map(one, sorted(builds)) if f]
+    assert not failures, failures
