@@ -167,6 +167,31 @@ def test_ivf_assign_puts_vector_with_nearest_centroid(spark):
     assert out[3] == 2
 
 
+def test_ivf_assign_and_train_step_accept_driver_rows(spark):
+    """The driver-side (centroid_id, vector) sequence form must be
+    row-identical to the DataFrame form for both ivf_assign and
+    ivf_train_step (it skips only the collect job, never the math), and
+    the oversized-state guard must still fire."""
+    import pytest
+
+    emb = _emb_df(spark)
+    cent_df = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cent_rows = [(r.centroid_id, list(r.embedding)) for r in cent_df.collect()]
+
+    a = sim.ivf_assign(emb, cent_df)
+    b = sim.ivf_assign(emb, cent_rows)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    sa = sim.ivf_train_step(emb, cent_df, dim=len(cent_rows[0][1]))
+    sb = sim.ivf_train_step(emb, cent_rows)
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+
+    with pytest.raises(ValueError, match="more than"):
+        sim.ivf_assign(emb, cent_rows, max_driver_rows=1)
+
+
 def test_cosine_dup_pairs_threshold(spark):
     emb = _emb_df(spark)
     centroids = emb.filter(F.col("vec_id").isin(0, 2)).select(
@@ -481,7 +506,8 @@ def test_connected_components_chain_converges_logarithmically(spark):
 
 def test_spread_to_cores_skips_filled_scans(spark):
     # a frame already at (or above) core parallelism must NOT pay the
-    # spread shuffle; an underfilled one must
+    # spread shuffle; an underfilled one must — unless it is so small
+    # that the matmul-family size floor says one task beats the fan-out
     from xena_gdc_etl_spark.plans import shuffle_count
 
     par = spark.sparkContext.defaultParallelism
@@ -489,17 +515,27 @@ def test_spread_to_cores_skips_filled_scans(spark):
         F.col("id").alias("vec_id"),
         F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
     )
-    narrow = spark.range(1000).coalesce(1).select(
+    # Range stats are 8 B/row: 4M rows ≈ 32 MiB — above the matmul floor
+    # (4 MiB), below par x 16 MiB underfill at any par >= 2
+    narrow = spark.range(4_000_000).coalesce(1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    tiny = spark.range(1000).coalesce(1).select(
         F.col("id").alias("vec_id"),
         F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
     )
     spread_wide = sim._spread_to_cores(wide, par)
     spread_narrow = sim._spread_to_cores(narrow, par)
+    spread_tiny = sim._spread_to_cores(tiny, par)
     # shuffle_count counts the input's own repartition too, so compare
     # DELTAS: spreading must add zero exchanges to the filled frame and
-    # exactly one to the underfilled frame
+    # exactly one to the underfilled frame; the sub-floor frame stays
+    # single-task (constant fan-out: the exchange would cost more than
+    # the compute it parallelizes)
     assert shuffle_count(spread_wide) == shuffle_count(wide)
     assert shuffle_count(spread_narrow) == shuffle_count(narrow) + 1
+    assert shuffle_count(spread_tiny) == shuffle_count(tiny)
 
 
 def test_minhash_jaccard_estimate_bounds(spark):

@@ -101,10 +101,25 @@ def estimated_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
-def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    parallelism: int | None = None,
+    min_bytes: int = 0,
+) -> DataFrame:
     """Repartition ``df`` to ``parallelism`` iff the plan says it is
     underfilled (see module docstring); identity on streams and on
-    frames that already fill the cores."""
+    frames that already fill the cores.
+
+    ``min_bytes``: identity when the KNOWN size estimate is below this
+    floor. The default 0 keeps the module's err-toward-spreading posture
+    — a 100-300× explode consumer must spread even a tiny frame.
+    Constant-fan-out consumers (the broadcast-matmul Arrow family, where
+    per-row work is microseconds and output ≈ input) pass a floor: for
+    them a sub-floor frame costs more in the repartition exchange + one
+    Python task round-trip per core than the single-task compute it
+    saves (measured: the 0.6 MiB sf0.1 embedding frame's assign runs
+    0.71 s unspread vs 1.00 s spread on 32 cores). UNKNOWN sizes never
+    hit the floor — they keep the spread."""
     if df.isStreaming:
         # micro-batch sources manage their own partitioning; probing a
         # stream is meaningless (and .rdd is illegal on one)
@@ -114,6 +129,8 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     if width is not None:
         return df if width >= par else df.repartition(par)
     size = estimated_size_bytes(df)
+    if size < min_bytes:
+        return df
     if par * SPREAD_BYTES_PER_CORE <= size < SIZE_UNKNOWN_SENTINEL:
         return df
     return df.repartition(par)

@@ -12,7 +12,9 @@ xena_gdc_etl_spark.functions for tests and single-pair use.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import os
+from collections.abc import Iterator, Sequence
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -42,6 +44,16 @@ def _safe_norms(m: np.ndarray) -> np.ndarray:
 # silent driver OOM of an oversized side into an actionable error.
 DEFAULT_MAX_BROADCAST_ROWS = 1 << 16
 
+# Size floor for the matmul-family spread (see _spread_to_cores): frames
+# whose known plan estimate is below this run in their scan's own
+# partitioning. 4 MiB ≈ 16k d=64 double vectors — a single-core BLAS
+# pass over that is ~ms, far below one repartition exchange + 32 Arrow
+# task round-trips (A/B on the sf0.1 embedding frame: 0.71 s unspread
+# vs 1.00 s spread). Env-overridable for cluster tuning.
+SPREAD_MIN_MATMUL_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_MATMUL_BYTES", str(4 * 1024 * 1024))
+)
+
 
 def _collect_bounded(df: DataFrame, what: str, limit: int) -> list:
     """Collect a deliberately-small DataFrame, failing clearly (instead of
@@ -54,6 +66,38 @@ def _collect_bounded(df: DataFrame, what: str, limit: int) -> list:
             "max_driver_rows only if the driver can really hold it"
         )
     return rows
+
+
+class _CRow(NamedTuple):
+    cid: int
+    cv: "list[float]"
+
+
+def _centroid_rows(
+    centroids: "DataFrame | Sequence[tuple]",
+    vec_col: str,
+    centroid_id: str,
+    max_driver_rows: int,
+) -> "list":
+    """Centroid state as driver rows: collect a DataFrame (bounded), or
+    validate an already-driver-side sequence of (id, vector) tuples —
+    the no-job fast path for callers that hold the state (see
+    :func:`ivf_assign`)."""
+    if isinstance(centroids, DataFrame):
+        return _collect_bounded(
+            centroids.filter(F.col(vec_col).isNotNull()).select(
+                F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
+            ),
+            "the centroid side of ivf_assign",
+            max_driver_rows,
+        )
+    if len(centroids) > max_driver_rows:
+        raise ValueError(
+            f"the centroid side of ivf_assign has more than "
+            f"{max_driver_rows} rows — raise max_driver_rows only if the "
+            "driver can really hold it"
+        )
+    return [_CRow(cid, vec) for cid, vec in centroids if vec is not None]
 
 
 # Row-chunk bound for the brute-force top-k matmul: the (|Q|, chunk)
@@ -86,10 +130,17 @@ def _spread_to_cores(df: DataFrame, par: int) -> DataFrame:
     never pay — the fill-aware, strictly plan-only underfill probe lives
     in operators/partitioning.py (partition COUNTS were the wrong
     signal; ``.rdd`` probes were unsafe under AQE).
+
+    The Arrow matmul family has CONSTANT fan-out (output ≈ input, per-row
+    work is a few hundred FLOPs), so unlike the 100-300× explode
+    consumers it passes a size floor: below it the repartition exchange
+    plus one Python-worker round trip per core costs more than the
+    single-task BLAS it parallelizes (guide §2.4 — remove shuffles
+    outright).
     """
     from xena_gdc_etl_spark.operators.partitioning import spread
 
-    return spread(df, par)
+    return spread(df, par, min_bytes=SPREAD_MIN_MATMUL_BYTES)
 
 
 def cosine_topk(
@@ -468,7 +519,7 @@ def suggest_n_cells(
 
 def ivf_assign(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | Sequence[tuple]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
@@ -480,17 +531,20 @@ def ivf_assign(
     matmul per Arrow batch, no shuffle and no per-row window.
     ``keep_cols``: extra input columns carried through unchanged (e.g. an
     event-time column for the streaming purity twin).
+
+    ``centroids`` may be a DataFrame (collected here, bounded) or a
+    driver-side sequence of ``(centroid_id, vector)`` tuples. The matrix
+    ends up on the driver either way — trained centroid state IS
+    driver-sized by contract — so a caller that already holds the rows
+    (a literal init state, a trainer's previous round) skips the
+    limit+collect round trip entirely: that collect is a whole Spark job
+    whose fixed cost dominates small-state callers (guide §5 — keep
+    driver work off the query path).
     """
     spark = vectors.sparkSession
     # null vectors/centroids are dropped, not crashed on (see cosine_topk)
     vectors = vectors.filter(F.col(vec_col).isNotNull())
-    crows = _collect_bounded(
-        centroids.filter(F.col(vec_col).isNotNull()).select(
-            F.col(centroid_id).alias("cid"), F.col(vec_col).alias("cv")
-        ),
-        "the centroid side of ivf_assign",
-        max_driver_rows,
-    )
+    crows = _centroid_rows(centroids, vec_col, centroid_id, max_driver_rows)
     in_schema = vectors.select(id_col, vec_col, *keep_cols).schema
     out_schema = StructType(
         [
@@ -1018,7 +1072,7 @@ def norm_outliers(
 
 def ivf_train_step(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | Sequence[tuple]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
@@ -1034,24 +1088,44 @@ def ivf_train_step(
     attract no vectors keep their previous centroid (``ivf_train``'s
     keep-previous rule) with ``n_members = 0``.
 
+    ``centroids``: a DataFrame, or a driver-side sequence of
+    ``(centroid_id, vector)`` tuples — same contract and same result as
+    :func:`ivf_assign`; the sequence form skips the collect job.
+
     Output: (centroid_id, n_members, ``vec_col`` = updated centroid).
     Fully distributed — one broadcast-matmul assignment pass + one
     partial-aggregated groupBy; nothing corpus-sized reaches the driver.
     """
-    if dim is None:
-        # one tiny job; callers that know their dimension pass it and
-        # skip this probe
-        dim = len(centroids.select(vec_col).first()[0])
+    if isinstance(centroids, DataFrame):
+        if dim is None:
+            # one tiny job; callers that know their dimension pass it
+            # and skip this probe
+            dim = len(centroids.select(vec_col).first()[0])
+        prev = centroids.select(
+            F.col(centroid_id),
+            F.col(vec_col).cast("array<double>").alias("__prev"),
+        )
+    else:
+        # driver-side state (see ivf_assign): no collect job for the
+        # assignment, and the keep-previous join side becomes a ONE-slice
+        # local frame — a k-slice default would cost a task per core in
+        # the broadcast-build job for k tiny rows
+        if dim is None:
+            dim = len(centroids[0][1])
+        spark = vectors.sparkSession
+        prev = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(int(c), [float(x) for x in v]) for c, v in centroids], 1
+            ),
+            f"{centroid_id} long, __prev array<double>",
+        )
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col,
         centroid_id=centroid_id,
     )
     agg = _cell_mean_agg(assigned, dim, centroid_id, vec_col, mean_path)
     return (
-        centroids.select(
-            F.col(centroid_id),
-            F.col(vec_col).cast("array<double>").alias("__prev"),
-        )
+        prev
         .join(agg, centroid_id, "left")
         .select(
             F.col(centroid_id),

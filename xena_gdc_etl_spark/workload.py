@@ -2943,10 +2943,10 @@ def kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xena_gdc_etl_spark.operators import similarity as sim
 
     emb = Catalog(spark, sf_dir).embeddings
-    cents = spark.createDataFrame(
-        [(c, v) for c, v in enumerate(_kmeans_frozen_centroids())],
-        "centroid_id long, embedding array<double>",
-    )
+    # literal frozen state passed as driver rows: the DataFrame form paid
+    # a limit+collect job (plus a k-core-sliced local frame) per call
+    # just to round-trip constants the caller already holds
+    cents = list(enumerate(_kmeans_frozen_centroids()))
     stepped = sim.ivf_train_step(emb, cents, dim=_KM_DIM)
     return stepped.select(
         "centroid_id",
