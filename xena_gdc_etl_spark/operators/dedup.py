@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from xena_gdc_etl_spark.functions import md5_hash60
+from xena_gdc_etl_spark.operators.partitioning import local_rows_df
 from xena_gdc_etl_spark.operators.seams import seam
 from xena_gdc_etl_spark.operators.text import WS_CLASS, WS_RE
 
@@ -343,7 +344,10 @@ def connected_components(
             if r not in best or n < best[r]:
                 best[r] = n
         id_type = nodes.schema[id_col].dataType
-        mdf = pairs.sparkSession.createDataFrame(
+        # size-proportional slicing: the default core-count slicing made
+        # the broadcast build of this tiny label map a task-per-core job
+        mdf = local_rows_df(
+            pairs.sparkSession,
             [
                 (_py(n), _py(best[find(n)]))
                 for n in seen
@@ -590,7 +594,9 @@ def connected_components_bipartite(
             if r not in best or n < best[r]:
                 best[r] = n
         id_type = nodes.schema[id_col].dataType
-        mdf = nodes.sparkSession.createDataFrame(
+        # size-proportional slicing — same rationale as the pairwise path
+        mdf = local_rows_df(
+            nodes.sparkSession,
             [(_py(n), _py(best[find(("n", n))])) for n in seen],
             StructType(
                 [

@@ -101,6 +101,26 @@ def estimated_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+def local_rows_df(spark, rows: list, schema, rows_per_slice: int = 50_000):
+    """Driver-side rows → DataFrame with size-proportional slicing.
+
+    ``createDataFrame(list)`` slices the backing RDD to
+    defaultParallelism regardless of size, so a 50-row driver-computed
+    label map becomes a core-count-partition RDD whose every consumption
+    (a broadcast build, a limit+collect) schedules one task per core —
+    pure fixed cost on the query path (guide §5). One slice per
+    ~``rows_per_slice`` rows keeps small frames single-task while a
+    genuinely large driver product still parallelizes."""
+    n = max(
+        1,
+        min(
+            len(rows) // rows_per_slice + 1,
+            spark.sparkContext.defaultParallelism,
+        ),
+    )
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+
+
 def spread(
     df: DataFrame,
     parallelism: int | None = None,

@@ -1000,9 +1000,17 @@ def ivf_train(
     # centroid_id → vector, maintained driver-side (k×d floats)
     cents: dict[int, list] = {i: list(r[0]) for i, r in enumerate(init)}
 
+    def _centroid_rows_sorted() -> list:
+        return [
+            (int(i), [float(x) for x in v]) for i, v in sorted(cents.items())
+        ]
+
     def _centroid_frame() -> DataFrame:
-        return vectors.sparkSession.createDataFrame(
-            [(int(i), [float(x) for x in v]) for i, v in sorted(cents.items())],
+        from xena_gdc_etl_spark.operators.partitioning import local_rows_df
+
+        return local_rows_df(
+            vectors.sparkSession,
+            _centroid_rows_sorted(),
             StructType(
                 [
                     StructField(centroid_id, LongType()),
@@ -1012,9 +1020,11 @@ def ivf_train(
         )
 
     for _ in range(iterations):
+        # the state is already driver-side — hand ivf_assign the rows
+        # instead of a frame it would pay a limit+collect job to read back
         assigned = ivf_assign(
             vectors,
-            _centroid_frame(),
+            _centroid_rows_sorted(),
             id_col=id_col,
             vec_col=vec_col,
             centroid_id=centroid_id,
@@ -1112,11 +1122,12 @@ def ivf_train_step(
         # the broadcast-build job for k tiny rows
         if dim is None:
             dim = len(centroids[0][1])
+        from xena_gdc_etl_spark.operators.partitioning import local_rows_df
+
         spark = vectors.sparkSession
-        prev = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(int(c), [float(x) for x in v]) for c, v in centroids], 1
-            ),
+        prev = local_rows_df(
+            spark,
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
             f"{centroid_id} long, __prev array<double>",
         )
     assigned = ivf_assign(
@@ -1862,13 +1873,18 @@ def ivf_pq_topk(
     order = np.lexsort(
         (np.broadcast_to(c_ids, sims.shape), -sims), axis=1
     )[:, : min(nprobe, len(c_ids))]
-    probes = spark.createDataFrame(
+    from xena_gdc_etl_spark.operators.partitioning import local_rows_df
+
+    # size-proportional slicing: default core-count slicing made every
+    # consumption of this small probe list a task-per-core job
+    probes = local_rows_df(
+        spark,
         [
             (int(q_ids[qi]), int(c_ids[ci]))
             for qi in range(len(q_ids))
             for ci in order[qi]
         ],
-        f"query_id long, centroid_id long",
+        "query_id long, centroid_id long",
     )
 
     # ADC tables: (n_query, m, k_codebook) squared subdistances
