@@ -169,3 +169,29 @@ def test_spread_shuffles_only_consumed_columns(spark, sf_dir):
 def test_streaming_frame_untouched(spark):
     stream = spark.readStream.format("rate").load()
     assert pt.spread(stream) is stream
+
+
+def test_spread_min_bytes_floor(spark):
+    # below the floor a KNOWN-size frame stays unspread (constant-fan-out
+    # consumers); at/above it the normal underfill logic applies; UNKNOWN
+    # sizes (RDD-backed) keep the err-toward-spreading posture
+    small = spark.range(1000).selectExpr("id")  # ~8 KB known stats
+    assert pt.spread(small, 8, min_bytes=1 << 20) is small
+    spread_any = pt.spread(small, 8)  # no floor -> underfilled -> spread
+    assert spread_any is not small
+    rdd_backed = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    assert pt.spread(rdd_backed, 8, min_bytes=1 << 60) is not rdd_backed
+
+
+def test_local_rows_df_slices_by_size(spark):
+    # tiny driver products must not fan out to a partition per core
+    tiny = pt.local_rows_df(spark, [(1, 2), (3, 4)], "a long, b long")
+    assert tiny.rdd.getNumPartitions() == 1
+    assert sorted(tuple(r) for r in tiny.collect()) == [(1, 2), (3, 4)]
+    big = pt.local_rows_df(
+        spark, [(i,) for i in range(120_000)], "a long", rows_per_slice=50_000
+    )
+    assert 1 < big.rdd.getNumPartitions() <= spark.sparkContext.defaultParallelism
+    assert big.count() == 120_000
+    empty = pt.local_rows_df(spark, [], "a long")
+    assert empty.count() == 0
